@@ -1,0 +1,97 @@
+"""Alignment throughput benchmark — prints ONE JSON line.
+
+Runs the fused single-end pipeline on the available accelerator (the real
+TPU chip under the driver) against a synthetic E. coli-scale genome
+(4.6 Mbp) with 100 bp reads at ~1% mismatch rate, and reports
+reads/s/chip.
+
+Baseline for `vs_baseline`: reference iSAAC (Raczy et al., Bioinformatics
+2013) aligns a 40x human genome (~1.28e9 2x100bp reads) in ~5.5 h on one
+24-core 2.6 GHz node => ~6.5e4 reads/s/node.  The repo itself publishes
+no benchmark numbers (BASELINE.md), so this paper-scale figure is the
+documented stand-in; vs_baseline = ours / 64600.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 64_600.0
+
+GENOME_LEN = 4_600_000
+READ_LEN = 100
+BATCH = 8_192
+WARMUP_BATCHES = 1
+TIMED_BATCHES = 4
+
+
+def main() -> None:
+    import jax
+    from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch_jit,
+                                                  default_seed_offsets, prepare_index)
+    from isaac_aligner_tpu.index.build import build_index
+    from isaac_aligner_tpu.io.fasta import genome_from_sequences
+
+    rng = np.random.default_rng(0)
+    seq_codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+    from isaac_aligner_tpu.io.fasta import ContigMeta, Genome
+    genome = Genome(codes=seq_codes,
+                    contigs=[ContigMeta(index=0, name="ecoli_sim", offset=0,
+                                        length=GENOME_LEN, md5="0" * 32)])
+    t0 = time.time()
+    index = build_index(genome, seed_len=32)
+    build_s = time.time() - t0
+
+    cfg = AlignConfig(seed_len=32, seed_offsets=default_seed_offsets(READ_LEN, 32))
+    arrays = prepare_index(index)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        starts = r.integers(0, GENOME_LEN - READ_LEN, BATCH)
+        reads = seq_codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
+        mut = r.random(reads.shape) < 0.01
+        reads = np.where(mut, r.integers(0, 4, reads.shape), reads).astype(np.uint8)
+        rc = reads[:, ::-1]
+        rc = np.where(rc < 4, 3 - rc, rc).astype(np.uint8)
+        flip = r.random(BATCH) < 0.5
+        reads = np.where(flip[:, None], rc, reads)
+        quals = np.full(reads.shape, 30, np.uint8)
+        return jax.numpy.asarray(reads), jax.numpy.asarray(quals)
+
+    batches = [make_batch(i) for i in range(WARMUP_BATCHES + TIMED_BATCHES)]
+
+    # warmup / compile
+    for b, q in batches[:WARMUP_BATCHES]:
+        jax.block_until_ready(align_batch_jit(arrays, b, q, cfg))
+
+    t0 = time.time()
+    aligned = 0
+    for b, q in batches[WARMUP_BATCHES:]:
+        out = align_batch_jit(arrays, b, q, cfg)
+        jax.block_until_ready(out)
+        aligned += int(np.asarray(out["aligned"]).sum())
+    dt = time.time() - t0
+
+    total_reads = TIMED_BATCHES * BATCH
+    rps = total_reads / dt
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "detail": {
+            "read_len": READ_LEN,
+            "batch": BATCH,
+            "timed_batches": TIMED_BATCHES,
+            "aligned_frac": round(aligned / total_reads, 4),
+            "index_build_s": round(build_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

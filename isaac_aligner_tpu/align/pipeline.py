@@ -1,0 +1,295 @@
+"""The fused on-device alignment pipeline (single-end slice).
+
+This is the TPU-native recomposition of the reference's MatchFinder +
+MatchSelector phases (SURVEY.md §3.2/§3.3).  Where the reference streams
+seeds/matches through temp files and per-cluster scalar loops, here one
+jitted program takes a fixed-shape read batch and the HBM-resident index
+through:
+
+    seed packing -> binary-search match -> candidate projection/dedup ->
+    window gather -> ungapped scoring -> best pick -> MAPQ
+
+Everything is fixed shape: matches per seed are capacity-bounded gathers
+(reference repeatThreshold semantics, ExactMaskMatcher.cpp:83-210),
+candidates per read are capacity-bounded after dedup (reference
+FragmentBuilder consolidateDuplicateFragments, FragmentBuilder.cpp:82-346),
+and overflow is carried as explicit flags — the tensorized version of the
+reference's NoMatch/TooManyMatch sentinels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dna
+from ..index.build import SeedIndex, TOO_MANY_POS
+from ..ops import bitops, search
+from . import quality
+
+
+class IndexArrays(NamedTuple):
+    """Device-resident index planes (a pytree — jit-traceable)."""
+
+    key_hi: jax.Array       # int32 [Npad] sorted, biased; padded with I32_MAX
+    key_lo: jax.Array       # int32 [Npad]
+    pos: jax.Array          # int32 [Npad] global positions / TOO_MANY_POS
+    n_real: jax.Array       # int32 [] number of real records
+    genome: jax.Array       # uint8 [G] base codes 0..4
+    contig_starts: jax.Array  # int32 [n_contigs] sorted
+    contig_ends: jax.Array    # int32 [n_contigs]
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Static alignment parameters (hashable: used as a jit static arg).
+
+    Defaults mirror the reference align-time settings: seed length 32
+    with seeds tiled across the read (SeedMetadata auto generation),
+    repeat threshold 10 (reference --repeat-threshold default,
+    src/markdown/manual.md), MAPQ cap 60 (FragmentAccessorBamAdapter.hh:250).
+    """
+
+    seed_len: int = 32
+    seed_offsets: tuple[int, ...] = (0, 32)
+    max_hits_per_seed: int = 10      # gather capacity == align repeat threshold
+    repeat_threshold: int = 10
+    max_candidates: int = 32
+    mapq_cap: int = 60
+
+
+def prepare_index(index: SeedIndex) -> IndexArrays:
+    """Upload a host SeedIndex into padded device planes."""
+    n = index.num_records
+    n_pad = search.pad_pow2(max(n, 1))
+    pad = n_pad - n
+    i32max = np.int32(2**31 - 1)
+    key_hi = np.concatenate([index.key_hi, np.full(pad, i32max, np.int32)])
+    key_lo = np.concatenate([index.key_lo, np.full(pad, i32max, np.int32)])
+    pos = np.concatenate([index.pos, np.full(pad, TOO_MANY_POS, np.int32)])
+    contigs = index.genome.contigs
+    return IndexArrays(
+        key_hi=jnp.asarray(key_hi),
+        key_lo=jnp.asarray(key_lo),
+        pos=jnp.asarray(pos),
+        n_real=jnp.int32(n),
+        genome=jnp.asarray(index.genome.codes),
+        contig_starts=jnp.asarray(np.array([c.offset for c in contigs], np.int32)),
+        contig_ends=jnp.asarray(np.array([c.end for c in contigs], np.int32)),
+    )
+
+
+def default_seed_offsets(read_len: int, seed_len: int) -> tuple[int, ...]:
+    """Non-overlapping seeds tiling the read (reference: auto seed
+    descriptor, lib/options/alignOptions/SeedDescriptorOption.cpp)."""
+    n = max(1, read_len // seed_len)
+    return tuple(i * seed_len for i in range(n))
+
+
+def seed_table(read_len: int, cfg: AlignConfig) -> list[tuple[int, int]]:
+    """Static (orient, query-offset) seed list; orient-1 seeds live at the
+    mirrored offset in the reverse-complemented read so both cover the
+    same read window (reference: SeedLoader builds fwd+rc per seed)."""
+    k = cfg.seed_len
+    seed_list: list[tuple[int, int]] = []
+    for off in cfg.seed_offsets:
+        if off + k > read_len:
+            continue
+        seed_list.append((0, off))
+        seed_list.append((1, read_len - off - k))
+    if not seed_list:
+        raise ValueError(f"no seed fits read_len={read_len} seed_len={k}")
+    return seed_list
+
+
+def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
+    """Stage A: seeds -> per-hit (start, orient, valid), flat [B, S*R].
+
+    This is the per-index-shard stage: with the index sharded over a mesh
+    axis, every device runs it against its local shard and the hit lists
+    are concatenated (parallel/sharded.py) before dedup.
+    """
+    b, read_len = bases.shape
+    k = cfg.seed_len
+    rc_bases = bitops.revcomp_reads(bases)
+    seed_list = seed_table(read_len, cfg)
+
+    hips, lops, nmask = [], [], []
+    for orient, qoff in seed_list:
+        q = bases if orient == 0 else rc_bases
+        hi, lo, has_n = bitops.pack_seed(q, qoff, k)
+        hips.append(hi)
+        lops.append(lo)
+        nmask.append(has_n)
+    q_hi = jnp.stack(hips, axis=1)          # [B, S]
+    q_lo = jnp.stack(lops, axis=1)
+    seed_has_n = jnp.stack(nmask, axis=1)
+    qoff_arr = jnp.asarray(np.array([s[1] for s in seed_list], np.int32))
+    orient_arr = jnp.asarray(np.array([s[0] for s in seed_list], np.int32))
+
+    begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo, q_hi, q_lo,
+                                       arrays.n_real)
+    count = jnp.where(seed_has_n, 0, count)
+
+    first_pos = arrays.pos[jnp.minimum(begin, arrays.key_hi.shape[0] - 1)]
+    too_many = (count > cfg.repeat_threshold) | ((count > 0) & (first_pos == TOO_MANY_POS))
+    eff = jnp.where(too_many, 0, jnp.minimum(count, cfg.max_hits_per_seed))
+
+    r = jnp.arange(cfg.max_hits_per_seed, dtype=jnp.int32)
+    hit_idx = begin[:, :, None] + r[None, None, :]          # [B, S, R]
+    hit_valid = r[None, None, :] < eff[:, :, None]
+    hit_pos = arrays.pos[jnp.minimum(hit_idx, arrays.key_hi.shape[0] - 1)]
+
+    start = hit_pos - qoff_arr[None, :, None]
+    orient = jnp.broadcast_to(orient_arr[None, :, None], start.shape)
+
+    # candidate must lie fully inside one contig (no clipping support yet)
+    cid = jnp.searchsorted(arrays.contig_starts, start, side="right") - 1
+    cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
+    in_contig = (start >= arrays.contig_starts[cid]) & \
+                (start + read_len <= arrays.contig_ends[cid])
+    valid = hit_valid & in_contig & (start >= 0)
+
+    diag = {"seed_match_counts": count, "seed_too_many": too_many}
+    flat = lambda x: x.reshape(b, -1)
+    return flat(start), flat(orient), flat(valid), diag
+
+
+def dedup_candidates(start_f, orient_f, valid_f, max_candidates: int):
+    """Stage B: sort-dedup hit lists, compact to [B, C].
+
+    Reference analog: FragmentBuilder::consolidateDuplicateFragments
+    (FragmentBuilder.cpp:82-346) — here a device sort + unique-scan +
+    stable compaction, all fixed shape.
+    """
+    b = start_f.shape[0]
+    valid_i = valid_f.astype(jnp.int32)
+    invalid_f = 1 - valid_i
+    # lexicographic sort by (invalid, orient, start)
+    invalid_s, orient_s, start_s = jax.lax.sort(
+        (invalid_f, orient_f.astype(jnp.int32), start_f), num_keys=3, is_stable=True)
+    same_as_prev = jnp.concatenate(
+        [jnp.zeros((b, 1), bool),
+         (orient_s[:, 1:] == orient_s[:, :-1]) & (start_s[:, 1:] == start_s[:, :-1])],
+        axis=1)
+    unique = (invalid_s == 0) & (~same_as_prev)
+    # stable-compact unique entries to the front
+    slot = jnp.arange(start_s.shape[1], dtype=jnp.int32)[None, :]
+    compact_key = jnp.where(unique, slot, jnp.int32(2**31 - 1))
+    _, start_u, orient_u, uniq_u = jax.lax.sort(
+        (compact_key, start_s, orient_s, unique.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    c = max_candidates
+    num_unique = jnp.sum(unique, axis=1)
+    return (start_u[:, :c], orient_u[:, :c], uniq_u[:, :c].astype(bool),
+            {"num_candidates": num_unique, "candidate_overflow": num_unique > c})
+
+
+def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals):
+    """Stages A+B fused for the single-device path."""
+    start_f, orient_f, valid_f, diag_a = find_seed_hits(arrays, cfg, bases)
+    cand_start, cand_orient, cand_valid, diag_b = dedup_candidates(
+        start_f, orient_f, valid_f, cfg.max_candidates)
+    return cand_start, cand_orient, cand_valid, {**diag_a, **diag_b}
+
+
+def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
+                    cand_start, cand_orient, cand_valid):
+    """Vectorized ungapped scoring of every (read, candidate) pair.
+
+    Reference semantics: UngappedAligner::alignUngapped +
+    AlignerBase::updateFragmentCigar (UngappedAligner.cpp:39-96,
+    AlignerBase.cpp:121-231): per-base log-prob accumulation with the
+    isMatch rule, mismatch count, edit distance (mismatches + Ns).
+    """
+    b, read_len = bases.shape
+    rc_bases = bitops.revcomp_reads(bases)
+    r_quals = bitops.reverse_quals(quals)
+
+    offs = jnp.arange(read_len, dtype=jnp.int32)
+    g = arrays.genome.shape[0]
+    widx = jnp.clip(cand_start[:, :, None] + offs[None, None, :], 0, g - 1)
+    ref = arrays.genome[widx]                                    # [B, C, L]
+
+    is_rc = (cand_orient == 1)[:, :, None]
+    seq = jnp.where(is_rc, rc_bases[:, None, :], bases[:, None, :])
+    q = jnp.where(is_rc, r_quals[:, None, :], quals[:, None, :]).astype(jnp.int32)
+
+    is_match = (seq == dna.N) | ((seq == ref) & (ref != dna.N))
+    log_p = jnp.where(is_match, quality.LOG_MATCH[q], quality.LOG_MISMATCH[q])
+    log_prob = jnp.sum(log_p, axis=-1)
+    mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
+    edit_distance = jnp.sum((seq != ref) | (seq == dna.N), axis=-1).astype(jnp.int32)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    log_prob = jnp.where(cand_valid, log_prob, neg_inf)
+    return log_prob, mismatches, edit_distance
+
+
+def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
+                cfg: AlignConfig):
+    """Jittable single-end alignment of one read batch.
+
+    Args:
+      arrays: device index (IndexArrays pytree).
+      bases: uint8 [B, L] read base codes.
+      quals: uint8 [B, L] phred scores.
+      cfg:   static AlignConfig.
+
+    Returns a dict of [B]-shaped result arrays (all fixed shape):
+      aligned, start (global genome pos), reverse, mapq, mismatches,
+      edit_distance, log_prob, num_candidates, candidate_overflow.
+    """
+    _b, read_len = bases.shape
+    cand_start, cand_orient, cand_valid, diag = _gather_candidates(
+        arrays, cfg, bases, quals)
+    return finalize_single_end(arrays, cfg, bases, quals,
+                               cand_start, cand_orient, cand_valid, diag)
+
+
+def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
+                        cand_start, cand_orient, cand_valid, diag):
+    """Stages C+D: score candidates, pick best, MAPQ (single-end)."""
+    _b, read_len = bases.shape
+    log_prob, mismatches, edit_distance = _score_ungapped(
+        arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
+
+    # best candidate: lowest mismatch count ("smith-waterman score" of the
+    # ungapped path), then highest log-prob (TemplateBuilder::getBestFragment)
+    order_key = jnp.where(cand_valid,
+                          mismatches.astype(jnp.float32) * jnp.float32(1e6) - log_prob,
+                          jnp.float32(jnp.inf))
+    best = jnp.argmin(order_key, axis=1)                         # [B]
+    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+
+    aligned = jnp.any(cand_valid, axis=1)
+    best_lp = take(log_prob)
+    probs = jnp.where(cand_valid, jnp.exp(log_prob), 0.0)
+    others_sum = jnp.sum(probs, axis=1) - jnp.where(aligned, jnp.exp(best_lp), 0.0)
+
+    rog = quality.rest_of_genome_correction(int(arrays.genome.shape[0]), read_len)
+    mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
+    mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
+    mapq = jnp.where(aligned, mapq, 0)
+
+    return {
+        "aligned": aligned,
+        "start": jnp.where(aligned, take(cand_start), -1),
+        "reverse": take(cand_orient) == 1,
+        "mapq": mapq,
+        "mismatches": take(mismatches),
+        "edit_distance": take(edit_distance),
+        "log_prob": best_lp,
+        "num_candidates": diag["num_candidates"],
+        "candidate_overflow": diag["candidate_overflow"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def align_batch_jit(arrays: IndexArrays, bases, quals, cfg: AlignConfig):
+    return align_batch(arrays, bases, quals, cfg)

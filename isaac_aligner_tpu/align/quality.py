@@ -1,0 +1,73 @@
+"""Alignment-quality math: per-base log-probability tables and MAPQ.
+
+Reference parity targets:
+- log-prob lookup tables: reference src/c++/lib/alignment/Quality.cpp
+  (getLogMatchLookup / getLogMismatchLookup).  Q0 is treated as Q1 in BOTH
+  tables ("Ns in data come in Q0 from Bcl"), and — exactly as in the
+  reference — logMismatchLookup[0] equals log(1 - 10^-0.1), i.e. the
+  MATCH probability at Q1, not a mismatch probability.
+- match definition: reference src/c++/include/alignment/Alignment.hh:44
+  isMatch(read, ref) = read=='n' || (read==ref && ref!='N'): an N read
+  base *matches* for probability purposes, while edit distance counts it.
+- rest-of-genome correction 2*G/4^L: reference
+  src/c++/include/alignment/Quality.hh (restOfGenomeCorrection).
+- MAPQ: floor(-10*log10(pNeighborhood / (pNeighborhood + pBest)))
+  (reference TemplateBuilder::updateMappingScore,
+  src/c++/lib/alignment/TemplateBuilder.cpp:233-286).
+
+Tables are float32 on device; the reference uses float64.  The absolute
+log-prob scale here (~1e-3..1e1 per base over <=250 bases) keeps float32
+error around 1e-4, well inside the reference's own ISAAC_LP_EQUALS
+epsilon (1e-7 is the tie-break epsilon, but a MAPQ unit is ~0.1 in log10
+space), so floor() boundaries move only for near-exact ties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+MAX_Q = 100
+
+
+def _log_match_table() -> np.ndarray:
+    t = np.empty(MAX_Q, dtype=np.float64)
+    t[0] = np.log(1.0 - 10.0 ** (-0.1))
+    for q in range(1, MAX_Q):
+        t[q] = np.log(1.0 - 10.0 ** (-q / 10.0))
+    return t
+
+
+def _log_mismatch_table() -> np.ndarray:
+    t = np.empty(MAX_Q, dtype=np.float64)
+    t[0] = np.log(1.0 - 10.0 ** (-0.1))  # sic — see module docstring
+    for q in range(1, MAX_Q):
+        t[q] = np.log(10.0 ** (-q / 10.0) / 3.0)
+    return t
+
+
+LOG_MATCH_F64 = _log_match_table()
+LOG_MISMATCH_F64 = _log_mismatch_table()
+
+LOG_MATCH = jnp.asarray(LOG_MATCH_F64, dtype=jnp.float32)
+LOG_MISMATCH = jnp.asarray(LOG_MISMATCH_F64, dtype=jnp.float32)
+
+
+def rest_of_genome_correction(genome_length: int, read_length: int) -> float:
+    """P(best alignment is elsewhere in the genome) prior: 2*G/4^L."""
+    return float(np.exp(np.log(2.0) + np.log(float(genome_length))
+                        - np.log(4.0) * float(read_length)))
+
+
+def mapping_quality(best_log_prob, others_prob_sum, rog_correction):
+    """MAPQ from the best candidate's probability vs the neighborhood.
+
+    All args broadcastable jnp arrays; returns float (caller floors/casts).
+    neighborhood = rog + sum(exp(lp_i) for non-best candidates)
+    mapq = -10*log10(neighborhood / (neighborhood + exp(best_lp)))
+    """
+    neighborhood = rog_correction + others_prob_sum
+    p_best = jnp.exp(best_log_prob)
+    frac = neighborhood / (neighborhood + p_best)
+    # frac in (0,1]; guard the log for frac==0 (cannot happen with rog>0)
+    return -10.0 * jnp.log10(jnp.maximum(frac, 1e-38))

@@ -1,0 +1,195 @@
+"""Sorted k-mer seed index: build (host, numpy) and device layout.
+
+Reference analog: ReferenceSorter (src/c++/lib/reference/ReferenceSorter.cpp:77-260)
+and the on-disk ReferenceKmer record (src/c++/include/reference/ReferenceKmer.hh:36-60).
+
+TPU-first redesign decisions (NOT a translation):
+
+- The index is a flat, fully sorted array of (k-mer, position) records held in
+  device HBM as three int32 planes — `key_hi`, `key_lo` (bias-encoded so that
+  *signed* int32 comparison matches unsigned 2-bit lexicographic k-mer order;
+  TPUs have no fast unsigned compare) and `pos` (flat global genome position).
+  Seed lookup is a vectorized branchless binary search (ops/search.py), not the
+  reference's disk-streamed merge-join.
+- Only FORWARD-strand genome k-mers are stored; reads contribute both forward
+  and reverse-complement seeds at query time, which covers both strands with
+  half the index of a fwd+rc store.
+- K-mers occurring more often than `repeat_threshold` collapse into one record
+  with position sentinel TOO_MANY_POS, mirroring the reference's TooManyMatch
+  (src/c++/include/reference/ReferencePosition.hh:55-75) so the matcher can
+  distinguish "repeat-suppressed" from "absent".
+- Supported seed lengths: 16 (key_lo == 0) and 32. Positions are flat int32,
+  so a single index shard addresses < 2^31 bases — whole-genome scale runs
+  shard the k-mer space across a device mesh (parallel/), each shard holding
+  a < 2 Gbase view, exactly the reference's mask-file sharding axis
+  (src/make/reference/SortReference.mk:54-84) mapped onto HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import dna
+from ..io.fasta import ContigMeta, Genome
+
+#: position sentinel for repeat-collapsed k-mers
+TOO_MANY_POS = np.int32(-1)
+
+_BIAS = np.uint32(1 << 31)
+
+
+def bias_u32_to_i32(x: np.ndarray) -> np.ndarray:
+    """Map uint32 onto int32 preserving order: u < v  <=>  bias(u) < bias(v)."""
+    return (np.asarray(x, dtype=np.uint32) ^ _BIAS).view(np.int32)
+
+
+def unbias_i32_to_u32(x: np.ndarray) -> np.ndarray:
+    return (np.asarray(x, dtype=np.int32).view(np.uint32) ^ _BIAS)
+
+
+@dataclasses.dataclass
+class SeedIndex:
+    """Host-side sorted seed index; `device_arrays()` yields the HBM layout."""
+
+    seed_len: int
+    repeat_threshold: int
+    genome: Genome
+    key_hi: np.ndarray        # int32 [Nk] biased, sorted lexicographically with key_lo
+    key_lo: np.ndarray        # int32 [Nk] biased
+    pos: np.ndarray           # int32 [Nk] global genome position, or TOO_MANY_POS
+    total_kmers: int          # k-mer instances before repeat collapse
+    collapsed_kmers: int      # distinct k-mers collapsed as too-repetitive
+
+    @property
+    def num_records(self) -> int:
+        return int(self.key_hi.shape[0])
+
+    # -- persistence (JSON metadata + raw npy, replacing sorted-reference.xml,
+    #    reference: src/c++/lib/reference/SortedReferenceXml.cpp) ------------
+
+    def save(self, directory: str | Path) -> None:
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        np.save(d / "key_hi.npy", self.key_hi)
+        np.save(d / "key_lo.npy", self.key_lo)
+        np.save(d / "pos.npy", self.pos)
+        np.save(d / "genome.npy", self.genome.codes)
+        meta = {
+            "format_version": 1,
+            "seed_len": self.seed_len,
+            "repeat_threshold": self.repeat_threshold,
+            "total_kmers": self.total_kmers,
+            "collapsed_kmers": self.collapsed_kmers,
+            "contigs": [
+                {"index": c.index, "name": c.name, "offset": c.offset,
+                 "length": c.length, "md5": c.md5}
+                for c in self.genome.contigs
+            ],
+        }
+        (d / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
+
+    @staticmethod
+    def load(directory: str | Path) -> "SeedIndex":
+        d = Path(directory)
+        meta = json.loads((d / "sorted-reference.json").read_text())
+        contigs = [ContigMeta(**c) for c in meta["contigs"]]
+        genome = Genome(codes=np.load(d / "genome.npy"), contigs=contigs)
+        return SeedIndex(
+            seed_len=meta["seed_len"],
+            repeat_threshold=meta["repeat_threshold"],
+            genome=genome,
+            key_hi=np.load(d / "key_hi.npy"),
+            key_lo=np.load(d / "key_lo.npy"),
+            pos=np.load(d / "pos.npy"),
+            total_kmers=meta["total_kmers"],
+            collapsed_kmers=meta["collapsed_kmers"],
+        )
+
+
+def _rolling_kmers_u32(codes: np.ndarray, start: int, k: int, n_windows: int) -> np.ndarray:
+    """value[p] = 2-bit big-endian pack of codes[p+start : p+start+k], vectorized."""
+    v = np.zeros(n_windows, dtype=np.uint32)
+    for j in range(k):
+        v = (v << np.uint32(2)) | codes[start + j : start + j + n_windows].astype(np.uint32)
+    return v
+
+
+def build_index(
+    genome: Genome,
+    seed_len: int = 32,
+    repeat_threshold: int = 1000,
+) -> SeedIndex:
+    """Build the sorted (k-mer, position) index over all contigs.
+
+    Vectorized host build. Excluded windows: any containing an ambiguous
+    base, and any crossing a contig boundary (reference excludes these the
+    same way by streaming per-contig).
+    """
+    if seed_len not in (16, 32):
+        raise ValueError("seed_len must be 16 or 32")
+    codes = genome.codes
+    g = codes.shape[0]
+    if g >= 2**31:
+        raise ValueError("single index shard addresses < 2^31 bases; shard the genome")
+    n_windows = g - seed_len + 1
+    if n_windows <= 0:
+        raise ValueError("genome shorter than seed length")
+
+    # window validity: no N, single contig
+    is_n = (codes >= dna.NUM_BASES).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(is_n)])
+    n_in_window = cs[seed_len:] - cs[:-seed_len]          # [n_windows]
+    valid = n_in_window == 0
+    for c in genome.contigs:
+        # windows starting in the last seed_len-1 bases of a contig cross into
+        # the next contig (or run off the end) — drop them
+        tail_start = max(c.offset, c.end - seed_len + 1)
+        valid[tail_start : min(c.end, n_windows)] = False
+
+    positions = np.nonzero(valid)[0].astype(np.int32)
+
+    hi = _rolling_kmers_u32(codes, 0, 16, n_windows)[positions]
+    if seed_len == 32:
+        lo = _rolling_kmers_u32(codes, 16, 16, n_windows)[positions]
+    else:
+        lo = np.zeros_like(hi)
+
+    order = np.lexsort((positions, lo, hi))
+    hi, lo, positions = hi[order], lo[order], positions[order]
+    total = int(hi.shape[0])
+
+    # repeat collapse: group identical k-mers, collapse groups > threshold
+    if total:
+        new_group = np.empty(total, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        group_id = np.cumsum(new_group) - 1
+        counts = np.bincount(group_id)
+        too_many = counts > repeat_threshold              # per group
+        keep = ~too_many[group_id]
+        # one sentinel record per collapsed group (at the group head)
+        sentinel = new_group & too_many[group_id]
+        out_mask = keep | sentinel
+        out_hi, out_lo = hi[out_mask], lo[out_mask]
+        out_pos = np.where(sentinel[out_mask], TOO_MANY_POS, positions[out_mask]).astype(np.int32)
+        collapsed = int(too_many.sum())
+    else:
+        out_hi = hi
+        out_lo = lo
+        out_pos = positions
+        collapsed = 0
+
+    return SeedIndex(
+        seed_len=seed_len,
+        repeat_threshold=repeat_threshold,
+        genome=genome,
+        key_hi=bias_u32_to_i32(out_hi),
+        key_lo=bias_u32_to_i32(out_lo),
+        pos=out_pos,
+        total_kmers=total,
+        collapsed_kmers=collapsed,
+    )

@@ -1,0 +1,72 @@
+"""Vectorized branchless binary search over the sorted (hi, lo) key planes.
+
+This replaces the reference's disk-streamed sorted merge-join
+(ExactMaskMatcher, src/c++/lib/alignment/matchFinder/ExactMaskMatcher.cpp:83-210)
+with the TPU-native formulation: every query seed binary-searches the
+HBM-resident sorted index with a fixed number of gather steps
+(ceil(log2(N))+1 probes), fully data-parallel across all seeds of a batch.
+
+Composite 64-bit keys are held as two int32 planes (TPUs have no fast
+int64) and compared lexicographically.  The power-of-two stepping search
+is branch-free: each step is one gather + compare + select over the whole
+query vector, so the loop is log-depth with full VPU lanes busy.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _lex_lt(h, l, qh, ql):
+    return (h < qh) | ((h == qh) & (l < ql))
+
+
+def _lex_le(h, l, qh, ql):
+    return (h < qh) | ((h == qh) & (l <= ql))
+
+
+def pad_pow2(n: int) -> int:
+    """Smallest power of two >= max(n, 1)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _count_prefix(key_hi, key_lo, pred, out_shape):
+    """Number of leading records satisfying `pred` (pred true on a prefix).
+
+    Branch-free stepping: step sizes n, n/2, ..., 1 guarantee any answer
+    in [0, n] is reachable; probes are clamped in-range and guarded so
+    out-of-range steps never fire.
+    """
+    n_pad = key_hi.shape[0]
+    assert n_pad & (n_pad - 1) == 0, "key planes must be padded to a power of two"
+    pos = jnp.zeros(out_shape, jnp.int32)
+    step = n_pad
+    while step >= 1:
+        probe = jnp.minimum(pos + step - 1, n_pad - 1)
+        ok = (pos + step <= n_pad) & pred(key_hi[probe], key_lo[probe])
+        pos = jnp.where(ok, pos + step, pos)
+        step //= 2
+    return pos
+
+
+def sorted_range(key_hi, key_lo, q_hi, q_lo, n_real):
+    """Find the match range of each query key in the sorted key planes.
+
+    `key_hi`/`key_lo` must be padded to a power-of-two length with
+    I32_MAX sentinels.  `n_real` is the count of real records; the
+    returned range is clamped to it so sentinel padding can never be
+    reported as a match (relevant for the all-T k-mer whose biased key
+    equals the sentinel).
+
+    Returns (begin, count) int32 arrays with the query shape.
+    """
+    lower = _count_prefix(key_hi, key_lo, lambda h, l: _lex_lt(h, l, q_hi, q_lo), jnp.shape(q_hi))
+    upper = _count_prefix(key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), jnp.shape(q_hi))
+    lower = jnp.minimum(lower, n_real)
+    upper = jnp.minimum(upper, n_real)
+    return lower, upper - lower
