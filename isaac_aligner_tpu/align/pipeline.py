@@ -61,6 +61,10 @@ class AlignConfig:
     repeat_threshold: int = 10
     max_candidates: int = 32
     mapq_cap: int = 60
+    # shadow rescue acceptance: max mismatch fraction of the rescued mate
+    # (the reference gates rescue via hash-hit heuristics + later quality
+    # filters, ShadowAligner.cpp; a fraction cap is the tensorized stand-in)
+    rescue_max_mismatch_frac: float = 0.25
 
 
 def prepare_index(index: SeedIndex) -> IndexArrays:
@@ -229,6 +233,34 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     neg_inf = jnp.float32(-jnp.inf)
     log_prob = jnp.where(cand_valid, log_prob, neg_inf)
     return log_prob, mismatches, edit_distance
+
+
+def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
+    """Stages A+B+C for one read end: deduped, scored candidate lists.
+
+    Returns the per-end dict consumed by the pair resolver
+    (align/pairs.py): start, orient, valid, cid, log_prob, sw_score,
+    edit, obs_len — all [B, C].
+    """
+    b, read_len = bases.shape
+    cand_start, cand_orient, cand_valid, diag = _gather_candidates(
+        arrays, cfg, bases, quals)
+    log_prob, mismatches, edit_distance = _score_ungapped(
+        arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
+    cid = jnp.searchsorted(arrays.contig_starts, cand_start, side="right") - 1
+    cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
+    return {
+        "start": cand_start,
+        "orient": cand_orient,
+        "valid": cand_valid,
+        "cid": jnp.where(cand_valid, cid, -1),
+        "log_prob": log_prob,
+        "sw_score": mismatches,          # ungapped SW score == mismatch count
+        "mismatches": mismatches,
+        "edit": edit_distance,
+        "obs_len": jnp.full(cand_start.shape, read_len, jnp.int32),
+        "num_candidates": diag["num_candidates"],
+    }
 
 
 def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,

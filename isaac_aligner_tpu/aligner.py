@@ -7,12 +7,16 @@ build/FragmentAccessorBamAdapter.hh field mapping)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import numpy as np
 
 from . import dna
+from .align import tls as tls_mod
+from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
-    default_seed_offsets
+    default_seed_offsets, score_end
 from .index.build import SeedIndex
 from .io import sam
 from .io.fastq import ReadBatch
@@ -76,3 +80,269 @@ class Aligner:
                 )
             records.append(rec)
         return records
+
+
+# ---------------------------------------------------------------------------
+# Paired-end driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tls"))
+def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls):
+    return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ends_summary_jit(arrays, b1, q1, b2, q2, cfg):
+    """Slot-0 candidate summaries of both ends for host-side TLS learning."""
+    out = {}
+    for suffix, (b, q) in (("_1", (b1, q1)), ("_2", (b2, q2))):
+        end = score_end(arrays, cfg, b, q)
+        out["n" + suffix] = end["num_candidates"]
+        out["start" + suffix] = end["start"][:, 0]
+        out["rev" + suffix] = end["orient"][:, 0] == 1
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tls", "orphan_read_index", "read_lengths",
+                              "window"))
+def _rescue_jit(arrays, cfg, tls, orphan_read_index, read_lengths,
+                orphan_start, orphan_rev, shadow_bases, shadow_quals, window):
+    return rescue_shadows(arrays, cfg, tls, orphan_read_index, read_lengths,
+                          orphan_start, orphan_rev, shadow_bases, shadow_quals,
+                          window)
+
+
+@dataclasses.dataclass
+class PairedAligner:
+    """Paired-end alignment with TLS learning and shadow rescue.
+
+    Reference analog: MatchSelector::determineTemplateLength +
+    TemplateBuilder::buildTemplate (SURVEY.md §3.3).  Workflow:
+    `learn_tls()` over representative batches first (or set `tls`
+    directly), then `align_to_sam(batch1, batch2)`.
+    """
+
+    index: SeedIndex
+    arrays: IndexArrays
+    cfg: AlignConfig
+    tls: TlsStatic = dataclasses.field(default_factory=TlsStatic)
+    rescue_capacity: int = 512      # rows per rescue kernel call
+    max_rescue_window: int = 4096   # skip rescue when TLS window exceeds this
+
+    @staticmethod
+    def create(index: SeedIndex, read_len: int | None = None,
+               cfg: AlignConfig | None = None) -> "PairedAligner":
+        if cfg is None:
+            offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
+            cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
+        return PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg)
+
+    # -- TLS learning -------------------------------------------------------
+
+    def learn_tls(self, batches: list[tuple[ReadBatch, ReadBatch]]) -> TlsStatic:
+        """Learn template-length statistics from uniquely-aligning pairs
+        (TemplateLengthDistribution::addTemplate semantics)."""
+        learner = tls_mod.TemplateLengthLearner()
+        offsets = self.index.genome.contig_offsets
+        for b1, b2 in batches:
+            out = _ends_summary_jit(self.arrays, b1.bases, b1.quals,
+                                    b2.bases, b2.quals, self.cfg)
+            n1 = np.asarray(out["n_1"]); n2 = np.asarray(out["n_2"])
+            s1 = np.asarray(out["start_1"]); s2 = np.asarray(out["start_2"])
+            r1 = np.asarray(out["rev_1"]); r2 = np.asarray(out["rev_2"])
+            cid1 = np.searchsorted(offsets, s1, side="right") - 1
+            cid2 = np.searchsorted(offsets, s2, side="right") - 1
+            use = (n1 == 1) & (n2 == 1) & (cid1 == cid2)
+            learner.add_batch(s1, r1, b1.read_len, s2, r2, b2.read_len, use)
+        stats = learner.finalize()
+        self.tls = TlsStatic.from_stats(stats)
+        return self.tls
+
+    # -- alignment ----------------------------------------------------------
+
+    def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
+        out = _paired_jit(self.arrays, b1.bases, b1.quals, b2.bases, b2.quals,
+                          self.cfg, self.tls)
+        # np.array (copy) — rescue merging mutates these in place
+        res = {k: np.array(v) for k, v in out.items()}
+        self._apply_rescue(res, b1, b2)
+        return res
+
+    def _rescue_window(self) -> int:
+        w = self.tls.mate_max - self.tls.mate_min + 1
+        return -(-w // 128) * 128  # round up to 128
+
+    def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch) -> None:
+        """Run shadow rescue for rows where exactly one end aligned and
+        merge results back into the batch result dict (host side of
+        TemplateBuilder::rescueShadow)."""
+        window = self._rescue_window()
+        if window > self.max_rescue_window:
+            return
+        read_lengths = (b1.read_len, b2.read_len)
+        for shadow_end, orphan_end in ((1, 2), (2, 1)):
+            rows = np.nonzero(res[f"shadow_{shadow_end}"])[0]
+            if rows.size == 0:
+                continue
+            shadow_batch = b1 if shadow_end == 1 else b2
+            cap = self.rescue_capacity
+            for lo in range(0, rows.size, cap):
+                chunk = rows[lo : lo + cap]
+                pad = cap - chunk.size
+                rr = np.concatenate([chunk, np.zeros(pad, np.int64)])
+                o_start = res[f"start_{orphan_end}"][rr].astype(np.int32)
+                o_rev = res[f"reverse_{orphan_end}"][rr]
+                sb = shadow_batch.bases[rr]
+                sq = shadow_batch.quals[rr]
+                out = _rescue_jit(self.arrays, self.cfg, self.tls,
+                                  orphan_end - 1, read_lengths,
+                                  o_start, o_rev, sb, sq, window)
+                out = {k: np.asarray(v)[: chunk.size] for k, v in out.items()}
+                self._merge_rescue(res, chunk, shadow_end, orphan_end, out,
+                                   read_lengths)
+
+    def _merge_rescue(self, res, rows, shadow_end, orphan_end, out,
+                      read_lengths) -> None:
+        found = out["found"]
+        hit = rows[found]
+        if hit.size == 0:
+            return
+        se = f"_{shadow_end}"
+        res["aligned" + se][hit] = True
+        res["start" + se][hit] = out["start"][found]
+        res["reverse" + se][hit] = out["reverse"][found]
+        res["mismatches" + se][hit] = out["mismatches"][found]
+        res["edit_distance" + se][hit] = out["edit_distance"][found]
+        res["log_prob" + se][hit] = out["log_prob"][found]
+        res["shadow" + se][hit] = False
+        # rescued-pair scoring (TemplateBuilder rescued-template scoring):
+        # neighborhood = all window offsets except the winner + rog
+        from .align import quality as q_mod
+        g = self.index.genome.total_length
+        rog_t = q_mod.rest_of_genome_correction(g, sum(read_lengths))
+        p_best = np.exp(out["log_prob"][found].astype(np.float64))
+        others = np.maximum(out["total_prob"][found].astype(np.float64) - p_best,
+                            0.0) + rog_t
+        score = np.floor(-10.0 * np.log10(others / (others + p_best)))
+        score = np.clip(score, 0, self.cfg.mapq_cap).astype(np.int64)
+        res["frag_score" + se][hit] = score
+        res["template_score"][hit] = score
+        # pair geometry
+        s = self.tls.to_stats()
+        p1 = res["start_1"][hit]; p2 = res["start_2"][hit]
+        r1 = res["reverse_1"][hit]; r2 = res["reverse_2"][hit]
+        model = tls_mod.alignment_model(p1, r1, p2, r2)
+        length = tls_mod.template_length(p1, read_lengths[0], p2, read_lengths[1])
+        res["pair_resolved"][hit] = True
+        res["proper_pair"][hit] = np.asarray(s.nominal(model, length))
+        res["template_length"][hit] = length
+
+    # -- SAM ----------------------------------------------------------------
+
+    def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
+                     phred_offset: int = 33) -> list[sam.SamRecord]:
+        res = self.align_batch_arrays(b1, b2)
+        genome = self.index.genome
+        records: list[sam.SamRecord] = []
+        for i in range(b1.count):
+            name = b1.names[i]
+            if name.startswith("__pad"):
+                continue
+            recs = _pair_records(genome, res, i, name, b1, b2, phred_offset,
+                                 self.cfg.mapq_cap)
+            records.extend(recs)
+        return records
+
+
+def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
+    """Build the two SAM records of one pair (FragmentAccessorBamAdapter
+    field mapping, including the proper-pair MAPQ max rule at :250)."""
+    out = []
+    ends = []
+    for e, batch in ((1, b1), (2, b2)):
+        length = int(batch.lengths[i])
+        bases = batch.bases[i, :length]
+        quals = batch.quals[i, :length]
+        aligned = bool(res[f"aligned_{e}"][i])
+        reverse = bool(res[f"reverse_{e}"][i]) if aligned else False
+        ends.append({
+            "aligned": aligned, "reverse": reverse, "length": length,
+            "start": int(res[f"start_{e}"][i]) if aligned else -1,
+            "frag_score": int(res[f"frag_score_{e}"][i]) if aligned else 0,
+            "nm": int(res[f"edit_distance_{e}"][i]) if aligned else 0,
+            "bases": bases, "quals": quals,
+        })
+    proper = bool(res["proper_pair"][i]) and ends[0]["aligned"] and ends[1]["aligned"]
+    tscore = int(res["template_score"][i])
+    tlen_mag = int(res["template_length"][i])
+
+    for e_idx, (e, batch) in enumerate(((1, b1), (2, b2))):
+        me = ends[e_idx]
+        mate = ends[1 - e_idx]
+        flag = sam.FLAG_PAIRED | (sam.FLAG_READ1 if e == 1 else sam.FLAG_READ2)
+        if proper:
+            flag |= sam.FLAG_PROPER_PAIR
+        if not me["aligned"]:
+            flag |= sam.FLAG_UNMAPPED
+        if not mate["aligned"]:
+            flag |= sam.FLAG_MATE_UNMAPPED
+        if me["aligned"] and me["reverse"]:
+            flag |= sam.FLAG_REVERSE
+        if mate["aligned"] and mate["reverse"]:
+            flag |= sam.FLAG_MATE_REVERSE
+
+        if me["aligned"] and me["reverse"]:
+            seq = dna.decode(dna.revcomp(me["bases"]))
+            qual = "".join(chr(int(q) + phred_offset) for q in me["quals"][::-1])
+        else:
+            seq = dna.decode(me["bases"])
+            qual = "".join(chr(int(q) + phred_offset) for q in me["quals"])
+
+        # placement: unmapped reads sit at the mate's position (reference
+        # stores shadows next to orphans for sorting, BinSorter semantics)
+        if me["aligned"]:
+            rname, local = genome.to_local(me["start"])
+            pos = local + 1
+        elif mate["aligned"]:
+            rname, local = genome.to_local(mate["start"])
+            pos = local + 1
+        else:
+            rname, pos = "*", 0
+
+        if mate["aligned"]:
+            mate_rname, mate_local = genome.to_local(mate["start"])
+            rnext = "=" if rname == mate_rname else mate_rname
+            pnext = mate_local + 1
+        elif me["aligned"]:
+            rnext, pnext = "=", pos
+        else:
+            rnext, pnext = "*", 0
+
+        tlen = 0
+        if me["aligned"] and mate["aligned"] and tlen_mag:
+            if me["start"] < mate["start"] or (me["start"] == mate["start"] and e == 1):
+                tlen = tlen_mag
+            else:
+                tlen = -tlen_mag
+
+        if me["aligned"]:
+            if proper and tscore >= 0:
+                mapq = min(mapq_cap, max(me["frag_score"], tscore))
+            else:
+                mapq = min(mapq_cap, me["frag_score"])
+        else:
+            mapq = 0
+
+        rec = sam.SamRecord(
+            qname=name, flag=flag, rname=rname, pos=pos, mapq=mapq,
+            cigar=(f"{me['length']}M" if me["aligned"] else "*"),
+            rnext=rnext, pnext=pnext, tlen=tlen, seq=seq, qual=qual,
+        )
+        if me["aligned"]:
+            rec.set_tag("NM", "i", me["nm"])
+            rec.set_tag("SM", "i", me["frag_score"])
+            if proper and tscore >= 0:
+                rec.set_tag("AS", "i", tscore)
+        out.append(rec)
+    return out
