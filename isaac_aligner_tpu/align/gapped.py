@@ -1,0 +1,205 @@
+"""Gapped-alignment polish: re-align poor ungapped hits with banded SW.
+
+Reference analog: GappedAligner (src/c++/lib/alignment/fragmentBuilder/
+GappedAligner.cpp:167-253) — candidates whose ungapped alignment shows
+more than `mismatchesCutoff` (5) mismatches are re-aligned with the
+banded Smith-Waterman over a window of read_len + 15 reference bases
+(flanks split 7/8 via getFlanks), and the gapped result replaces the
+ungapped one when its normalized SW score is better (reference
+FragmentBuilder update rule).  The reference's 7-mer-hash
+`makesSenseToGapAlign` pre-filter (GappedAligner.cpp:59-165) exists to
+save CPU; the TPU kernel is cheap enough to run on every triggered row,
+which is strictly more sensitive.
+
+This stage runs as a host-orchestrated post-pass over the batch result
+dict (same pattern as shadow rescue): trigger rows are compacted, padded
+to the kernel block, scored on device, and tracebacks/CIGARs are built
+host-side in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.build import SeedIndex
+from ..ops import sw
+from . import quality
+from .pipeline import AlignConfig
+
+#: ungapped mismatch count that triggers gap alignment
+#: (BandedSmithWaterman.hh:94 mismatchesCutoff)
+MISMATCHES_CUTOFF = 5
+
+# normalized gap scores (AlignerBase.cpp:38-41) for the bwa preset
+# 0:-3:-11:-4:-20 (AlignOptions.cpp:55): mismatch 3, open 11, extend 4,
+# extend cap 20
+NORM_MISMATCH = 3
+NORM_OPEN = 11
+NORM_EXTEND = 4
+NORM_MAX_EXTEND = 20
+
+
+def _flanks(local_pos: int, read_len: int, contig_len: int) -> tuple[int, int] | None:
+    """Left/right reference flanks summing to BAND-1 (getFlanks)."""
+    total = sw.BAND - 1
+    left = min(7, local_pos)
+    right = total - left
+    if local_pos + read_len + right > contig_len:
+        right = contig_len - local_pos - read_len
+        left = total - right
+        if right < 0 or left > local_pos:
+            return None
+    return left, right
+
+
+def cigar_stats(cigar: list[tuple[int, str]]):
+    """(observed_ref_length, gap_bases, gap_count, normalized_gap_score)."""
+    obs = 0
+    gap_bases = 0
+    gap_count = 0
+    norm = 0
+    for length, op in cigar:
+        if op in ("M", "D"):
+            obs += length if op in ("M", "D") else 0
+        if op in ("I", "D"):
+            gap_bases += length
+            gap_count += 1
+            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+    return obs, gap_bases, gap_count, norm
+
+
+def cigar_to_str(cigar: list[tuple[int, str]]) -> str:
+    return "".join(f"{n}{op}" for n, op in cigar)
+
+
+def rescore_cigar(genome_codes, start, seq, quals, cigar):
+    """Reference updateFragmentCigar over an explicit CIGAR (host, f64).
+
+    Returns (log_prob, scoring_mismatches, edit_distance, norm_score).
+    """
+    lp = 0.0
+    nmm = 0
+    edit = 0
+    norm = 0
+    qpos = 0
+    rpos = int(start)
+    for length, op in cigar:
+        if op == "M":
+            for _ in range(length):
+                s = int(seq[qpos]); r = int(genome_codes[rpos]); q = int(quals[qpos])
+                is_match = (s == 4) or (s == r and r != 4)
+                if is_match:
+                    lp += quality.LOG_MATCH_F64[q]
+                else:
+                    lp += quality.LOG_MISMATCH_F64[q]
+                    nmm += 1
+                    norm += NORM_MISMATCH
+                if s != r or s == 4:
+                    edit += 1
+                qpos += 1
+                rpos += 1
+        elif op == "I":
+            qpos += length
+            edit += length
+            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+        elif op == "D":
+            rpos += length
+            edit += length
+            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+        elif op == "S":
+            for _ in range(length):
+                lp += quality.LOG_MATCH_F64[int(quals[qpos])]
+                qpos += 1
+    return lp, nmm, edit, norm
+
+
+def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
+                  bases: np.ndarray, suffix: str = "",
+                  trigger: int = MISMATCHES_CUTOFF,
+                  quals: np.ndarray | None = None,
+                  block: int = 512) -> None:
+    """Re-align triggered rows with banded SW; mutate `res` in place.
+
+    res must carry (with `suffix`): aligned, start, reverse, mismatches,
+    edit_distance, log_prob.  Adds/updates `cigar{suffix}` (list of
+    per-row CIGAR strings or None for default full-M).
+    """
+    s = suffix
+    genome = index.genome
+    aligned = res["aligned" + s]
+    nmm = res["mismatches" + s]
+    rows = np.nonzero(aligned & (nmm > trigger))[0]
+    key = "cigar" + s
+    if key not in res:
+        res[key] = [None] * aligned.shape[0]
+    if rows.size == 0:
+        return
+
+    read_len = bases.shape[1]
+    g_codes = genome.codes
+    queries = []
+    dbs = []
+    metas = []
+    for r in rows:
+        start = int(res["start" + s][r])
+        contig = genome.contig_of(start)
+        local = start - contig.offset
+        fl = _flanks(local, read_len, contig.length)
+        if fl is None:
+            continue
+        left, right = fl
+        win_start = start - left
+        db = g_codes[win_start : win_start + read_len + sw.BAND - 1]
+        if res["reverse" + s][r]:
+            q = bases[r][::-1]
+            q = np.where(q < 4, 3 - q, q)
+        else:
+            q = bases[r]
+        queries.append(q.astype(np.int32))
+        dbs.append(db.astype(np.int32))
+        metas.append((int(r), win_start, left))
+    if not metas:
+        return
+
+    if quals is None:
+        quals = np.full_like(bases, 30)
+
+    for lo in range(0, len(metas), block):
+        chunk = slice(lo, min(lo + block, len(metas)))
+        q_arr = np.stack(queries[chunk.start : chunk.stop])
+        db_arr = np.stack(dbs[chunk.start : chunk.stop])
+        gfin, tb = sw.banded_sw(q_arr, db_arr)
+        gfin = np.asarray(gfin)
+        tb = np.asarray(tb)
+        for k, (r, win_start, left) in enumerate(metas[chunk]):
+            exit_d = int(np.argmax(gfin[k]))
+            ops, first_db = sw.traceback(tb[k], exit_d)
+            cigar = sw.ops_to_cigar(ops)
+            if all(op == "M" for _, op in cigar):
+                continue  # no gap found; keep ungapped
+            new_start = win_start + first_db
+            rq = quals[r][::-1] if res["reverse" + s][r] else quals[r]
+            seq = queries[lo + k]
+            lp, nmm_g, edit_g, norm_g = rescore_cigar(
+                g_codes, new_start, seq, rq, cigar)
+            norm_u = int(res["mismatches" + s][r]) * NORM_MISMATCH
+            # FragmentBuilder acceptance: strictly better normalized score,
+            # or equal score with higher log probability
+            if norm_g < norm_u or (norm_g == norm_u and lp > res["log_prob" + s][r]):
+                res["start" + s][r] = new_start
+                res["mismatches" + s][r] = nmm_g
+                res["edit_distance" + s][r] = edit_g
+                res["log_prob" + s][r] = lp
+                res[key][r] = cigar_to_str(cigar)
+                # re-derive the mapping score with the improved best lp
+                # against the (ungapped) neighborhood mass
+                if "others_sum" + s in res:
+                    rog = quality.rest_of_genome_correction(
+                        genome.total_length, read_len)
+                    nb = float(res["others_sum" + s][r]) + rog
+                    score = int(np.floor(-10.0 * np.log10(
+                        nb / (nb + np.exp(lp)))))
+                    if "mapq" + s in res:
+                        res["mapq" + s][r] = min(score, cfg.mapq_cap)
+                    if "frag_score" + s in res:
+                        res["frag_score" + s][r] = score

@@ -197,7 +197,11 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
     def end_out(end, idx, frag_score, suffix):
         take = lambda x: jnp.take_along_axis(x, idx[:, None], axis=1)[:, 0]
         aligned = jnp.any(end["valid"], axis=1)
+        probs = jnp.where(end["valid"], jnp.exp(end["log_prob"]), 0.0)
+        others = jnp.maximum(jnp.sum(probs, axis=1)
+                             - jnp.exp(take(end["log_prob"])), 0.0)
         return {
+            f"others_sum{suffix}": others,
             f"aligned{suffix}": aligned,
             f"start{suffix}": jnp.where(aligned, take(end["start"]), -1),
             f"reverse{suffix}": take(end["orient"]) == 1,

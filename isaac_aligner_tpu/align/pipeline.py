@@ -317,6 +317,9 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         "mismatches": take(mismatches),
         "edit_distance": take(edit_distance),
         "log_prob": best_lp,
+        # neighborhood probability mass (non-best candidates) — lets the
+        # host re-derive MAPQ after gapped polish updates the best lp
+        "others_sum": others_sum,
         "num_candidates": diag["num_candidates"],
         "candidate_overflow": diag["candidate_overflow"],
     }

@@ -36,10 +36,16 @@ class Aligner:
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         return Aligner(index=index, arrays=prepare_index(index), cfg=cfg)
 
-    def align_batch_arrays(self, batch: ReadBatch) -> dict[str, np.ndarray]:
+    def align_batch_arrays(self, batch: ReadBatch,
+                           gapped: bool = True) -> dict[str, np.ndarray]:
         """Run the device pipeline; returns host numpy result arrays."""
         out = align_batch_jit(self.arrays, batch.bases, batch.quals, self.cfg)
-        return {k: np.asarray(v) for k, v in out.items()}
+        res = {k: np.array(v) for k, v in out.items()}
+        if gapped:
+            from .align.gapped import polish_gapped
+            polish_gapped(self.index, self.cfg, res, batch.bases,
+                          quals=batch.quals)
+        return res
 
     def align_to_sam(self, batch: ReadBatch, phred_offset: int = 33) -> list[sam.SamRecord]:
         res = self.align_batch_arrays(batch)
@@ -61,13 +67,15 @@ class Aligner:
                 qual = "".join(chr(int(q) + phred_offset) for q in quals)
             if aligned:
                 contig, local = genome.to_local(int(res["start"][i]))
+                cigars = res.get("cigar")
+                cigar = (cigars[i] if cigars and cigars[i] else f"{length}M")
                 rec = sam.SamRecord(
                     qname=name,
                     flag=sam.FLAG_REVERSE if reverse else 0,
                     rname=contig,
                     pos=local + 1,
                     mapq=int(res["mapq"][i]),
-                    cigar=f"{length}M",
+                    cigar=cigar,
                     seq=seq,
                     qual=qual,
                 )
@@ -167,6 +175,9 @@ class PairedAligner:
         # np.array (copy) — rescue merging mutates these in place
         res = {k: np.array(v) for k, v in out.items()}
         self._apply_rescue(res, b1, b2)
+        from .align.gapped import polish_gapped
+        polish_gapped(self.index, self.cfg, res, b1.bases, "_1", quals=b1.quals)
+        polish_gapped(self.index, self.cfg, res, b2.bases, "_2", quals=b2.quals)
         return res
 
     def _rescue_window(self) -> int:
@@ -258,6 +269,10 @@ class PairedAligner:
 def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
     """Build the two SAM records of one pair (FragmentAccessorBamAdapter
     field mapping, including the proper-pair MAPQ max rule at :250)."""
+    from .align.gapped import cigar_stats
+    from .align import tls as tls_mod2
+    import re as _re
+
     out = []
     ends = []
     for e, batch in ((1, b1), (2, b2)):
@@ -266,16 +281,31 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
         quals = batch.quals[i, :length]
         aligned = bool(res[f"aligned_{e}"][i])
         reverse = bool(res[f"reverse_{e}"][i]) if aligned else False
+        cigars = res.get(f"cigar_{e}")
+        cigar_str = cigars[i] if cigars and cigars[i] else f"{length}M"
+        obs_len = length
+        if aligned and cigars and cigars[i]:
+            parsed = [(int(n), op) for n, op in _re.findall(r"(\d+)([MIDS])", cigar_str)]
+            obs_len = cigar_stats(parsed)[0]
         ends.append({
             "aligned": aligned, "reverse": reverse, "length": length,
             "start": int(res[f"start_{e}"][i]) if aligned else -1,
             "frag_score": int(res[f"frag_score_{e}"][i]) if aligned else 0,
             "nm": int(res[f"edit_distance_{e}"][i]) if aligned else 0,
             "bases": bases, "quals": quals,
+            "cigar": cigar_str, "obs_len": obs_len,
         })
     proper = bool(res["proper_pair"][i]) and ends[0]["aligned"] and ends[1]["aligned"]
     tscore = int(res["template_score"][i])
-    tlen_mag = int(res["template_length"][i])
+    # recompute template length from post-polish positions/observed spans
+    tlen_mag = 0
+    if ends[0]["aligned"] and ends[1]["aligned"]:
+        c0 = genome.contig_of(ends[0]["start"]).index
+        c1 = genome.contig_of(ends[1]["start"]).index
+        if c0 == c1:
+            tlen_mag = int(tls_mod2.template_length(
+                ends[0]["start"], ends[0]["obs_len"],
+                ends[1]["start"], ends[1]["obs_len"]))
 
     for e_idx, (e, batch) in enumerate(((1, b1), (2, b2))):
         me = ends[e_idx]
@@ -336,7 +366,7 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
 
         rec = sam.SamRecord(
             qname=name, flag=flag, rname=rname, pos=pos, mapq=mapq,
-            cigar=(f"{me['length']}M" if me["aligned"] else "*"),
+            cigar=(me["cigar"] if me["aligned"] else "*"),
             rnext=rnext, pnext=pnext, tlen=tlen, seq=seq, qual=qual,
         )
         if me["aligned"]:
