@@ -285,8 +285,9 @@ def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
     ref = arrays.genome[widx]                                     # [Rb, W, L2]
     s3 = seq[:, None, :]
     is_match = (s3 == dna.N) | ((s3 == ref) & (ref != dna.N))
-    lp = jnp.sum(jnp.where(is_match, quality.LOG_MATCH[q][:, None, :],
-                           quality.LOG_MISMATCH[q][:, None, :]), axis=-1)
+    t_match, t_mismatch = quality.log_tables()
+    lp = jnp.sum(jnp.where(is_match, t_match[q][:, None, :],
+                           t_mismatch[q][:, None, :]), axis=-1)
     nmm = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
     edit = jnp.sum((s3 != ref) | (s3 == dna.N), axis=-1).astype(jnp.int32)
 

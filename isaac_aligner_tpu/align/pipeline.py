@@ -225,7 +225,8 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     q = jnp.where(is_rc, r_quals[:, None, :], quals[:, None, :]).astype(jnp.int32)
 
     is_match = (seq == dna.N) | ((seq == ref) & (ref != dna.N))
-    log_p = jnp.where(is_match, quality.LOG_MATCH[q], quality.LOG_MISMATCH[q])
+    t_match, t_mismatch = quality.log_tables()
+    log_p = jnp.where(is_match, t_match[q], t_mismatch[q])
     log_prob = jnp.sum(log_p, axis=-1)
     mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
     edit_distance = jnp.sum((seq != ref) | (seq == dna.N), axis=-1).astype(jnp.int32)

@@ -49,8 +49,19 @@ def _log_mismatch_table() -> np.ndarray:
 LOG_MATCH_F64 = _log_match_table()
 LOG_MISMATCH_F64 = _log_mismatch_table()
 
-LOG_MATCH = jnp.asarray(LOG_MATCH_F64, dtype=jnp.float32)
-LOG_MISMATCH = jnp.asarray(LOG_MISMATCH_F64, dtype=jnp.float32)
+# numpy at module level (importing must never initialize a JAX backend);
+# traced code uses log_tables() which converts lazily per trace
+LOG_MATCH_NP = LOG_MATCH_F64.astype(np.float32)
+LOG_MISMATCH_NP = LOG_MISMATCH_F64.astype(np.float32)
+
+# backwards-compatible aliases for host-side (numpy) indexing
+LOG_MATCH = LOG_MATCH_NP
+LOG_MISMATCH = LOG_MISMATCH_NP
+
+
+def log_tables() -> tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp views of the per-quality log-prob tables (call inside traces)."""
+    return jnp.asarray(LOG_MATCH_NP), jnp.asarray(LOG_MISMATCH_NP)
 
 
 def rest_of_genome_correction(genome_length: int, read_length: int) -> float:

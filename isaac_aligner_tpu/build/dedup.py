@@ -1,0 +1,115 @@
+"""Coordinate sorting and duplicate marking.
+
+Reference analog: BinSorter::process (src/c++/lib/build/BinSorter.cpp:36-421)
+and DuplicatePairEndFilter / DuplicateFragmentIndexFiltering
+(include/build/DuplicateFragmentIndexFiltering.hh:43-180).
+
+Semantics reproduced:
+- duplicate key: per-end anchor = (reference id, UNCLIPPED 5' alignment
+  position, orientation); paired records group by the canonically ordered
+  (self anchor, mate anchor) pair, single-end by their own anchor (the
+  reference's Se/FStrand/RStrandOrShadow index flavors collapse to this
+  for mapped reads; shadow-hash anchoring for unmapped mates is
+  approximated by the mate's anchor).
+- ranking (io/Fragment.hh:66-71): rank = quality_sum << 32 |
+  (total_len - edit_distance) << 16 | alignment_score; the highest rank
+  in a group is kept, the rest get FLAG_DUPLICATE (or are dropped when
+  keep=False, reference --keep-duplicates/--mark-duplicates).
+"""
+
+from __future__ import annotations
+
+from ..io import sam
+from ..io.bam import parse_cigar
+
+
+def _unclipped_5prime(rec: sam.SamRecord) -> int:
+    """5' alignment position extended through soft clips (dedup must see
+    the original molecule end, not the clipped one)."""
+    cigar = parse_cigar(rec.cigar) if rec.cigar != "*" else []
+    pos = rec.pos
+    if rec.flag & sam.FLAG_REVERSE:
+        # 3'-side in file order == 5' of the reverse read: end position
+        ref_len = sum(n for n, op in cigar if op in "MDN=X")
+        end = pos + ref_len - 1
+        for n, op in reversed(cigar):
+            if op == "S":
+                end += n
+            else:
+                break
+        return end
+    for n, op in cigar:
+        if op == "S":
+            pos -= n
+        else:
+            break
+    return pos
+
+
+def _anchor(rec: sam.SamRecord):
+    return (rec.rname, _unclipped_5prime(rec), bool(rec.flag & sam.FLAG_REVERSE))
+
+
+def _rank(recs: list[sam.SamRecord]) -> int:
+    qsum = 0
+    total = 0
+    edit = 0
+    score = 0
+    for r in recs:
+        if r.qual != "*":
+            qsum += sum(ord(c) - 33 for c in r.qual)
+        total += len(r.seq) if r.seq != "*" else 0
+        edit += int(r.tags.get("NM", ("i", 0))[1])
+        score += r.mapq
+    return (qsum << 32) | (max(total - edit, 0) << 16) | min(score, 0xFFFF)
+
+
+def mark_duplicates(records: list[sam.SamRecord], keep: bool = True
+                    ) -> list[sam.SamRecord]:
+    """Mark (or remove) duplicate templates.  Returns the record list
+    (same objects, FLAG_DUPLICATE set on losers; filtered when keep=False).
+    """
+    by_name: dict[tuple[str, int], list[sam.SamRecord]] = {}
+    for r in records:
+        by_name.setdefault((r.qname, 1), []).append(r)
+
+    groups: dict[tuple, list[tuple[int, list[sam.SamRecord]]]] = {}
+    for (_name, _), recs in by_name.items():
+        mapped = [r for r in recs if r.is_mapped]
+        if not mapped:
+            continue
+        anchors = sorted(_anchor(r) for r in mapped)
+        if len(mapped) == 1 and len(recs) > 1:
+            # half-mapped pair: anchor on the mapped end only, flagged so
+            # it does not collide with fully-mapped pairs
+            key = ("half", tuple(anchors))
+        elif len(mapped) == 1:
+            key = ("se", tuple(anchors))
+        else:
+            key = ("pe", tuple(anchors))
+        groups.setdefault(key, []).append((_rank(recs), recs))
+
+    for _key, members in groups.items():
+        if len(members) < 2:
+            continue
+        members.sort(key=lambda t: t[0], reverse=True)
+        for _rnk, recs in members[1:]:
+            for r in recs:
+                r.flag |= sam.FLAG_DUPLICATE
+
+    if keep:
+        return records
+    return [r for r in records if not (r.flag & sam.FLAG_DUPLICATE)]
+
+
+def coordinate_sort(records: list[sam.SamRecord], contigs) -> list[sam.SamRecord]:
+    """Sort records in BAM coordinate order (unmapped-without-position
+    last), reference PackedFragmentBuffer::orderForBam analog."""
+    order = {c.name: c.index for c in contigs}
+
+    def key(r: sam.SamRecord):
+        if r.rname == "*":
+            return (len(order), 0, r.qname)
+        return (order[r.rname], r.pos, r.qname)
+
+    return sorted(records, key=key)

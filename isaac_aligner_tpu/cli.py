@@ -1,0 +1,92 @@
+"""Command-line interface.
+
+Reference analog: bin/isaac-align (src/c++/bin/isaac-align.cpp:31-151,
+options in lib/options/AlignOptions.cpp) and the bash isaac-sort-reference
+driver (src/bash/bin/isaac-sort-reference).
+
+    python -m isaac_aligner_tpu sort-reference -g ref.fa -o index_dir
+    python -m isaac_aligner_tpu align -r index_dir|ref.fa \
+        -1 r1.fastq [-2 r2.fastq] -o out_dir [--start-from State] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_sort_reference(args) -> int:
+    from .index.build import build_index
+    from .io.fasta import read_fasta
+
+    genome = read_fasta(args.genome_file)
+    index = build_index(genome, seed_len=args.seed_length,
+                        repeat_threshold=args.repeat_threshold)
+    index.save(args.output_directory)
+    print(f"sorted reference: {index.num_records} records "
+          f"({index.collapsed_kmers} repeat k-mers collapsed) -> "
+          f"{args.output_directory}")
+    return 0
+
+
+def _cmd_align(args) -> int:
+    from .workflow.align import STATES, AlignWorkflow, WorkflowOptions
+
+    opts = WorkflowOptions(
+        reference=args.reference,
+        output_dir=args.output_directory,
+        fastq1=args.fastq1,
+        fastq2=args.fastq2,
+        seed_len=args.seed_length,
+        batch_size=args.batch_size,
+        keep_duplicates=not args.remove_duplicates,
+        mark_duplicates=not args.no_mark_duplicates,
+        gapped=not args.no_gapped,
+        sample=args.sample,
+    )
+    wf = AlignWorkflow(opts)
+    wf.run(start_from=args.start_from, stop_at=args.stop_at,
+           resume=args.resume)
+    print(f"workflow finished at state {wf.state}; output in "
+          f"{args.output_directory}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="isaac_aligner_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sr = sub.add_parser("sort-reference",
+                        help="build the sorted k-mer index from FASTA")
+    sr.add_argument("-g", "--genome-file", required=True)
+    sr.add_argument("-o", "--output-directory", required=True)
+    sr.add_argument("-s", "--seed-length", type=int, default=32,
+                    choices=(16, 32))
+    sr.add_argument("--repeat-threshold", type=int, default=1000)
+    sr.set_defaults(fn=_cmd_sort_reference)
+
+    al = sub.add_parser("align", help="align FASTQ reads to a reference")
+    al.add_argument("-r", "--reference", required=True,
+                    help="FASTA file or saved index directory")
+    al.add_argument("-1", "--fastq1", required=True)
+    al.add_argument("-2", "--fastq2", default=None)
+    al.add_argument("-o", "--output-directory", required=True)
+    al.add_argument("-s", "--seed-length", type=int, default=32)
+    al.add_argument("--batch-size", type=int, default=4096)
+    al.add_argument("--sample", default="sample")
+    al.add_argument("--remove-duplicates", action="store_true")
+    al.add_argument("--no-mark-duplicates", action="store_true")
+    al.add_argument("--no-gapped", action="store_true")
+    al.add_argument("--start-from", default=None,
+                    help="rewind to this state before running")
+    al.add_argument("--stop-at", default="BamDone")
+    al.add_argument("--resume", action="store_true",
+                    help="continue from the saved checkpoint state")
+    al.set_defaults(fn=_cmd_align)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,273 @@
+"""Binary BAM output: record serialization, BGZF streaming, .bai, md5.
+
+Reference analog: src/c++/include/bam/Bam.hh (serializeHeader /
+serializeAlignment), include/bam/BamIndexer.hh (.bai built inline with
+serialization) and io/FileSinkWithMd5.hh (md5 of the output stream).
+A minimal BAM reader lives here too (reference BamParser analog) — used
+for tests and later for BAM-input realignment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from pathlib import Path
+
+from . import bgzf, sam
+
+_CIGAR_OPS = "MIDNSHP=X"
+_CIGAR_CODE = {op: i for i, op in enumerate(_CIGAR_OPS)}
+_SEQ_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NIBBLE_SEQ = "=ACMGRSVTWYHKDBN"
+
+
+def parse_cigar(cigar: str) -> list[tuple[int, str]]:
+    out = []
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            out.append((int(num), ch))
+            num = ""
+    return out
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """SAM spec distributed binning (BamIndexer analog)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _ref_len_from_cigar(cigar: list[tuple[int, str]]) -> int:
+    return sum(n for n, op in cigar if op in "MDN=X")
+
+
+def record_bytes(rec: sam.SamRecord, ref_ids: dict[str, int]) -> bytes:
+    """Serialize one alignment record (bam::serializeAlignment analog)."""
+    ref_id = ref_ids.get(rec.rname, -1)
+    pos = rec.pos - 1
+    next_ref = ref_ids.get(rec.rnext if rec.rnext != "=" else rec.rname, -1)
+    next_pos = rec.pnext - 1
+    name = rec.qname.encode() + b"\x00"
+    cigar = parse_cigar(rec.cigar) if rec.cigar != "*" else []
+    cigar_b = b"".join(struct.pack("<I", (n << 4) | _CIGAR_CODE[op])
+                       for n, op in cigar)
+    seq = rec.seq if rec.seq != "*" else ""
+    l_seq = len(seq)
+    seq_b = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(seq):
+        nib = _SEQ_NIBBLE.get(ch.upper(), 15)
+        seq_b[i // 2] |= nib << (4 if i % 2 == 0 else 0)
+    if rec.qual != "*" and rec.qual:
+        qual_b = bytes((min(ord(c) - 33, 93) for c in rec.qual))
+    else:
+        qual_b = b"\xff" * l_seq
+
+    tags_b = b""
+    for tname, (typ, value) in sorted(rec.tags.items()):
+        tb = tname.encode()
+        if typ == "i":
+            tags_b += tb + b"i" + struct.pack("<i", int(value))
+        elif typ == "Z":
+            tags_b += tb + b"Z" + str(value).encode() + b"\x00"
+        elif typ == "A":
+            tags_b += tb + b"A" + str(value)[:1].encode()
+        elif typ == "f":
+            tags_b += tb + b"f" + struct.pack("<f", float(value))
+
+    end = pos + max(1, _ref_len_from_cigar(cigar))
+    bin_ = reg2bin(pos, end) if ref_id >= 0 and pos >= 0 else 4680
+    body = struct.pack(
+        "<iiBBHHHiiii", ref_id, pos, len(name), rec.mapq, bin_,
+        len(cigar), rec.flag, l_seq, next_ref, next_pos, rec.tlen)
+    body += name + cigar_b + bytes(seq_b) + qual_b + tags_b
+    return struct.pack("<i", len(body)) + body
+
+
+def header_bytes(contigs, header_text: str | None = None,
+                 **header_kw) -> bytes:
+    text = ("\n".join(sam.header_lines(contigs, **header_kw)) + "\n"
+            if header_text is None else header_text)
+    out = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+    out += struct.pack("<i", len(contigs))
+    for c in contigs:
+        name = c.name.encode() + b"\x00"
+        out += struct.pack("<i", len(name)) + name + struct.pack("<i", c.length)
+    return out
+
+
+class _BaiBuilder:
+    """Accumulates (bin -> chunks) + 16kb linear index per reference
+    (reference BamIndexer.hh builds the same inline)."""
+
+    def __init__(self, n_refs: int):
+        self.bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_refs)]
+        self.linear: list[dict[int, int]] = [dict() for _ in range(n_refs)]
+        self.unmapped = 0
+
+    def add(self, ref_id, pos, end, bin_, voff_start, voff_end):
+        if ref_id < 0 or pos < 0:
+            self.unmapped += 1
+            return
+        chunks = self.bins[ref_id].setdefault(bin_, [])
+        if chunks and chunks[-1][1] == voff_start:
+            chunks[-1][1] = voff_end
+        else:
+            chunks.append([voff_start, voff_end])
+        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
+            cur = self.linear[ref_id].get(w)
+            if cur is None or voff_start < cur:
+                self.linear[ref_id][w] = voff_start
+
+    def serialize(self) -> bytes:
+        out = b"BAI\x01" + struct.pack("<i", len(self.bins))
+        for ref_bins, ref_lin in zip(self.bins, self.linear):
+            out += struct.pack("<i", len(ref_bins))
+            for bin_id in sorted(ref_bins):
+                chunks = ref_bins[bin_id]
+                out += struct.pack("<Ii", bin_id, len(chunks))
+                for beg, end in chunks:
+                    out += struct.pack("<QQ", beg, end)
+            n_intv = (max(ref_lin) + 1) if ref_lin else 0
+            out += struct.pack("<i", n_intv)
+            last = 0
+            for w in range(n_intv):
+                v = ref_lin.get(w)
+                if v is not None:
+                    last = v
+                out += struct.pack("<Q", last)
+        return out
+
+
+def write_bam(path: str | Path, records: list[sam.SamRecord], contigs,
+              write_index: bool = True, write_md5: bool = True,
+              compression_level: int = 1, threads: int = 4,
+              **header_kw) -> None:
+    """Write records (must be coordinate-sorted for a valid .bai) to BAM."""
+    path = Path(path)
+    ref_ids = {c.name: c.index for c in contigs}
+
+    payload = bytearray(header_bytes(contigs, **header_kw))
+    # virtual-offset bookkeeping: remember each record's uncompressed span
+    rec_spans = []
+    for rec in records:
+        start = len(payload)
+        payload += record_bytes(rec, ref_ids)
+        rec_spans.append((rec, start, len(payload)))
+
+    stream, blocks = bgzf.compress(bytes(payload), level=compression_level,
+                                   threads=threads)
+    stream += bgzf.EOF_BLOCK
+    path.write_bytes(stream)
+
+    if write_md5:
+        md5 = hashlib.md5(stream).hexdigest()
+        Path(str(path) + ".md5").write_text(f"{md5}  {path.name}\n")
+
+    if write_index:
+        # map uncompressed offset -> virtual offset
+        comp_starts = []
+        acc = 0
+        for _u_off, clen in blocks:
+            comp_starts.append(acc)
+            acc += clen
+        bs = bgzf.BLOCK_SIZE
+
+        def voff(u: int) -> int:
+            b = u // bs
+            if b >= len(comp_starts):  # exactly at stream end
+                return (acc << 16)
+            return (comp_starts[b] << 16) | (u - b * bs)
+
+        bai = _BaiBuilder(len(contigs))
+        for rec, u0, u1 in rec_spans:
+            ref_id = ref_ids.get(rec.rname, -1)
+            pos = rec.pos - 1
+            cig = parse_cigar(rec.cigar) if rec.cigar != "*" else []
+            end = pos + max(1, _ref_len_from_cigar(cig))
+            bai.add(ref_id, pos, end, reg2bin(pos, end), voff(u0), voff(u1))
+        Path(str(path) + ".bai").write_bytes(bai.serialize())
+
+
+# ---------------------------------------------------------------------------
+# Minimal BAM reader (reference BamParser.hh analog; tests + BAM input)
+# ---------------------------------------------------------------------------
+
+def read_bam(path: str | Path):
+    """Parse a BAM file -> (header_text, contigs(name,length), records)."""
+    data = bgzf.decompress(Path(path).read_bytes())
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack("<i", data[4:8])[0]
+    text = data[8 : 8 + l_text].decode()
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", data[off : off + 4])[0]
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", data[off : off + 4])[0]
+        name = data[off + 4 : off + 4 + l_name - 1].decode()
+        l_ref = struct.unpack("<i", data[off + 4 + l_name : off + 8 + l_name])[0]
+        refs.append((name, l_ref))
+        off += 8 + l_name
+
+    records = []
+    while off < len(data):
+        block_size = struct.unpack("<i", data[off : off + 4])[0]
+        body = data[off + 4 : off + 4 + block_size]
+        off += 4 + block_size
+        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, nref, npos,
+         tlen) = struct.unpack("<iiBBHHHiiii", body[:32])
+        p = 32
+        qname = body[p : p + l_rn - 1].decode()
+        p += l_rn
+        cigar = ""
+        for _ in range(n_cig):
+            v = struct.unpack("<I", body[p : p + 4])[0]
+            cigar += f"{v >> 4}{_CIGAR_OPS[v & 0xF]}"
+            p += 4
+        seq = ""
+        for i in range(l_seq):
+            b = body[p + i // 2]
+            seq += _NIBBLE_SEQ[(b >> 4) if i % 2 == 0 else (b & 0xF)]
+        p += (l_seq + 1) // 2
+        qual = "".join(chr(min(q, 93) + 33) for q in body[p : p + l_seq])
+        p += l_seq
+        tags = {}
+        while p < len(body):
+            tname = body[p : p + 2].decode()
+            typ = chr(body[p + 2])
+            p += 3
+            if typ in "cC":
+                tags[tname] = ("i", body[p]); p += 1
+            elif typ in "sS":
+                tags[tname] = ("i", struct.unpack("<h", body[p : p + 2])[0]); p += 2
+            elif typ in "iI":
+                tags[tname] = ("i", struct.unpack("<i", body[p : p + 4])[0]); p += 4
+            elif typ == "f":
+                tags[tname] = ("f", struct.unpack("<f", body[p : p + 4])[0]); p += 4
+            elif typ == "Z":
+                z = body.index(0, p)
+                tags[tname] = ("Z", body[p:z].decode()); p = z + 1
+            elif typ == "A":
+                tags[tname] = ("A", chr(body[p])); p += 1
+            else:
+                raise ValueError(f"unsupported tag type {typ}")
+        rname = refs[ref_id][0] if ref_id >= 0 else "*"
+        rnext = ("=" if nref == ref_id else refs[nref][0]) if nref >= 0 else "*"
+        records.append(sam.SamRecord(
+            qname=qname, flag=flag, rname=rname, pos=pos + 1, mapq=mapq,
+            cigar=cigar or "*", rnext=rnext, pnext=npos + 1, tlen=tlen,
+            seq=seq or "*", qual=qual or "*", tags=tags))
+    return text, refs, records

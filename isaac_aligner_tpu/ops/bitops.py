@@ -15,10 +15,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import dna
 
-_BIAS = jnp.uint32(1 << 31)
+# numpy scalar: importing must not touch a JAX backend
+_BIAS = np.uint32(1 << 31)
 
 
 def bias_keys(u32: jax.Array) -> jax.Array:

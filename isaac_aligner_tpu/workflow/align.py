@@ -1,0 +1,236 @@
+"""The checkpointed alignment workflow.
+
+Reference analog: workflow::AlignWorkflow
+(src/c++/include/workflow/AlignWorkflow.hh:64-292) — a phase state machine
+whose full inter-phase state serializes to Temp/AlignerState after every
+completed phase (AlignWorkflowSerialization.hh:23-110), with
+--start-from / --stop-at rewind semantics (AlignWorkflow.cpp:532-590).
+
+Phase mapping (the reference's MatchFinder+MatchSelector collapse into
+one fused device pipeline here):
+
+    Start -> TlsDone      learn template-length statistics (PE only)
+          -> AlignDone    align all batches; records to Temp/aligned.sam
+          -> ReportsDone  stats JSON + HTML (MatchSelectorStats analog)
+          -> BamDone      coordinate sort + duplicate marking + BAM/bai/md5
+
+State is JSON (AlignerState.json); phase artifacts live in Temp/ so any
+phase can re-run from its predecessor's artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..align.pairs import TlsStatic
+from ..align.pipeline import AlignConfig, default_seed_offsets
+from ..aligner import Aligner, PairedAligner
+from ..build.dedup import coordinate_sort, mark_duplicates
+from ..index.build import SeedIndex, build_index
+from ..io import sam
+from ..io.bam import write_bam
+from ..io.fasta import read_fasta
+from ..io.fastq import ReadBatch, pad_batch, read_fastq
+
+STATES = ("Start", "TlsDone", "AlignDone", "ReportsDone", "BamDone")
+
+
+@dataclasses.dataclass
+class WorkflowOptions:
+    reference: str                      # FASTA path or saved index directory
+    output_dir: str
+    fastq1: str
+    fastq2: str | None = None           # paired-end when set
+    seed_len: int = 32
+    batch_size: int = 4096
+    tls_batches: int = 4
+    keep_duplicates: bool = True        # mark, don't remove (reference default)
+    mark_duplicates: bool = True
+    gapped: bool = True
+    sample: str = "sample"
+    compression_level: int = 1
+
+
+class AlignWorkflow:
+    def __init__(self, opts: WorkflowOptions):
+        self.opts = opts
+        self.out = Path(opts.output_dir)
+        self.temp = self.out / "Temp"
+        self.stats_dir = self.out / "Stats"
+        for d in (self.out, self.temp, self.stats_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        self.state = "Start"
+        self.tls: TlsStatic | None = None
+        self._index: SeedIndex | None = None
+        self._stats: dict = {}
+
+    # -- state (de)serialization -------------------------------------------
+
+    @property
+    def state_file(self) -> Path:
+        return self.temp / "AlignerState.json"
+
+    def save_state(self) -> None:
+        doc = {"state": self.state, "stats": self._stats}
+        if self.tls is not None:
+            doc["tls"] = dataclasses.asdict(self.tls)
+        self.state_file.write_text(json.dumps(doc, indent=2))
+
+    def load_state(self) -> None:
+        if self.state_file.exists():
+            doc = json.loads(self.state_file.read_text())
+            self.state = doc["state"]
+            self._stats = doc.get("stats", {})
+            if "tls" in doc:
+                self.tls = TlsStatic(**doc["tls"])
+
+    def rewind(self, start_from: str) -> None:
+        """Reference AlignWorkflow::rewind — drop back to an earlier state."""
+        if start_from not in STATES:
+            raise ValueError(f"unknown state {start_from}")
+        if STATES.index(start_from) < STATES.index(self.state):
+            self.state = start_from
+
+    # -- shared resources ---------------------------------------------------
+
+    def _load_index(self) -> SeedIndex:
+        if self._index is None:
+            ref = Path(self.opts.reference)
+            if ref.is_dir():
+                self._index = SeedIndex.load(ref)
+            else:
+                genome = read_fasta(ref)
+                self._index = build_index(genome, seed_len=self.opts.seed_len)
+        return self._index
+
+    def _read_batches(self) -> list[tuple[ReadBatch, ReadBatch | None]]:
+        b1 = read_fastq(self.opts.fastq1)
+        b2 = read_fastq(self.opts.fastq2) if self.opts.fastq2 else None
+        if b2 is not None and b1.count != b2.count:
+            raise ValueError("fastq1/fastq2 read counts differ")
+        bs = self.opts.batch_size
+        out = []
+        for lo in range(0, b1.count, bs):
+            hi = min(lo + bs, b1.count)
+            sl1 = ReadBatch(b1.names[lo:hi], b1.bases[lo:hi], b1.quals[lo:hi],
+                            b1.lengths[lo:hi])
+            sl1 = pad_batch(sl1, bs)
+            if b2 is not None:
+                sl2 = ReadBatch(b2.names[lo:hi], b2.bases[lo:hi], b2.quals[lo:hi],
+                                b2.lengths[lo:hi])
+                sl2 = pad_batch(sl2, bs)
+            else:
+                sl2 = None
+            out.append((sl1, sl2))
+        return out
+
+    # -- phases -------------------------------------------------------------
+
+    def _phase_tls(self) -> None:
+        if not self.opts.fastq2:
+            self.tls = None
+            return
+        index = self._load_index()
+        batches = self._read_batches()
+        aligner = PairedAligner.create(index, read_len=batches[0][0].read_len)
+        learn = [(b1, b2) for b1, b2 in batches[: self.opts.tls_batches]]
+        self.tls = aligner.learn_tls(learn)
+        self._stats["tls"] = dataclasses.asdict(self.tls)
+
+    def _phase_align(self) -> None:
+        index = self._load_index()
+        batches = self._read_batches()
+        read_len = batches[0][0].read_len
+        records: list[sam.SamRecord] = []
+        stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
+                 "proper_pairs": 0, "mapq_hist": [0] * 61}
+        t0 = time.time()
+        if self.opts.fastq2:
+            aligner = PairedAligner.create(index, read_len=read_len)
+            if self.tls is not None:
+                aligner.tls = self.tls
+            for b1, b2 in batches:
+                records.extend(aligner.align_to_sam(b1, b2))
+        else:
+            aligner = Aligner.create(index, read_len=read_len)
+            for b1, _ in batches:
+                records.extend(aligner.align_to_sam(b1))
+        for r in records:
+            stats["total_reads"] += 1
+            if r.is_mapped:
+                stats["aligned"] += 1
+                stats["mapq_hist"][min(r.mapq, 60)] += 1
+                if r.tags.get("NM", ("i", 1))[1] == 0:
+                    stats["perfect"] += 1
+            if r.flag & sam.FLAG_PROPER_PAIR and r.flag & sam.FLAG_READ1:
+                stats["proper_pairs"] += 1
+        stats["align_seconds"] = round(time.time() - t0, 2)
+        self._stats["match_selector"] = stats
+        genome = index.genome
+        sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
+                      sample=self.opts.sample)
+
+    def _phase_reports(self) -> None:
+        """MatchSelectorStats.xml / AlignmentReportGenerator analog:
+        machine-readable JSON + a small self-contained HTML report."""
+        stats = self._stats.get("match_selector", {})
+        (self.stats_dir / "MatchSelectorStats.json").write_text(
+            json.dumps(stats, indent=2))
+        total = max(stats.get("total_reads", 0), 1)
+        aligned = stats.get("aligned", 0)
+        rows = "".join(
+            f"<tr><td>{k}</td><td>{v}</td></tr>"
+            for k, v in stats.items() if k != "mapq_hist")
+        html = (
+            "<html><head><title>Alignment report</title></head><body>"
+            f"<h1>Alignment report</h1><table border=1>{rows}"
+            f"<tr><td>percent aligned</td><td>{100.0 * aligned / total:.2f}%"
+            "</td></tr></table></body></html>")
+        (self.stats_dir / "AlignmentReport.html").write_text(html)
+
+    def _phase_bam(self) -> None:
+        index = self._load_index()
+        _, records = sam.read_sam(self.temp / "aligned.sam")
+        records = coordinate_sort(records, index.genome.contigs)
+        if self.opts.mark_duplicates:
+            records = mark_duplicates(records, keep=self.opts.keep_duplicates)
+        dup = sum(1 for r in records if r.flag & sam.FLAG_DUPLICATE)
+        self._stats["build"] = {"records": len(records), "duplicates": dup}
+        (self.stats_dir / "BuildStats.json").write_text(
+            json.dumps(self._stats["build"], indent=2))
+        write_bam(self.out / "sorted.bam", records, index.genome.contigs,
+                  compression_level=self.opts.compression_level,
+                  sample=self.opts.sample)
+
+    # -- driver -------------------------------------------------------------
+
+    def step(self) -> None:
+        if self.state == "Start":
+            self._phase_tls()
+            self.state = "TlsDone"
+        elif self.state == "TlsDone":
+            self._phase_align()
+            self.state = "AlignDone"
+        elif self.state == "AlignDone":
+            self._phase_reports()
+            self.state = "ReportsDone"
+        elif self.state == "ReportsDone":
+            self._phase_bam()
+            self.state = "BamDone"
+        else:
+            raise RuntimeError(f"cannot step from {self.state}")
+
+    def run(self, start_from: str | None = None, stop_at: str = "BamDone",
+            resume: bool = False) -> None:
+        if resume:
+            self.load_state()
+        if start_from:
+            self.rewind(start_from)
+        while STATES.index(self.state) < STATES.index(stop_at):
+            self.step()
+            self.save_state()
