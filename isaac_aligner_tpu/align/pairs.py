@@ -191,8 +191,13 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
     idx1 = jnp.where(pairs["resolved"], pairs["i1"], se1)
     idx2 = jnp.where(pairs["resolved"], pairs["i2"], se2)
 
-    score1 = end_mapping_score(end1, idx1, rog1)
-    score2 = end_mapping_score(end2, idx2, rog2)
+    def _gate(end, idx, score):
+        wa = jnp.take_along_axis(end["well_anchored"].astype(jnp.int32),
+                                 idx[:, None], axis=1)[:, 0]
+        return jnp.where(wa == 1, score, 0)
+
+    score1 = _gate(end1, idx1, end_mapping_score(end1, idx1, rog1))
+    score2 = _gate(end2, idx2, end_mapping_score(end2, idx2, rog2))
 
     def end_out(end, idx, frag_score, suffix):
         take = lambda x: jnp.take_along_axis(x, idx[:, None], axis=1)[:, 0]

@@ -43,6 +43,7 @@ class IndexArrays(NamedTuple):
     genome: jax.Array       # uint8 [G] base codes 0..4
     contig_starts: jax.Array  # int32 [n_contigs] sorted
     contig_ends: jax.Array    # int32 [n_contigs]
+    has_neighbors: jax.Array  # uint8 [Npad] "k-mer has <=4mm neighbors" bits
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,8 +77,12 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
     key_hi = np.concatenate([index.key_hi, np.full(pad, i32max, np.int32)])
     key_lo = np.concatenate([index.key_lo, np.full(pad, i32max, np.int32)])
     pos = np.concatenate([index.pos, np.full(pad, TOO_MANY_POS, np.int32)])
+    nb = (index.has_neighbors if index.has_neighbors is not None
+          else np.zeros(n, np.uint8))
+    nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
     return IndexArrays(
+        has_neighbors=jnp.asarray(nb),
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
         pos=jnp.asarray(pos),
@@ -151,6 +156,10 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
 
     start = hit_pos - qoff_arr[None, :, None]
     orient = jnp.broadcast_to(orient_arr[None, :, None], start.shape)
+    # anchoring confidence: a hit from a k-mer WITHOUT genomic neighbors
+    # is a clean anchor (reference FragmentMetadata::isWellAnchored)
+    hit_nb = arrays.has_neighbors[jnp.minimum(hit_idx, arrays.key_hi.shape[0] - 1)]
+    clean = hit_valid & (hit_nb == 0)
 
     # candidate must lie fully inside one contig (no clipping support yet)
     cid = jnp.searchsorted(arrays.contig_starts, start, side="right") - 1
@@ -161,45 +170,70 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
 
     diag = {"seed_match_counts": count, "seed_too_many": too_many}
     flat = lambda x: x.reshape(b, -1)
-    return flat(start), flat(orient), flat(valid), diag
+    return flat(start), flat(orient), flat(valid), flat(clean), diag
 
 
-def dedup_candidates(start_f, orient_f, valid_f, max_candidates: int):
+def dedup_candidates(start_f, orient_f, valid_f, clean_f, max_candidates: int):
     """Stage B: sort-dedup hit lists, compact to [B, C].
 
     Reference analog: FragmentBuilder::consolidateDuplicateFragments
     (FragmentBuilder.cpp:82-346) — here a device sort + unique-scan +
     stable compaction, all fixed shape.
+
+    Anchoring info rides the sort: within one (orient, start) run, hits
+    from neighbor-free k-mers sort first (4th key), so the kept
+    representative is clean iff ANY supporting hit was clean; the run
+    length (support count, recovered from compacted slot indices) tells
+    whether multiple seeds agree — together these reproduce the
+    reference's isWellAnchored rule (TemplateBuilder.cpp:233-286).
     """
     b = start_f.shape[0]
     valid_i = valid_f.astype(jnp.int32)
     invalid_f = 1 - valid_i
-    # lexicographic sort by (invalid, orient, start)
-    invalid_s, orient_s, start_s = jax.lax.sort(
-        (invalid_f, orient_f.astype(jnp.int32), start_f), num_keys=3, is_stable=True)
+    not_clean = 1 - clean_f.astype(jnp.int32)
+    # lexicographic sort by (invalid, orient, start, not_clean)
+    invalid_s, orient_s, start_s, not_clean_s = jax.lax.sort(
+        (invalid_f, orient_f.astype(jnp.int32), start_f, not_clean),
+        num_keys=4, is_stable=True)
     same_as_prev = jnp.concatenate(
         [jnp.zeros((b, 1), bool),
          (orient_s[:, 1:] == orient_s[:, :-1]) & (start_s[:, 1:] == start_s[:, :-1])],
         axis=1)
     unique = (invalid_s == 0) & (~same_as_prev)
+    # per-run support counts: distance from each run head to the next run
+    # head (or to the end of the valid region), via a suffix cumulative min
+    big = jnp.int32(2**31 - 1)
+    slot = jnp.broadcast_to(
+        jnp.arange(start_s.shape[1], dtype=jnp.int32)[None, :], start_s.shape)
+    head_slots = jnp.where(unique, slot, big)
+    nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(head_slots, 1), axis=1), 1)
+    nxt = jnp.concatenate([nxt_incl[:, 1:], jnp.full((b, 1), big, jnp.int32)],
+                          axis=1)
+    n_valid = jnp.sum(valid_i, axis=1, keepdims=True)
+    support_s = jnp.clip(jnp.minimum(nxt, n_valid) - slot, 0, 10_000)
+
     # stable-compact unique entries to the front
-    slot = jnp.arange(start_s.shape[1], dtype=jnp.int32)[None, :]
-    compact_key = jnp.where(unique, slot, jnp.int32(2**31 - 1))
-    _, start_u, orient_u, uniq_u = jax.lax.sort(
-        (compact_key, start_s, orient_s, unique.astype(jnp.int32)),
+    compact_key = jnp.where(unique, slot, big)
+    _, start_u, orient_u, uniq_u, clean_u, support_u = jax.lax.sort(
+        (compact_key, start_s, orient_s, unique.astype(jnp.int32),
+         1 - not_clean_s, support_s),
         num_keys=1, is_stable=True)
     c = max_candidates
     num_unique = jnp.sum(unique, axis=1)
     return (start_u[:, :c], orient_u[:, :c], uniq_u[:, :c].astype(bool),
+            clean_u[:, :c].astype(bool), support_u[:, :c],
             {"num_candidates": num_unique, "candidate_overflow": num_unique > c})
 
 
 def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals):
     """Stages A+B fused for the single-device path."""
-    start_f, orient_f, valid_f, diag_a = find_seed_hits(arrays, cfg, bases)
-    cand_start, cand_orient, cand_valid, diag_b = dedup_candidates(
-        start_f, orient_f, valid_f, cfg.max_candidates)
-    return cand_start, cand_orient, cand_valid, {**diag_a, **diag_b}
+    start_f, orient_f, valid_f, clean_f, diag_a = find_seed_hits(arrays, cfg, bases)
+    cand_start, cand_orient, cand_valid, cand_clean, support, diag_b = \
+        dedup_candidates(start_f, orient_f, valid_f, clean_f, cfg.max_candidates)
+    # well anchored: a neighbor-free seed supports it, or several seeds agree
+    well_anchored = cand_clean | (support >= 2)
+    return cand_start, cand_orient, cand_valid, well_anchored, \
+        {**diag_a, **diag_b}
 
 
 def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
@@ -244,7 +278,7 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
     edit, obs_len — all [B, C].
     """
     b, read_len = bases.shape
-    cand_start, cand_orient, cand_valid, diag = _gather_candidates(
+    cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
         arrays, cfg, bases, quals)
     log_prob, mismatches, edit_distance = _score_ungapped(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
@@ -254,6 +288,7 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
         "start": cand_start,
         "orient": cand_orient,
         "valid": cand_valid,
+        "well_anchored": well_anchored,
         "cid": jnp.where(cand_valid, cid, -1),
         "log_prob": log_prob,
         "sw_score": mismatches,          # ungapped SW score == mismatch count
@@ -279,14 +314,16 @@ def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
       edit_distance, log_prob, num_candidates, candidate_overflow.
     """
     _b, read_len = bases.shape
-    cand_start, cand_orient, cand_valid, diag = _gather_candidates(
+    cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
         arrays, cfg, bases, quals)
     return finalize_single_end(arrays, cfg, bases, quals,
-                               cand_start, cand_orient, cand_valid, diag)
+                               cand_start, cand_orient, cand_valid, diag,
+                               well_anchored)
 
 
 def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
-                        cand_start, cand_orient, cand_valid, diag):
+                        cand_start, cand_orient, cand_valid, diag,
+                        well_anchored=None):
     """Stages C+D: score candidates, pick best, MAPQ (single-end)."""
     _b, read_len = bases.shape
     log_prob, mismatches, edit_distance = _score_ungapped(
@@ -309,6 +346,10 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
     mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
     mapq = jnp.where(aligned, mapq, 0)
+    if well_anchored is not None:
+        # all supporting seeds have neighbors and no two agree -> score 0
+        # (TemplateBuilder::updateMappingScore else-branch)
+        mapq = jnp.where(take(well_anchored.astype(jnp.int32)) == 1, mapq, 0)
 
     return {
         "aligned": aligned,

@@ -63,6 +63,9 @@ class SeedIndex:
     pos: np.ndarray           # int32 [Nk] global genome position, or TOO_MANY_POS
     total_kmers: int          # k-mer instances before repeat collapse
     collapsed_kmers: int      # distinct k-mers collapsed as too-repetitive
+    # per-record "has <=4-mismatch neighbors" bit (reference
+    # ReferencePosition neighbor flag); zeros when not annotated
+    has_neighbors: np.ndarray | None = None
 
     @property
     def num_records(self) -> int:
@@ -78,6 +81,8 @@ class SeedIndex:
         np.save(d / "key_lo.npy", self.key_lo)
         np.save(d / "pos.npy", self.pos)
         np.save(d / "genome.npy", self.genome.codes)
+        if self.has_neighbors is not None:
+            np.save(d / "neighbors.npy", self.has_neighbors)
         meta = {
             "format_version": 1,
             "seed_len": self.seed_len,
@@ -107,6 +112,8 @@ class SeedIndex:
             pos=np.load(d / "pos.npy"),
             total_kmers=meta["total_kmers"],
             collapsed_kmers=meta["collapsed_kmers"],
+            has_neighbors=(np.load(d / "neighbors.npy")
+                           if (d / "neighbors.npy").exists() else None),
         )
 
 
@@ -122,6 +129,7 @@ def build_index(
     genome: Genome,
     seed_len: int = 32,
     repeat_threshold: int = 1000,
+    annotate_neighbors: bool = False,
 ) -> SeedIndex:
     """Build the sorted (k-mer, position) index over all contigs.
 
@@ -183,7 +191,7 @@ def build_index(
         out_pos = positions
         collapsed = 0
 
-    return SeedIndex(
+    index = SeedIndex(
         seed_len=seed_len,
         repeat_threshold=repeat_threshold,
         genome=genome,
@@ -193,3 +201,8 @@ def build_index(
         total_kmers=total,
         collapsed_kmers=collapsed,
     )
+    if annotate_neighbors:
+        from .neighbors import annotate_index
+        index.has_neighbors = annotate_index(index.key_hi, index.key_lo,
+                                             k=seed_len).astype(np.uint8)
+    return index

@@ -44,6 +44,7 @@ class ShardedIndexArrays(NamedTuple):
     genome: jax.Array       # uint8 [G] replicated
     contig_starts: jax.Array
     contig_ends: jax.Array
+    has_neighbors: jax.Array  # uint8 [S, m]
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,
@@ -90,12 +91,16 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
     key_hi = np.full((num_shards, m), i32max, np.int32)
     key_lo = np.full((num_shards, m), i32max, np.int32)
     pos = np.full((num_shards, m), TOO_MANY_POS, np.int32)
+    nb = np.zeros((num_shards, m), np.uint8)
     n_real = np.zeros((num_shards, 1), np.int32)
+    nb_src = (index.has_neighbors if index.has_neighbors is not None
+              else np.zeros(n, np.uint8))
     for s in range(num_shards):
         b, e = bounds[s], bounds[s + 1]
         key_hi[s, : e - b] = hi[b:e]
         key_lo[s, : e - b] = lo[b:e]
         pos[s, : e - b] = index.pos[b:e]
+        nb[s, : e - b] = nb_src[b:e]
         n_real[s, 0] = e - b
 
     contigs = index.genome.contigs
@@ -103,6 +108,7 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
         pos=jnp.asarray(pos),
+        has_neighbors=jnp.asarray(nb),
         n_real=jnp.asarray(n_real),
         genome=jnp.asarray(index.genome.codes),
         contig_starts=jnp.asarray(np.array([c.offset for c in contigs], np.int32)),
@@ -119,6 +125,7 @@ def place_sharded(mesh: Mesh, sharded: ShardedIndexArrays) -> ShardedIndexArrays
         key_hi=jax.device_put(sharded.key_hi, shard_spec),
         key_lo=jax.device_put(sharded.key_lo, shard_spec),
         pos=jax.device_put(sharded.pos, shard_spec),
+        has_neighbors=jax.device_put(sharded.has_neighbors, shard_spec),
         n_real=jax.device_put(sharded.n_real, shard_spec),
         genome=jax.device_put(sharded.genome, repl),
         contig_starts=jax.device_put(sharded.contig_starts, repl),
@@ -134,30 +141,34 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
     Returns the same result dict as align_batch, sharded over `data`.
     """
 
-    def local_fn(key_hi, key_lo, pos, n_real, genome, cstarts, cends, b, q):
+    def local_fn(key_hi, key_lo, pos, nb, n_real, genome, cstarts, cends, b, q):
         # refs carry a leading shard-block dim of 1 inside shard_map
         local = IndexArrays(
             key_hi=key_hi[0], key_lo=key_lo[0], pos=pos[0],
+            has_neighbors=nb[0],
             n_real=n_real[0, 0], genome=genome,
             contig_starts=cstarts, contig_ends=cends)
-        start_f, orient_f, valid_f, _diag = find_seed_hits(local, cfg, b)
+        start_f, orient_f, valid_f, clean_f, _diag = find_seed_hits(local, cfg, b)
         # union hit lists from every index shard (ICI all-gather),
         # concatenating along the hits axis
-        start_g = jax.lax.all_gather(start_f, "shard", axis=1, tiled=True)
-        orient_g = jax.lax.all_gather(orient_f, "shard", axis=1, tiled=True)
-        valid_g = jax.lax.all_gather(valid_f, "shard", axis=1, tiled=True)
-        cand_start, cand_orient, cand_valid, diag_b = dedup_candidates(
-            start_g, orient_g, valid_g, cfg.max_candidates)
+        ag = lambda x: jax.lax.all_gather(x, "shard", axis=1, tiled=True)
+        cand_start, cand_orient, cand_valid, cand_clean, support, diag_b = \
+            dedup_candidates(ag(start_f), ag(orient_f), ag(valid_f),
+                             ag(clean_f), cfg.max_candidates)
+        well_anchored = cand_clean | (support >= 2)
         return finalize_single_end(local, cfg, b, q,
-                                   cand_start, cand_orient, cand_valid, diag_b)
+                                   cand_start, cand_orient, cand_valid, diag_b,
+                                   well_anchored)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
-                  P("shard", None), P(), P(), P(), P("data", None), P("data", None)),
+                  P("shard", None), P("shard", None), P(), P(), P(),
+                  P("data", None), P("data", None)),
         out_specs=P("data"),
         check_vma=False,
     )
-    return fn(sharded.key_hi, sharded.key_lo, sharded.pos, sharded.n_real,
+    return fn(sharded.key_hi, sharded.key_lo, sharded.pos,
+              sharded.has_neighbors, sharded.n_real,
               sharded.genome, sharded.contig_starts, sharded.contig_ends,
               bases, quals)
