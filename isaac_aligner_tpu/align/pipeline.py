@@ -44,6 +44,10 @@ class IndexArrays(NamedTuple):
     contig_starts: jax.Array  # int32 [n_contigs] sorted
     contig_ends: jax.Array    # int32 [n_contigs]
     has_neighbors: jax.Array  # uint8 [Npad] "k-mer has <=4mm neighbors" bits
+    # packed genome planes for the gather-light scorer: 16 bases per uint32
+    # word (big-endian lanes) + 32 N-bits per word; one word of tail padding
+    genome_packed: jax.Array   # uint32 [ceil(G/16) + 1]
+    genome_nbits: jax.Array    # uint32 [ceil(G/32) + 1]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +72,50 @@ class AlignConfig:
     rescue_max_mismatch_frac: float = 0.25
 
 
+def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack base codes into 2-bit words + an N-bit plane (host, numpy).
+
+    Word w holds bases [16w, 16w+16) big-endian (base 16w in the top two
+    bits) so lexicographic base order matches word order; N packs as code
+    0 with its bit set in the 1-bit-per-base plane (32 bases per word,
+    base 32w in bit 31).  One zero word of tail padding lets the aligner
+    funnel-shift across word boundaries without bounds checks.
+    """
+    g = codes.shape[0]
+    n16 = -(-g // 16)
+    padded = np.zeros(n16 * 16, np.uint32)
+    clean = np.where(codes < 4, codes, 0).astype(np.uint32)
+    padded[:g] = clean
+    lanes = padded.reshape(n16, 16)
+    shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
+    packed = (lanes << shifts[None, :]).astype(np.uint32).sum(axis=1, dtype=np.uint32)
+    packed = np.concatenate([packed, np.zeros(1, np.uint32)])
+
+    n32 = -(-g // 32)
+    nb = np.zeros(n32 * 32, np.uint32)
+    nb[:g] = (codes >= 4).astype(np.uint32)
+    nlanes = nb.reshape(n32, 32)
+    nshifts = (31 - np.arange(32)).astype(np.uint32)
+    nbits = (nlanes << nshifts[None, :]).astype(np.uint32).sum(axis=1, dtype=np.uint32)
+    nbits = np.concatenate([nbits, np.zeros(1, np.uint32)])
+    return packed, nbits
+
+
+def pack_reads(bases: jax.Array) -> jax.Array:
+    """Pack [B, L] read codes into [B, ceil(L/16)] big-endian uint32 words
+    (N and tail padding pack as 0; callers mask them separately)."""
+    b, l = bases.shape
+    w = -(-l // 16)
+    pad = w * 16 - l
+    x = bases.astype(jnp.uint32)
+    x = jnp.where(x < 4, x, 0)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((b, pad), jnp.uint32)], axis=1)
+    lanes = x.reshape(b, w, 16)
+    shifts = jnp.asarray((2 * (15 - np.arange(16))).astype(np.uint32))
+    return jnp.sum(lanes << shifts[None, None, :], axis=2, dtype=jnp.uint32)
+
+
 def prepare_index(index: SeedIndex) -> IndexArrays:
     """Upload a host SeedIndex into padded device planes."""
     n = index.num_records
@@ -81,8 +129,11 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
           else np.zeros(n, np.uint8))
     nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
+    packed, nbits = pack_genome(index.genome.codes)
     return IndexArrays(
         has_neighbors=jnp.asarray(nb),
+        genome_packed=jnp.asarray(packed),
+        genome_nbits=jnp.asarray(nbits),
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
         pos=jnp.asarray(pos),
@@ -244,26 +295,91 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     AlignerBase::updateFragmentCigar (UngappedAligner.cpp:39-96,
     AlignerBase.cpp:121-231): per-base log-prob accumulation with the
     isMatch rule, mismatch count, edit distance (mismatches + Ns).
+
+    TPU formulation (HBM-bandwidth optimized): instead of one random
+    gather per (candidate, base), gather ceil(L/16)+1 PACKED 2-bit words
+    per candidate, funnel-shift them into read alignment with per-element
+    variable shifts, XOR against the packed read, and expand the 16 lanes
+    of each XOR word with static shifts — all VPU element-wise work.
+    The per-base log-prob decomposes as
+        lp = sum_j logMatch[q_j] + sum_{non-match j} (logMismatch-logMatch)[q_j]
+    so the only table gathers are per READ (not per candidate).
     """
     b, read_len = bases.shape
+    c = cand_start.shape[1]
+    w_read = -(-read_len // 16)
+
     rc_bases = bitops.revcomp_reads(bases)
     r_quals = bitops.reverse_quals(quals)
 
-    offs = jnp.arange(read_len, dtype=jnp.int32)
-    g = arrays.genome.shape[0]
-    widx = jnp.clip(cand_start[:, :, None] + offs[None, None, :], 0, g - 1)
-    ref = arrays.genome[widx]                                    # [B, C, L]
-
-    is_rc = (cand_orient == 1)[:, :, None]
-    seq = jnp.where(is_rc, rc_bases[:, None, :], bases[:, None, :])
-    q = jnp.where(is_rc, r_quals[:, None, :], quals[:, None, :]).astype(jnp.int32)
-
-    is_match = (seq == dna.N) | ((seq == ref) & (ref != dna.N))
+    # per-read, per-orientation precomputation: packed words, N mask,
+    # all-match log prob, per-base penalty delta
+    packed_fwd = pack_reads(bases)                  # [B, Wr]
+    packed_rev = pack_reads(rc_bases)
     t_match, t_mismatch = quality.log_tables()
-    log_p = jnp.where(is_match, t_match[q], t_mismatch[q])
-    log_prob = jnp.sum(log_p, axis=-1)
+    is_rc_c = (cand_orient == 1)
+
+    def per_orient(base_arr, qual_arr):
+        qi = qual_arr.astype(jnp.int32)
+        lm = t_match[qi]                            # [B, L]
+        delta = t_mismatch[qi] - lm
+        n_mask = base_arr >= dna.NUM_BASES
+        return jnp.sum(lm, axis=1), delta, n_mask
+
+    lp_all_f, delta_f, n_f = per_orient(bases, quals)
+    lp_all_r, delta_r, n_r = per_orient(rc_bases, r_quals)
+
+    # gather packed genome windows: Wr+1 words starting at start>>4
+    gp = arrays.genome_packed
+    gw = gp.shape[0]
+    word0 = cand_start >> 4                                       # [B, C]
+    t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
+    widx = jnp.clip(word0[:, :, None] + t_idx[None, None, :], 0, gw - 1)
+    words = gp[widx]                                              # [B, C, Wr+1]
+
+    # funnel-shift into read phase: o2 = 2*(start % 16) bits
+    o2 = ((cand_start & 15) << 1).astype(jnp.uint32)[:, :, None]  # [B, C, 1]
+    lo_words = words[:, :, :-1]
+    hi_words = words[:, :, 1:]
+    safe = jnp.where(o2 == 0, jnp.uint32(1), jnp.uint32(32) - o2)
+    aligned = jnp.where(o2 == 0, lo_words,
+                        (lo_words << o2) | (hi_words >> safe))    # [B, C, Wr]
+
+    read_words = jnp.where(is_rc_c[:, :, None], packed_rev[:, None, :],
+                           packed_fwd[:, None, :])
+    x = aligned ^ read_words                                      # [B, C, Wr]
+
+    # expand 16 two-bit lanes per word with static shifts
+    lane_shifts = jnp.asarray((2 * (15 - np.arange(16))).astype(np.uint32))
+    lanes = (x[:, :, :, None] >> lane_shifts[None, None, None, :]) & jnp.uint32(3)
+    code_mismatch = (lanes != 0).reshape(b, c, w_read * 16)[:, :, :read_len]
+
+    # genome N bits: gather + align on the 1-bit plane
+    gn = arrays.genome_nbits
+    gnw = gn.shape[0]
+    w_n = -(-(read_len + 31) // 32) + 1
+    nword0 = cand_start >> 5
+    nt = jnp.arange(w_n, dtype=jnp.int32)
+    nwidx = jnp.clip(nword0[:, :, None] + nt[None, None, :], 0, gnw - 1)
+    nwords = gn[nwidx]
+    no = (cand_start & 31).astype(jnp.uint32)[:, :, None]
+    nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+    naligned = jnp.where(no == 0, nwords[:, :, :-1],
+                         (nwords[:, :, :-1] << no) | (nwords[:, :, 1:] >> nsafe))
+    nlane_shifts = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
+    nlanes = (naligned[:, :, :, None] >> nlane_shifts[None, None, None, :]) & jnp.uint32(1)
+    ref_n = (nlanes != 0).reshape(b, c, (w_n - 1) * 32)[:, :, :read_len]
+
+    read_n = jnp.where(is_rc_c[:, :, None], n_r[:, None, :], n_f[:, None, :])
+
+    # reference isMatch: read N matches; otherwise equal codes and ref not N
+    is_match = read_n | (~code_mismatch & ~ref_n)
     mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
-    edit_distance = jnp.sum((seq != ref) | (seq == dna.N), axis=-1).astype(jnp.int32)
+    edit_distance = jnp.sum(read_n | ref_n | code_mismatch, axis=-1).astype(jnp.int32)
+
+    delta = jnp.where(is_rc_c[:, :, None], delta_r[:, None, :], delta_f[:, None, :])
+    lp_all = jnp.where(is_rc_c, lp_all_r[:, None], lp_all_f[:, None])
+    log_prob = lp_all + jnp.sum(jnp.where(is_match, 0.0, delta), axis=-1)
 
     neg_inf = jnp.float32(-jnp.inf)
     log_prob = jnp.where(cand_valid, log_prob, neg_inf)

@@ -40,7 +40,9 @@ class Aligner:
                            gapped: bool = True) -> dict[str, np.ndarray]:
         """Run the device pipeline; returns host numpy result arrays."""
         out = align_batch_jit(self.arrays, batch.bases, batch.quals, self.cfg)
-        res = {k: np.array(v) for k, v in out.items()}
+        # jax.device_get (NOT np.asarray): the remote-TPU tunnel's
+        # __array__ fetch path is pathologically slow
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         if gapped:
             from .align.gapped import polish_gapped
             polish_gapped(self.index, self.cfg, res, batch.bases,
@@ -156,9 +158,10 @@ class PairedAligner:
         for b1, b2 in batches:
             out = _ends_summary_jit(self.arrays, b1.bases, b1.quals,
                                     b2.bases, b2.quals, self.cfg)
-            n1 = np.asarray(out["n_1"]); n2 = np.asarray(out["n_2"])
-            s1 = np.asarray(out["start_1"]); s2 = np.asarray(out["start_2"])
-            r1 = np.asarray(out["rev_1"]); r2 = np.asarray(out["rev_2"])
+            out = jax.device_get(out)
+            n1 = out["n_1"]; n2 = out["n_2"]
+            s1 = out["start_1"]; s2 = out["start_2"]
+            r1 = out["rev_1"]; r2 = out["rev_2"]
             cid1 = np.searchsorted(offsets, s1, side="right") - 1
             cid2 = np.searchsorted(offsets, s2, side="right") - 1
             use = (n1 == 1) & (n2 == 1) & (cid1 == cid2)
@@ -172,8 +175,8 @@ class PairedAligner:
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
         out = _paired_jit(self.arrays, b1.bases, b1.quals, b2.bases, b2.quals,
                           self.cfg, self.tls)
-        # np.array (copy) — rescue merging mutates these in place
-        res = {k: np.array(v) for k, v in out.items()}
+        # device_get + np.array copy — rescue merging mutates in place
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         self._apply_rescue(res, b1, b2)
         from .align.gapped import polish_gapped
         polish_gapped(self.index, self.cfg, res, b1.bases, "_1", quals=b1.quals)
@@ -209,7 +212,8 @@ class PairedAligner:
                 out = _rescue_jit(self.arrays, self.cfg, self.tls,
                                   orphan_end - 1, read_lengths,
                                   o_start, o_rev, sb, sq, window)
-                out = {k: np.asarray(v)[: chunk.size] for k, v in out.items()}
+                out = {k: v[: chunk.size]
+                       for k, v in jax.device_get(out).items()}
                 self._merge_rescue(res, chunk, shadow_end, orphan_end, out,
                                    read_lengths)
 

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..align.pipeline import (AlignConfig, IndexArrays, dedup_candidates,
-                              finalize_single_end, find_seed_hits)
+                              finalize_single_end, find_seed_hits, pack_genome)
 from ..index.build import SeedIndex, TOO_MANY_POS
 from ..ops import search
 
@@ -42,6 +42,8 @@ class ShardedIndexArrays(NamedTuple):
     pos: jax.Array          # int32 [S, m]
     n_real: jax.Array       # int32 [S, 1] real records per shard
     genome: jax.Array       # uint8 [G] replicated
+    genome_packed: jax.Array  # uint32, replicated (see pipeline.pack_genome)
+    genome_nbits: jax.Array
     contig_starts: jax.Array
     contig_ends: jax.Array
     has_neighbors: jax.Array  # uint8 [S, m]
@@ -104,6 +106,7 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
         n_real[s, 0] = e - b
 
     contigs = index.genome.contigs
+    packed, nbits = pack_genome(index.genome.codes)
     return ShardedIndexArrays(
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
@@ -111,6 +114,8 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
         has_neighbors=jnp.asarray(nb),
         n_real=jnp.asarray(n_real),
         genome=jnp.asarray(index.genome.codes),
+        genome_packed=jnp.asarray(packed),
+        genome_nbits=jnp.asarray(nbits),
         contig_starts=jnp.asarray(np.array([c.offset for c in contigs], np.int32)),
         contig_ends=jnp.asarray(np.array([c.end for c in contigs], np.int32)),
     )
@@ -128,6 +133,8 @@ def place_sharded(mesh: Mesh, sharded: ShardedIndexArrays) -> ShardedIndexArrays
         has_neighbors=jax.device_put(sharded.has_neighbors, shard_spec),
         n_real=jax.device_put(sharded.n_real, shard_spec),
         genome=jax.device_put(sharded.genome, repl),
+        genome_packed=jax.device_put(sharded.genome_packed, repl),
+        genome_nbits=jax.device_put(sharded.genome_nbits, repl),
         contig_starts=jax.device_put(sharded.contig_starts, repl),
         contig_ends=jax.device_put(sharded.contig_ends, repl),
     )
@@ -141,12 +148,14 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
     Returns the same result dict as align_batch, sharded over `data`.
     """
 
-    def local_fn(key_hi, key_lo, pos, nb, n_real, genome, cstarts, cends, b, q):
+    def local_fn(key_hi, key_lo, pos, nb, n_real, genome, gpack, gnbits,
+                 cstarts, cends, b, q):
         # refs carry a leading shard-block dim of 1 inside shard_map
         local = IndexArrays(
             key_hi=key_hi[0], key_lo=key_lo[0], pos=pos[0],
             has_neighbors=nb[0],
             n_real=n_real[0, 0], genome=genome,
+            genome_packed=gpack, genome_nbits=gnbits,
             contig_starts=cstarts, contig_ends=cends)
         start_f, orient_f, valid_f, clean_f, _diag = find_seed_hits(local, cfg, b)
         # union hit lists from every index shard (ICI all-gather),
@@ -163,12 +172,13 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
-                  P("shard", None), P("shard", None), P(), P(), P(),
+                  P("shard", None), P("shard", None), P(), P(), P(), P(), P(),
                   P("data", None), P("data", None)),
         out_specs=P("data"),
         check_vma=False,
     )
     return fn(sharded.key_hi, sharded.key_lo, sharded.pos,
               sharded.has_neighbors, sharded.n_real,
-              sharded.genome, sharded.contig_starts, sharded.contig_ends,
+              sharded.genome, sharded.genome_packed, sharded.genome_nbits,
+              sharded.contig_starts, sharded.contig_ends,
               bases, quals)
