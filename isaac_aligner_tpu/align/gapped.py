@@ -141,6 +141,8 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
     dbs = []
     metas = []
     for r in rows:
+        if res[key][r] is not None:
+            continue  # row already carries a clip cigar (masked tail)
         start = int(res["start" + s][r])
         contig = genome.contig_of(start)
         local = start - contig.offset

@@ -13,6 +13,7 @@ import jax
 import numpy as np
 
 from . import dna
+from .align import clippers
 from .align import tls as tls_mod
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
@@ -27,26 +28,37 @@ class Aligner:
     index: SeedIndex
     arrays: IndexArrays
     cfg: AlignConfig
+    # clipping options (reference defaults: AlignOptions.cpp:109,119-120)
+    base_quality_cutoff: int = 25
+    clip_semialigned: bool = True
+    adapters: tuple[str, ...] = ()
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
-               cfg: AlignConfig | None = None) -> "Aligner":
+               cfg: AlignConfig | None = None, **opts) -> "Aligner":
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
-        return Aligner(index=index, arrays=prepare_index(index), cfg=cfg)
+        return Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
 
     def align_batch_arrays(self, batch: ReadBatch,
                            gapped: bool = True) -> dict[str, np.ndarray]:
         """Run the device pipeline; returns host numpy result arrays."""
-        out = align_batch_jit(self.arrays, batch.bases, batch.quals, self.cfg)
+        bases = batch.bases.copy()
+        quals = batch.quals.copy()
+        trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
+        trims = trims + clippers.quality_trim_batch(
+            bases, quals, self.base_quality_cutoff, tail_masked=trims)
+        out = align_batch_jit(self.arrays, bases, quals, self.cfg)
         # jax.device_get (NOT np.asarray): the remote-TPU tunnel's
         # __array__ fetch path is pathologically slow
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        clippers.apply_masked_tail_cigar(res, "", trims, batch.read_len)
         if gapped:
             from .align.gapped import polish_gapped
-            polish_gapped(self.index, self.cfg, res, batch.bases,
-                          quals=batch.quals)
+            polish_gapped(self.index, self.cfg, res, bases, quals=quals)
+        if self.clip_semialigned:
+            clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
         return res
 
     def align_to_sam(self, batch: ReadBatch, phred_offset: int = 33) -> list[sam.SamRecord]:
@@ -139,14 +151,20 @@ class PairedAligner:
     tls: TlsStatic = dataclasses.field(default_factory=TlsStatic)
     rescue_capacity: int = 512      # rows per rescue kernel call
     max_rescue_window: int = 4096   # skip rescue when TLS window exceeds this
+    # clipping options (reference defaults: AlignOptions.cpp:109,119-120)
+    base_quality_cutoff: int = 25
+    clip_semialigned: bool = True
+    clip_overlapping: bool = True
+    adapters: tuple[str, ...] = ()
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
-               cfg: AlignConfig | None = None) -> "PairedAligner":
+               cfg: AlignConfig | None = None, **opts) -> "PairedAligner":
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
-        return PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg)
+        return PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg,
+                             **opts)
 
     # -- TLS learning -------------------------------------------------------
 
@@ -173,14 +191,33 @@ class PairedAligner:
     # -- alignment ----------------------------------------------------------
 
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
-        out = _paired_jit(self.arrays, b1.bases, b1.quals, b2.bases, b2.quals,
+        masked = []
+        trims = []
+        for b in (b1, b2):
+            bases = b.bases.copy()
+            quals = b.quals.copy()
+            t = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
+            t = t + clippers.quality_trim_batch(
+                bases, quals, self.base_quality_cutoff, tail_masked=t)
+            masked.append(ReadBatch(b.names, bases, quals, b.lengths))
+            trims.append(t)
+        m1, m2 = masked
+        out = _paired_jit(self.arrays, m1.bases, m1.quals, m2.bases, m2.quals,
                           self.cfg, self.tls)
         # device_get + np.array copy — rescue merging mutates in place
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
-        self._apply_rescue(res, b1, b2)
+        self._apply_rescue(res, m1, m2)
+        clippers.apply_masked_tail_cigar(res, "_1", trims[0], b1.read_len)
+        clippers.apply_masked_tail_cigar(res, "_2", trims[1], b2.read_len)
         from .align.gapped import polish_gapped
-        polish_gapped(self.index, self.cfg, res, b1.bases, "_1", quals=b1.quals)
-        polish_gapped(self.index, self.cfg, res, b2.bases, "_2", quals=b2.quals)
+        polish_gapped(self.index, self.cfg, res, m1.bases, "_1", quals=m1.quals)
+        polish_gapped(self.index, self.cfg, res, m2.bases, "_2", quals=m2.quals)
+        g_codes = self.index.genome.codes
+        if self.clip_semialigned:
+            clippers.clip_semialigned(res, "_1", g_codes, m1.bases)
+            clippers.clip_semialigned(res, "_2", g_codes, m2.bases)
+        if self.clip_overlapping:
+            clippers.clip_overlapping(res, m1, m2, g_codes)
         return res
 
     def _rescue_window(self) -> int:

@@ -43,6 +43,10 @@ def _cmd_align(args) -> int:
         mark_duplicates=not args.no_mark_duplicates,
         gapped=not args.no_gapped,
         sample=args.sample,
+        base_quality_cutoff=args.base_quality_cutoff,
+        clip_semialigned=not args.no_clip_semialigned,
+        clip_overlapping=not args.no_clip_overlapping,
+        adapters=tuple(args.adapter or ()),
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -77,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--remove-duplicates", action="store_true")
     al.add_argument("--no-mark-duplicates", action="store_true")
     al.add_argument("--no-gapped", action="store_true")
+    al.add_argument("--base-quality-cutoff", type=int, default=25,
+                    help="3' quality trim cutoff (0 disables)")
+    al.add_argument("--no-clip-semialigned", action="store_true")
+    al.add_argument("--no-clip-overlapping", action="store_true")
+    al.add_argument("--adapter", action="append", default=None,
+                    help="adapter sequence to clip (repeatable)")
     al.add_argument("--start-from", default=None,
                     help="rewind to this state before running")
     al.add_argument("--stop-at", default="BamDone")

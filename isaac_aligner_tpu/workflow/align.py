@@ -54,6 +54,10 @@ class WorkflowOptions:
     gapped: bool = True
     sample: str = "sample"
     compression_level: int = 1
+    base_quality_cutoff: int = 25
+    clip_semialigned: bool = True
+    clip_overlapping: bool = True
+    adapters: tuple[str, ...] = ()
 
 
 class AlignWorkflow:
@@ -150,14 +154,20 @@ class AlignWorkflow:
         stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
                  "proper_pairs": 0, "mapq_hist": [0] * 61}
         t0 = time.time()
+        o = self.opts
+        clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
+                       clip_semialigned=o.clip_semialigned,
+                       adapters=tuple(o.adapters))
         if self.opts.fastq2:
-            aligner = PairedAligner.create(index, read_len=read_len)
+            aligner = PairedAligner.create(
+                index, read_len=read_len,
+                clip_overlapping=o.clip_overlapping, **clip_kw)
             if self.tls is not None:
                 aligner.tls = self.tls
             for b1, b2 in batches:
                 records.extend(aligner.align_to_sam(b1, b2))
         else:
-            aligner = Aligner.create(index, read_len=read_len)
+            aligner = Aligner.create(index, read_len=read_len, **clip_kw)
             for b1, _ in batches:
                 records.extend(aligner.align_to_sam(b1))
         for r in records:

@@ -107,7 +107,13 @@ def test_shadow_rescue(ref, trained_aligner):
     assert res["aligned_1"].sum() >= 6
     for i, (p, tlen) in enumerate(infos):
         if res["aligned_1"][i]:
-            assert res["start_1"][i] == p, (i, res["start_1"][i], p)
+            # the semialigned clipper may soft-clip the scrambled head;
+            # the unclipped start must equal the true position
+            cig = res.get("cigar_1", [None] * 8)[i]
+            lead = 0
+            if cig and "S" in cig and cig.index("S") < cig.index("M"):
+                lead = int(cig.split("S")[0])
+            assert res["start_1"][i] - lead == p, (i, res["start_1"][i], p, cig)
             assert not res["reverse_1"][i]
     recs = trained_aligner.align_to_sam(b1, b2)
     r1 = [r for r in recs if r.flag & sam.FLAG_READ1]
