@@ -207,6 +207,10 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
                              - jnp.exp(take(end["log_prob"])), 0.0)
         return {
             f"others_sum{suffix}": others,
+            f"cand_start{suffix}": end["start"],
+            f"cand_orient{suffix}": end["orient"],
+            f"cand_valid{suffix}": end["valid"],
+            f"cand_mismatches{suffix}": end["mismatches"],
             f"aligned{suffix}": aligned,
             f"start{suffix}": jnp.where(aligned, take(end["start"]), -1),
             f"reverse{suffix}": take(end["orient"]) == 1,

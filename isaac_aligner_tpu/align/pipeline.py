@@ -145,10 +145,16 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
 
 
 def default_seed_offsets(read_len: int, seed_len: int) -> tuple[int, ...]:
-    """Non-overlapping seeds tiling the read (reference: auto seed
-    descriptor, lib/options/alignOptions/SeedDescriptorOption.cpp)."""
+    """Seeds tiling the read plus one flush with the read end (reference:
+    auto seed descriptor, lib/options/alignOptions/SeedDescriptorOption.cpp).
+    The end-flush seed anchors read tails across long indels — without it
+    a single indel wider than the SW band leaves the tail anchorless."""
     n = max(1, read_len // seed_len)
-    return tuple(i * seed_len for i in range(n))
+    offsets = [i * seed_len for i in range(n)]
+    tail = read_len - seed_len
+    if tail > offsets[-1]:
+        offsets.append(tail)
+    return tuple(offsets)
 
 
 def seed_table(read_len: int, cfg: AlignConfig) -> list[tuple[int, int]]:
@@ -480,6 +486,12 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         "others_sum": others_sum,
         "num_candidates": diag["num_candidates"],
         "candidate_overflow": diag["candidate_overflow"],
+        # full candidate lists: the host-side long-indel polish pairs up
+        # disagreeing anchors (reference SimpleIndelAligner semantics)
+        "cand_start": cand_start,
+        "cand_orient": cand_orient,
+        "cand_valid": cand_valid,
+        "cand_mismatches": mismatches,
     }
 
 

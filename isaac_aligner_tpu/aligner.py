@@ -56,7 +56,9 @@ class Aligner:
         clippers.apply_masked_tail_cigar(res, "", trims, batch.read_len)
         if gapped:
             from .align.gapped import polish_gapped
+            from .align.indel import polish_simple_indels
             polish_gapped(self.index, self.cfg, res, bases, quals=quals)
+            polish_simple_indels(self.index, self.cfg, res, bases, quals=quals)
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
         return res
@@ -210,8 +212,13 @@ class PairedAligner:
         clippers.apply_masked_tail_cigar(res, "_1", trims[0], b1.read_len)
         clippers.apply_masked_tail_cigar(res, "_2", trims[1], b2.read_len)
         from .align.gapped import polish_gapped
+        from .align.indel import polish_simple_indels
         polish_gapped(self.index, self.cfg, res, m1.bases, "_1", quals=m1.quals)
         polish_gapped(self.index, self.cfg, res, m2.bases, "_2", quals=m2.quals)
+        polish_simple_indels(self.index, self.cfg, res, m1.bases, "_1",
+                             quals=m1.quals)
+        polish_simple_indels(self.index, self.cfg, res, m2.bases, "_2",
+                             quals=m2.quals)
         g_codes = self.index.genome.codes
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "_1", g_codes, m1.bases)

@@ -96,3 +96,35 @@ def test_mismatchy_but_gapless_read_kept_ungapped(ref):
     assert recs[0].is_mapped
     assert recs[0].pos == p + 1
     assert recs[0].cigar == f"{READ_LEN}M"
+
+
+def test_long_deletion_via_simple_indel(ref):
+    """30-base deletion exceeds the SW band; the anchor-pair long-indel
+    polish (SimpleIndelAligner analog) must recover it."""
+    genome, seq, index = ref
+    p = 9500
+    read = seq[p : p + 40] + seq[p + 70 : p + 70 + 40]   # 30D after 40
+    batch = batch_from_reads(["del30"], [read])
+    aligner = Aligner.create(index, read_len=READ_LEN)
+    rec = aligner.align_to_sam(batch)[0]
+    assert rec.is_mapped
+    assert rec.pos == p + 1
+    assert rec.cigar == "40M30D40M", rec.cigar
+    assert rec.tags["NM"] == ("i", 30)
+    assert rec.mapq >= 40
+
+
+def test_long_insertion_via_simple_indel(ref):
+    genome, seq, index = ref
+    p = 1000
+    rng = np.random.default_rng(123)
+    ins = "".join("ACGT"[i] for i in rng.integers(0, 4, 25))
+    # 100bp read: both flanks must fit a full 32-mer seed for anchoring
+    read = seq[p : p + 40] + ins + seq[p + 40 : p + 75]  # 40M25I35M
+    batch = batch_from_reads(["ins25"], [read])
+    aligner = Aligner.create(index, read_len=100)
+    rec = aligner.align_to_sam(batch)[0]
+    assert rec.is_mapped
+    assert rec.pos == p + 1
+    assert rec.cigar in ("40M25I35M", "39M25I36M", "41M25I34M"), rec.cigar
+    assert rec.tags["NM"][1] >= 25
