@@ -47,6 +47,9 @@ def _cmd_align(args) -> int:
         clip_semialigned=not args.no_clip_semialigned,
         clip_overlapping=not args.no_clip_overlapping,
         adapters=tuple(args.adapter or ()),
+        sample_sheet=args.sample_sheet,
+        barcode_fastq=args.barcode_fastq,
+        barcode_mismatches=args.barcode_mismatches,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -87,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--no-clip-overlapping", action="store_true")
     al.add_argument("--adapter", action="append", default=None,
                     help="adapter sequence to clip (repeatable)")
+    al.add_argument("--sample-sheet", default=None,
+                    help="CSV with barcode,sample[,project,lane] columns")
+    al.add_argument("--barcode-fastq", default=None,
+                    help="index (I1) FASTQ aligned with fastq1 order")
+    al.add_argument("--barcode-mismatches", type=int, default=1)
     al.add_argument("--start-from", default=None,
                     help="rewind to this state before running")
     al.add_argument("--stop-at", default="BamDone")

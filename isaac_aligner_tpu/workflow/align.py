@@ -58,6 +58,10 @@ class WorkflowOptions:
     clip_semialigned: bool = True
     clip_overlapping: bool = True
     adapters: tuple[str, ...] = ()
+    # demultiplexing (reference: lib/demultiplexing + BarcodeBamMapping)
+    sample_sheet: str | None = None     # CSV with barcode,sample[,project,lane]
+    barcode_fastq: str | None = None    # index (I1) FASTQ, synchronized order
+    barcode_mismatches: int = 1
 
 
 class AlignWorkflow:
@@ -158,6 +162,7 @@ class AlignWorkflow:
         clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters))
+        barcode_of = self._resolve_barcodes()
         if self.opts.fastq2:
             aligner = PairedAligner.create(
                 index, read_len=read_len,
@@ -170,6 +175,19 @@ class AlignWorkflow:
             aligner = Aligner.create(index, read_len=read_len, **clip_kw)
             for b1, _ in batches:
                 records.extend(aligner.align_to_sam(b1))
+        if barcode_of is not None:
+            from ..demultiplexing.samplesheet import UNKNOWN_SAMPLE
+            specs = {sp.index: sp for sp in self._sample_specs()}
+            demux_counts: dict[str, int] = {}
+            for r in records:
+                bi = barcode_of.get(r.qname, -1)
+                sample = specs[bi].sample if bi >= 0 else UNKNOWN_SAMPLE
+                r.set_tag("RG", "Z", sample)
+                if not (r.flag & sam.FLAG_READ2):
+                    demux_counts[sample] = demux_counts.get(sample, 0) + 1
+            self._stats["demultiplexing"] = demux_counts
+            (self.stats_dir / "DemultiplexingStats.json").write_text(
+                json.dumps(demux_counts, indent=2))
         for r in records:
             stats["total_reads"] += 1
             if r.is_mapped:
@@ -184,6 +202,25 @@ class AlignWorkflow:
         genome = index.genome
         sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
                       sample=self.opts.sample)
+
+    def _sample_specs(self):
+        from ..demultiplexing.samplesheet import parse_sample_sheet
+        return parse_sample_sheet(self.opts.sample_sheet)
+
+    def _resolve_barcodes(self) -> dict[str, int] | None:
+        """Read-name -> barcode index map from the I1 FASTQ (reference
+        BarcodeResolver over BCL barcode cycles)."""
+        if not self.opts.sample_sheet:
+            return None
+        from ..demultiplexing.resolver import resolve_barcodes
+        specs = self._sample_specs()
+        if self.opts.barcode_fastq:
+            i1 = read_fastq(self.opts.barcode_fastq)
+            idx = resolve_barcodes(i1.bases, specs,
+                                   self.opts.barcode_mismatches)
+            return {n: int(i) for n, i in zip(i1.names, idx)}
+        # no index read: single no-index sample takes everything
+        return {}
 
     def _phase_reports(self) -> None:
         """MatchSelectorStats.xml / AlignmentReportGenerator analog:
@@ -213,9 +250,23 @@ class AlignWorkflow:
         self._stats["build"] = {"records": len(records), "duplicates": dup}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
-        write_bam(self.out / "sorted.bam", records, index.genome.contigs,
-                  compression_level=self.opts.compression_level,
-                  sample=self.opts.sample)
+        if self.opts.sample_sheet:
+            # per-sample BAMs (reference BarcodeBamMapping: one output
+            # stream per project/sample)
+            by_sample: dict[str, list[sam.SamRecord]] = {}
+            for r in records:
+                rg = r.tags.get("RG", ("Z", "unknown"))[1]
+                by_sample.setdefault(str(rg), []).append(r)
+            for sample_name, recs in by_sample.items():
+                d = self.out / sample_name
+                d.mkdir(parents=True, exist_ok=True)
+                write_bam(d / "sorted.bam", recs, index.genome.contigs,
+                          compression_level=self.opts.compression_level,
+                          sample=sample_name)
+        else:
+            write_bam(self.out / "sorted.bam", records, index.genome.contigs,
+                      compression_level=self.opts.compression_level,
+                      sample=self.opts.sample)
 
     # -- driver -------------------------------------------------------------
 
