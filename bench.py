@@ -90,6 +90,22 @@ def main() -> None:
 
     total_reads = TIMED_BATCHES * BATCH
     rps = total_reads / dt
+
+    # secondary metric: banded Smith-Waterman GCUPS (BASELINE.json asks for
+    # the SW kernel at per-chip roofline; cells = pairs * L * BAND)
+    from isaac_aligner_tpu.ops import sw
+    n_pairs = 16_384
+    q = rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32)
+    db = rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)).astype(np.int32)
+    qd, dbd = jax.numpy.asarray(q), jax.numpy.asarray(db)
+    out_sw = sw.banded_sw_jit(qd, dbd)
+    jax.device_get(out_sw[0])           # compile + first-fetch flush
+    t0 = time.time()
+    reps = 4
+    outs_sw = [sw.banded_sw_jit(qd, dbd)[0] for _ in range(reps)]
+    jax.block_until_ready(outs_sw)
+    sw_dt = time.time() - t0
+    gcups = reps * n_pairs * READ_LEN * sw.BAND / sw_dt / 1e9
     print(json.dumps({
         "metric": "reads_per_sec_per_chip",
         "value": round(rps, 1),
@@ -100,6 +116,7 @@ def main() -> None:
             "batch": BATCH,
             "timed_batches": TIMED_BATCHES,
             "aligned_frac": round(aligned / total_reads, 4),
+            "banded_sw_gcups": round(gcups, 2),
             "index_build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),
         },

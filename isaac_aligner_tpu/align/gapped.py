@@ -170,9 +170,8 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
         chunk = slice(lo, min(lo + block, len(metas)))
         q_arr = np.stack(queries[chunk.start : chunk.stop])
         db_arr = np.stack(dbs[chunk.start : chunk.stop])
-        gfin, tb = sw.banded_sw(q_arr, db_arr)
-        gfin = np.asarray(gfin)
-        tb = np.asarray(tb)
+        import jax
+        gfin, tb = jax.device_get(sw.banded_sw_jit(q_arr, db_arr))
         for k, (r, win_start, left) in enumerate(metas[chunk]):
             exit_d = int(np.argmax(gfin[k]))
             ops, first_db = sw.traceback(tb[k], exit_d)

@@ -37,6 +37,7 @@ def _cmd_align(args) -> int:
         output_dir=args.output_directory,
         fastq1=args.fastq1,
         fastq2=args.fastq2,
+        bam_input=args.bam,
         seed_len=args.seed_length,
         batch_size=args.batch_size,
         keep_duplicates=not args.remove_duplicates,
@@ -75,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     al = sub.add_parser("align", help="align FASTQ reads to a reference")
     al.add_argument("-r", "--reference", required=True,
                     help="FASTA file or saved index directory")
-    al.add_argument("-1", "--fastq1", required=True)
+    al.add_argument("-1", "--fastq1", default=None)
+    al.add_argument("-b", "--bam", default=None,
+                    help="realign reads from an existing BAM instead of FASTQ")
     al.add_argument("-2", "--fastq2", default=None)
     al.add_argument("-o", "--output-directory", required=True)
     al.add_argument("-s", "--seed-length", type=int, default=32)
@@ -102,8 +105,87 @@ def main(argv: list[str] | None = None) -> int:
                     help="continue from the saved checkpoint state")
     al.set_defaults(fn=_cmd_align)
 
+    en = sub.add_parser("extract-neighbors",
+                        help="neighbor bitmap (+ optional wig) from an index")
+    en.add_argument("-i", "--index", required=True)
+    en.add_argument("-o", "--output", required=True, help=".npy bitmap path")
+    en.add_argument("--wig", default=None)
+    en.set_defaults(fn=_cmd_extract_neighbors)
+
+    mr = sub.add_parser("merge-references",
+                        help="merge indexes over disjoint contig sets")
+    mr.add_argument("-i", "--index", action="append", required=True)
+    mr.add_argument("-o", "--output-directory", required=True)
+    mr.set_defaults(fn=_cmd_merge_references)
+
+    rr = sub.add_parser("reorder-reference",
+                        help="reorder contigs into karyotype order")
+    rr.add_argument("-i", "--index", required=True)
+    rr.add_argument("-o", "--output-directory", required=True)
+    rr.add_argument("--order", required=True,
+                    help="comma-separated contig names")
+    rr.set_defaults(fn=_cmd_reorder_reference)
+
+    pk = sub.add_parser("pack-reference", help="tar.gz an index directory")
+    pk.add_argument("-i", "--index", required=True)
+    pk.add_argument("-o", "--output", required=True)
+    pk.set_defaults(fn=lambda a: (_pack(a), 0)[1])
+
+    up = sub.add_parser("unpack-reference", help="extract a packed index")
+    up.add_argument("-i", "--input", required=True)
+    up.add_argument("-o", "--output-directory", required=True)
+    up.set_defaults(fn=lambda a: (_unpack(a), 0)[1])
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def _cmd_extract_neighbors(args) -> int:
+    import numpy as np
+    from .index.build import SeedIndex
+    from .index.tools import bitmap_to_wig, extract_neighbor_bitmap
+
+    index = SeedIndex.load(args.index)
+    bitmap = extract_neighbor_bitmap(index)
+    np.save(args.output, bitmap)
+    if args.wig:
+        bitmap_to_wig(bitmap, index.genome, args.wig)
+    print(f"neighbor bitmap: {int(np.unpackbits(bitmap).sum())} marked "
+          f"positions -> {args.output}")
+    return 0
+
+
+def _cmd_merge_references(args) -> int:
+    from .index.build import SeedIndex
+    from .index.tools import merge_indexes
+
+    merged = merge_indexes([SeedIndex.load(d) for d in args.index])
+    merged.save(args.output_directory)
+    print(f"merged {len(args.index)} indexes: {merged.num_records} records")
+    return 0
+
+
+def _cmd_reorder_reference(args) -> int:
+    from .index.build import SeedIndex
+    from .index.tools import reorder_reference
+
+    out = reorder_reference(SeedIndex.load(args.index),
+                            args.order.split(","))
+    out.save(args.output_directory)
+    print(f"reordered contigs: {[c.name for c in out.genome.contigs]}")
+    return 0
+
+
+def _pack(args) -> None:
+    from .index.tools import pack_reference
+    pack_reference(args.index, args.output)
+    print(f"packed -> {args.output}")
+
+
+def _unpack(args) -> None:
+    from .index.tools import unpack_reference
+    unpack_reference(args.input, args.output_directory)
+    print(f"unpacked -> {args.output_directory}")
 
 
 if __name__ == "__main__":

@@ -115,7 +115,10 @@ def _sw_body(scores, q_ref, db_ref, gfin_ref, tb_ref):
         te = jnp.where(from_e2 > jnp.maximum(a_g_dm1, a_f_dm1), 1,
                        jnp.where(a_f_dm1 > a_g_dm1, 2, 0))
 
-        tb_ref[pl.ds(i, 1), :, :] = (tg + te * 4 + tf * 16)[None, :, :]
+        # 2D flattened store [L*BAND, P]: a [BAND, P] dynamic-row store is
+        # ~125x faster than the equivalent [1, BAND, P] 3D store (Mosaic
+        # lowers the latter through a pathological relayout)
+        tb_ref[pl.ds(i * BAND, BAND), :] = tg + te * 4 + tf * 16
         return new_g, new_e, new_f
 
     # row-0 entry: free start at any band offset => diagonal predecessor 0
@@ -162,7 +165,7 @@ def banded_sw(query: jax.Array, db: jax.Array,
         functools.partial(_sw_body, scores),
         out_shape=(
             jax.ShapeDtypeStruct((BAND, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((l, BAND, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((l * BAND, n_pad), jnp.int32),
         ),
         grid=grid,
         in_specs=[
@@ -171,12 +174,21 @@ def banded_sw(query: jax.Array, db: jax.Array,
         ],
         out_specs=(
             pl.BlockSpec((BAND, block), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, BAND, block), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l * BAND, block), lambda b: (0, b), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(qT, dbT)
 
-    return gfin.T[:n], jnp.transpose(tb, (2, 0, 1))[:n]
+    tb3 = tb.reshape(l, BAND, n_pad)
+    return gfin.T[:n], jnp.transpose(tb3, (2, 0, 1))[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("scores", "interpret"))
+def banded_sw_jit(query, db, scores=BWA_SCORES, interpret=None):
+    """Jitted banded_sw — ALWAYS prefer this entry point: the padding and
+    layout transposes around the kernel otherwise dispatch as eager ops,
+    which is pathologically slow on the tunneled TPU backend."""
+    return banded_sw(query, db, scores=scores, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -44,8 +44,9 @@ STATES = ("Start", "TlsDone", "AlignDone", "ReportsDone", "BamDone")
 class WorkflowOptions:
     reference: str                      # FASTA path or saved index directory
     output_dir: str
-    fastq1: str
+    fastq1: str | None = None
     fastq2: str | None = None           # paired-end when set
+    bam_input: str | None = None        # realign from an existing BAM
     seed_len: int = 32
     batch_size: int = 4096
     tls_batches: int = 4
@@ -73,6 +74,7 @@ class AlignWorkflow:
         for d in (self.out, self.temp, self.stats_dir):
             d.mkdir(parents=True, exist_ok=True)
         self.state = "Start"
+        self._reads_cache = None
         self.tls: TlsStatic | None = None
         self._index: SeedIndex | None = None
         self._stats: dict = {}
@@ -116,9 +118,27 @@ class AlignWorkflow:
                 self._index = build_index(genome, seed_len=self.opts.seed_len)
         return self._index
 
+    @property
+    def _paired(self) -> bool:
+        if self.opts.bam_input:
+            return self._load_all_reads()[1] is not None
+        return bool(self.opts.fastq2)
+
+    def _load_all_reads(self):
+        if getattr(self, "_reads_cache", None) is None:
+            if self.opts.bam_input:
+                from ..io.bam_input import reads_from_bam
+                self._reads_cache = reads_from_bam(self.opts.bam_input)
+            else:
+                if not self.opts.fastq1:
+                    raise ValueError("need --fastq1 or --bam input")
+                b1 = read_fastq(self.opts.fastq1)
+                b2 = read_fastq(self.opts.fastq2) if self.opts.fastq2 else None
+                self._reads_cache = (b1, b2)
+        return self._reads_cache
+
     def _read_batches(self) -> list[tuple[ReadBatch, ReadBatch | None]]:
-        b1 = read_fastq(self.opts.fastq1)
-        b2 = read_fastq(self.opts.fastq2) if self.opts.fastq2 else None
+        b1, b2 = self._load_all_reads()
         if b2 is not None and b1.count != b2.count:
             raise ValueError("fastq1/fastq2 read counts differ")
         bs = self.opts.batch_size
@@ -140,7 +160,7 @@ class AlignWorkflow:
     # -- phases -------------------------------------------------------------
 
     def _phase_tls(self) -> None:
-        if not self.opts.fastq2:
+        if not self._paired:
             self.tls = None
             return
         index = self._load_index()
@@ -163,7 +183,7 @@ class AlignWorkflow:
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters))
         barcode_of = self._resolve_barcodes()
-        if self.opts.fastq2:
+        if self._paired:
             aligner = PairedAligner.create(
                 index, read_len=read_len,
                 clip_overlapping=o.clip_overlapping, **clip_kw)
