@@ -51,6 +51,7 @@ def _cmd_align(args) -> int:
         sample_sheet=args.sample_sheet,
         barcode_fastq=args.barcode_fastq,
         barcode_mismatches=args.barcode_mismatches,
+        realign_gaps=args.realign_gaps,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -98,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--barcode-fastq", default=None,
                     help="index (I1) FASTQ aligned with fastq1 order")
     al.add_argument("--barcode-mismatches", type=int, default=1)
+    al.add_argument("--realign-gaps", default="sample",
+                    choices=("no", "sample", "project", "all"),
+                    help="realign reads against indels seen in other reads"
+                         " (gap-sharing scope)")
     al.add_argument("--start-from", default=None,
                     help="rewind to this state before running")
     al.add_argument("--stop-at", default="BamDone")

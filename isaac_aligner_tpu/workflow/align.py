@@ -63,6 +63,9 @@ class WorkflowOptions:
     sample_sheet: str | None = None     # CSV with barcode,sample[,project,lane]
     barcode_fastq: str | None = None    # index (I1) FASTQ, synchronized order
     barcode_mismatches: int = 1
+    # known-gap realignment in the Build phase (reference --realign-gaps:
+    # no | sample | project | all — gap-sharing scope across samples)
+    realign_gaps: str = "sample"
 
 
 class AlignWorkflow:
@@ -266,8 +269,25 @@ class AlignWorkflow:
         records = coordinate_sort(records, index.genome.contigs)
         if self.opts.mark_duplicates:
             records = mark_duplicates(records, keep=self.opts.keep_duplicates)
+        realigned = 0
+        if self.opts.realign_gaps != "no":
+            from ..build.realign import collect_gaps, realign_records
+            if self.opts.realign_gaps == "all" or not self.opts.sample_sheet:
+                groups = [records]
+            else:
+                # per-sample (or per-project) gap scope: group on the RG tag
+                by_scope: dict[str, list[sam.SamRecord]] = {}
+                for r in records:
+                    rg = str(r.tags.get("RG", ("Z", "default"))[1])
+                    by_scope.setdefault(rg, []).append(r)
+                groups = list(by_scope.values())
+            for grp in groups:
+                realigned += realign_records(grp, index.genome,
+                                             collect_gaps(grp))
+            records = coordinate_sort(records, index.genome.contigs)
         dup = sum(1 for r in records if r.flag & sam.FLAG_DUPLICATE)
-        self._stats["build"] = {"records": len(records), "duplicates": dup}
+        self._stats["build"] = {"records": len(records), "duplicates": dup,
+                                "realigned": realigned}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
         if self.opts.sample_sheet:
