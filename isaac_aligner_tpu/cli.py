@@ -38,6 +38,10 @@ def _cmd_align(args) -> int:
         fastq1=args.fastq1,
         fastq2=args.fastq2,
         bam_input=args.bam,
+        run_folder=args.run_folder,
+        lanes=tuple(int(x) for x in args.lane.split(",")) if args.lane else None,
+        tiles=tuple(int(x) for x in args.tile.split(",")) if args.tile else None,
+        pf_only=not args.keep_non_pf,
         seed_len=args.seed_length,
         batch_size=args.batch_size,
         keep_duplicates=not args.remove_duplicates,
@@ -81,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("-b", "--bam", default=None,
                     help="realign reads from an existing BAM instead of FASTQ")
     al.add_argument("-2", "--fastq2", default=None)
+    al.add_argument("--run-folder", default=None,
+                    help="Illumina BCL run folder (RunInfo.xml + BaseCalls)")
+    al.add_argument("--lane", default=None,
+                    help="comma-separated lane subset for --run-folder")
+    al.add_argument("--tile", default=None,
+                    help="comma-separated tile subset for --run-folder")
+    al.add_argument("--keep-non-pf", action="store_true",
+                    help="keep clusters failing the chastity filter")
     al.add_argument("-o", "--output-directory", required=True)
     al.add_argument("-s", "--seed-length", type=int, default=32)
     al.add_argument("--batch-size", type=int, default=4096)

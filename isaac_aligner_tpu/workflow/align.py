@@ -47,6 +47,10 @@ class WorkflowOptions:
     fastq1: str | None = None
     fastq2: str | None = None           # paired-end when set
     bam_input: str | None = None        # realign from an existing BAM
+    run_folder: str | None = None       # BCL run folder (native Illumina input)
+    lanes: tuple[int, ...] | None = None    # BCL lane subset (default: all)
+    tiles: tuple[int, ...] | None = None    # BCL tile subset (default: all)
+    pf_only: bool = True                # BCL: drop non-pass-filter clusters
     seed_len: int = 32
     batch_size: int = 4096
     tls_batches: int = 4
@@ -123,7 +127,7 @@ class AlignWorkflow:
 
     @property
     def _paired(self) -> bool:
-        if self.opts.bam_input:
+        if self.opts.bam_input or self.opts.run_folder:
             return self._load_all_reads()[1] is not None
         return bool(self.opts.fastq2)
 
@@ -132,9 +136,18 @@ class AlignWorkflow:
             if self.opts.bam_input:
                 from ..io.bam_input import reads_from_bam
                 self._reads_cache = reads_from_bam(self.opts.bam_input)
+            elif self.opts.run_folder:
+                from ..io.bcl import load_run_reads
+                b1, b2, barcodes = load_run_reads(
+                    self.opts.run_folder,
+                    lanes=list(self.opts.lanes) if self.opts.lanes else None,
+                    tiles=list(self.opts.tiles) if self.opts.tiles else None,
+                    pf_only=self.opts.pf_only)
+                self._bcl_barcodes = barcodes
+                self._reads_cache = (b1, b2)
             else:
                 if not self.opts.fastq1:
-                    raise ValueError("need --fastq1 or --bam input")
+                    raise ValueError("need --fastq1, --run-folder or --bam input")
                 b1 = read_fastq(self.opts.fastq1)
                 b2 = read_fastq(self.opts.fastq2) if self.opts.fastq2 else None
                 self._reads_cache = (b1, b2)
@@ -237,6 +250,12 @@ class AlignWorkflow:
             return None
         from ..demultiplexing.resolver import resolve_barcodes
         specs = self._sample_specs()
+        if self.opts.run_folder:
+            # BCL path: barcode cycles came straight off the index reads
+            b1, _ = self._load_all_reads()
+            idx = resolve_barcodes(self._bcl_barcodes, specs,
+                                   self.opts.barcode_mismatches)
+            return {n: int(i) for n, i in zip(b1.names, idx)}
         if self.opts.barcode_fastq:
             i1 = read_fastq(self.opts.barcode_fastq)
             idx = resolve_barcodes(i1.bases, specs,
