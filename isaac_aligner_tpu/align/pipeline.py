@@ -70,6 +70,14 @@ class AlignConfig:
     # (the reference gates rescue via hash-hit heuristics + later quality
     # filters, ShadowAligner.cpp; a fraction cap is the tensorized stand-in)
     rescue_max_mismatch_frac: float = 0.25
+    # neighbor second-chance matching (reference NeighborMaskMatcher,
+    # --neighborhood-size-threshold, default 0 = disabled as in
+    # AlignOptions.cpp:96): seeds with no exact hit scan their 16-base
+    # prefix block for suffix-Hamming<=1 reference k-mers, provided the
+    # block holds <= threshold records.  Blocks larger than the static
+    # scan cap are skipped (fixed-shape honesty).
+    neighborhood_size_threshold: int = 0
+    neighbor_scan_cap: int = 32
 
 
 def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -219,15 +227,55 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     clean = hit_valid & (hit_nb == 0)
 
     # candidate must lie fully inside one contig (no clipping support yet)
-    cid = jnp.searchsorted(arrays.contig_starts, start, side="right") - 1
-    cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
-    in_contig = (start >= arrays.contig_starts[cid]) & \
-                (start + read_len <= arrays.contig_ends[cid])
-    valid = hit_valid & in_contig & (start >= 0)
+    def contig_bounded(start_arr):
+        cid = jnp.searchsorted(arrays.contig_starts, start_arr, side="right") - 1
+        cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
+        return (start_arr >= arrays.contig_starts[cid]) & \
+               (start_arr + read_len <= arrays.contig_ends[cid])
+
+    valid = hit_valid & contig_bounded(start) & (start >= 0)
 
     diag = {"seed_match_counts": count, "seed_too_many": too_many}
     flat = lambda x: x.reshape(b, -1)
-    return flat(start), flat(orient), flat(valid), flat(clean), diag
+    starts_f, orients_f = [flat(start)], [flat(orient)]
+    valids_f, cleans_f = [flat(valid)], [flat(clean)]
+
+    if cfg.neighborhood_size_threshold > 0 and cfg.seed_len == 32:
+        # NeighborMaskMatcher analog: for seeds with NO exact hit, scan the
+        # sorted block sharing the 16-base prefix for k-mers whose 16-base
+        # suffix is within Hamming distance 1 of the seed's.  XOR of the
+        # biased low words cancels the order bias (both are x ^ 0x80000000),
+        # then 2-bit symbol-difference + popcount — the reference's
+        # areNeighbors Hamming over 2-bit chunks, fully vectorized.
+        p_begin, p_count = search.sorted_prefix_range(
+            arrays.key_hi, arrays.key_lo, q_hi, arrays.n_real)
+        scan = cfg.neighbor_scan_cap
+        eligible = (eff == 0) & ~too_many & ~seed_has_n & \
+            (p_count > 0) & \
+            (p_count <= min(cfg.neighborhood_size_threshold, scan))
+        r2 = jnp.arange(scan, dtype=jnp.int32)
+        nb_idx = p_begin[:, :, None] + r2[None, None, :]       # [B, S, SC]
+        nb_idx_c = jnp.minimum(nb_idx, arrays.key_hi.shape[0] - 1)
+        in_block = r2[None, None, :] < p_count[:, :, None]
+        entry_lo = arrays.key_lo[nb_idx_c]
+        xor = jnp.bitwise_xor(entry_lo, q_lo[:, :, None]).astype(jnp.uint32)
+        sym_diff = (xor | (xor >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+        ham = jax.lax.population_count(sym_diff).astype(jnp.int32)
+        nb_pos = arrays.pos[nb_idx_c]
+        nb_ok = eligible[:, :, None] & in_block & (ham <= 1) & \
+            (nb_pos != TOO_MANY_POS)
+        nb_start = nb_pos - qoff_arr[None, :, None]
+        nb_orient = jnp.broadcast_to(orient_arr[None, :, None], nb_start.shape)
+        nb_valid = nb_ok & contig_bounded(nb_start) & (nb_start >= 0)
+        starts_f.append(flat(nb_start))
+        orients_f.append(flat(nb_orient))
+        valids_f.append(flat(nb_valid))
+        # a neighbor hit carries a mismatch: never a clean anchor
+        cleans_f.append(flat(jnp.zeros_like(nb_ok)))
+        diag["neighbor_hits"] = jnp.sum(nb_valid, axis=(1, 2))
+
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+    return cat(starts_f), cat(orients_f), cat(valids_f), cat(cleans_f), diag
 
 
 def dedup_candidates(start_f, orient_f, valid_f, clean_f, max_candidates: int):

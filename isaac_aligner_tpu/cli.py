@@ -44,6 +44,7 @@ def _cmd_align(args) -> int:
         pf_only=not args.keep_non_pf,
         seed_len=args.seed_length,
         batch_size=args.batch_size,
+        neighborhood_size_threshold=args.neighborhood_size_threshold,
         keep_duplicates=not args.remove_duplicates,
         mark_duplicates=not args.no_mark_duplicates,
         gapped=not args.no_gapped,
@@ -96,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("-o", "--output-directory", required=True)
     al.add_argument("-s", "--seed-length", type=int, default=32)
     al.add_argument("--batch-size", type=int, default=4096)
+    al.add_argument("--neighborhood-size-threshold", type=int, default=0,
+                    help="enable Hamming<=1 neighbor seed matching for"
+                         " prefix blocks up to this size (0 disables)")
     al.add_argument("--sample", default="sample")
     al.add_argument("--remove-duplicates", action="store_true")
     al.add_argument("--no-mark-duplicates", action="store_true")

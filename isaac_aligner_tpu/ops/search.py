@@ -70,3 +70,18 @@ def sorted_range(key_hi, key_lo, q_hi, q_lo, n_real):
     lower = jnp.minimum(lower, n_real)
     upper = jnp.minimum(upper, n_real)
     return lower, upper - lower
+
+
+def sorted_prefix_range(key_hi, key_lo, q_hi, n_real):
+    """Match range of each query's HIGH word alone (the 16-base prefix
+    block of the reference's NeighborMaskMatcher,
+    lib/alignment/matchFinder/NeighborMaskMatcher.cpp:44-268).
+
+    Returns (begin, count) of all records whose key_hi equals q_hi,
+    regardless of key_lo.
+    """
+    lower = _count_prefix(key_hi, key_lo, lambda h, l: h < q_hi, jnp.shape(q_hi))
+    upper = _count_prefix(key_hi, key_lo, lambda h, l: h <= q_hi, jnp.shape(q_hi))
+    lower = jnp.minimum(lower, n_real)
+    upper = jnp.minimum(upper, n_real)
+    return lower, upper - lower

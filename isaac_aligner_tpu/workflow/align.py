@@ -53,6 +53,8 @@ class WorkflowOptions:
     pf_only: bool = True                # BCL: drop non-pass-filter clusters
     seed_len: int = 32
     batch_size: int = 4096
+    # reference --neighborhood-size-threshold (0 = off, AlignOptions.cpp:96)
+    neighborhood_size_threshold: int = 0
     tls_batches: int = 4
     keep_duplicates: bool = True        # mark, don't remove (reference default)
     mark_duplicates: bool = True
@@ -198,17 +200,21 @@ class AlignWorkflow:
         clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters))
+        cfg = AlignConfig(
+            seed_len=index.seed_len,
+            seed_offsets=default_seed_offsets(read_len, index.seed_len),
+            neighborhood_size_threshold=o.neighborhood_size_threshold)
         barcode_of = self._resolve_barcodes()
         if self._paired:
             aligner = PairedAligner.create(
-                index, read_len=read_len,
+                index, read_len=read_len, cfg=cfg,
                 clip_overlapping=o.clip_overlapping, **clip_kw)
             if self.tls is not None:
                 aligner.tls = self.tls
             for b1, b2 in batches:
                 records.extend(aligner.align_to_sam(b1, b2))
         else:
-            aligner = Aligner.create(index, read_len=read_len, **clip_kw)
+            aligner = Aligner.create(index, read_len=read_len, cfg=cfg, **clip_kw)
             for b1, _ in batches:
                 records.extend(aligner.align_to_sam(b1))
         if barcode_of is not None:
