@@ -42,6 +42,7 @@ def _cmd_align(args) -> int:
         lanes=tuple(int(x) for x in args.lane.split(",")) if args.lane else None,
         tiles=tuple(int(x) for x in args.tile.split(",")) if args.tile else None,
         pf_only=not args.keep_non_pf,
+        use_bases_mask=args.use_bases_mask,
         seed_len=args.seed_length,
         batch_size=args.batch_size,
         neighborhood_size_threshold=args.neighborhood_size_threshold,
@@ -94,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated tile subset for --run-folder")
     al.add_argument("--keep-non-pf", action="store_true",
                     help="keep clusters failing the chastity filter")
+    al.add_argument("--use-bases-mask", default=None,
+                    help="per-cycle y/n/i mask, e.g. y101,i8,y101 or y*,n*")
     al.add_argument("-o", "--output-directory", required=True)
     al.add_argument("-s", "--seed-length", type=int, default=32)
     al.add_argument("--batch-size", type=int, default=4096)

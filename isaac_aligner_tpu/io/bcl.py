@@ -312,25 +312,35 @@ class TileData:
 
 
 def load_tile(run_folder: str | Path, lane: int, tile: int,
-              info: RunInfo | None = None) -> TileData:
-    """Decode all cycles of one tile (rta::BclMapper + FiltersMapper +
-    LocsMapper in one pass)."""
+              info: RunInfo | None = None,
+              use_bases_mask: str | None = None,
+              max_workers: int = 8) -> TileData:
+    """Decode the needed cycles of one tile (rta::BclMapper + FiltersMapper +
+    LocsMapper in one pass).
+
+    `use_bases_mask` follows the reference --use-bases-mask grammar
+    (io/use_bases_mask.py); masked-out ('n') cycles are never read from
+    disk.  Cycle files load on a thread pool (rta::ParallelBclMapper).
+    """
+    from .use_bases_mask import effective_segments
+
     run_folder = Path(run_folder)
     info = info or parse_run_info(run_folder)
     lane_dir = _basecalls_dir(run_folder) / f"L{lane:03d}"
 
+    segments = effective_segments(info, use_bases_mask)
+    needed = sorted({c for _, cycles in segments for c in cycles})
+
     per_cycle_dirs = (lane_dir / "C1.1").is_dir()
     if per_cycle_dirs:
-        bases_by_cycle, quals_by_cycle = [], []
-        for cycle in range(1, info.total_cycles + 1):
+        def fetch(cycle0: int):
+            cycle = cycle0 + 1
             f = _find_tile_file(lane_dir / f"C{cycle}.1", f"s_{lane}_{tile}",
                                 (".bcl", ".bcl.gz", ".bcl.bgzf"))
             if f is None:
                 raise FileNotFoundError(
                     f"missing BCL for lane {lane} tile {tile} cycle {cycle}")
-            b, q = read_bcl(f)
-            bases_by_cycle.append(b)
-            quals_by_cycle.append(q)
+            return read_bcl(f)
     else:
         # NextSeq: one bgzf per cycle holding all tiles, sliced via lane bci
         pairs = _lane_bci(lane_dir, lane)
@@ -340,30 +350,34 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
         ti = tiles.index(tile)
         lo = int(pairs[:ti, 1].sum())
         hi = lo + int(pairs[ti, 1])
-        bases_by_cycle, quals_by_cycle = [], []
-        for cycle in range(1, info.total_cycles + 1):
-            f = _find_tile_file(lane_dir, f"{cycle:04d}", (".bcl.bgzf", ".bcl.gz", ".bcl"))
+
+        def fetch(cycle0: int):
+            cycle = cycle0 + 1
+            f = _find_tile_file(lane_dir, f"{cycle:04d}",
+                                (".bcl.bgzf", ".bcl.gz", ".bcl"))
             if f is None:
                 raise FileNotFoundError(f"missing cycle {cycle} BCL in {lane_dir}")
             b, q = read_bcl(f)
-            bases_by_cycle.append(b[lo:hi])
-            quals_by_cycle.append(q[lo:hi])
+            return b[lo:hi], q[lo:hi]
 
-    count = len(bases_by_cycle[0])
-    for c, b in enumerate(bases_by_cycle):
-        if len(b) != count:
-            raise ValueError(f"cycle {c + 1}: cluster count {len(b)} != {count}")
-    all_bases = np.stack(bases_by_cycle, axis=1)  # [clusters, cycles]
-    all_quals = np.stack(quals_by_cycle, axis=1)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        planes = dict(zip(needed, pool.map(fetch, needed)))
+
+    count = len(planes[needed[0]][0])
+    for c in needed:
+        if len(planes[c][0]) != count:
+            raise ValueError(
+                f"cycle {c + 1}: cluster count {len(planes[c][0])} != {count}")
 
     read_bases, read_quals, index_parts = [], [], []
-    for seg, first, last in info.cycle_ranges():
-        sl = slice(first - 1, last)
-        if seg.is_indexed:
-            index_parts.append(all_bases[:, sl])
+    for is_indexed, cycles in segments:
+        b = np.stack([planes[c][0] for c in cycles], axis=1)
+        if is_indexed:
+            index_parts.append(b)
         else:
-            read_bases.append(np.ascontiguousarray(all_bases[:, sl]))
-            read_quals.append(np.ascontiguousarray(all_quals[:, sl]))
+            read_bases.append(b)
+            read_quals.append(np.stack([planes[c][1] for c in cycles], axis=1))
     barcode = (np.concatenate(index_parts, axis=1) if index_parts
                else np.zeros((count, 0), np.uint8))
 
@@ -414,7 +428,8 @@ def tile_read_batches(td: TileData, info: RunInfo,
 
 
 def load_run_reads(run_folder: str | Path, lanes: list[int] | None = None,
-                   tiles: list[int] | None = None, pf_only: bool = True
+                   tiles: list[int] | None = None, pf_only: bool = True,
+                   use_bases_mask: str | None = None
                    ) -> tuple[ReadBatch, ReadBatch | None, np.ndarray]:
     """Whole-run loader: concatenates every (lane, tile) into flat
     read1/read2 batches + observed barcode codes (BclSeedSource analog).
@@ -425,7 +440,8 @@ def load_run_reads(run_folder: str | Path, lanes: list[int] | None = None,
     parts1, parts2, bars = [], [], []
     for lane in lanes:
         for tile in (tiles or discover_tiles(run_folder, lane)):
-            td = load_tile(run_folder, lane, tile, info)
+            td = load_tile(run_folder, lane, tile, info,
+                           use_bases_mask=use_bases_mask)
             batches, bar = tile_read_batches(td, info, pf_only)
             if not batches:
                 raise ValueError(f"{run_folder}: no data reads in RunInfo")

@@ -51,6 +51,7 @@ class WorkflowOptions:
     lanes: tuple[int, ...] | None = None    # BCL lane subset (default: all)
     tiles: tuple[int, ...] | None = None    # BCL tile subset (default: all)
     pf_only: bool = True                # BCL: drop non-pass-filter clusters
+    use_bases_mask: str | None = None   # BCL: y/n/i per-cycle mask grammar
     seed_len: int = 32
     batch_size: int = 4096
     # reference --neighborhood-size-threshold (0 = off, AlignOptions.cpp:96)
@@ -144,7 +145,8 @@ class AlignWorkflow:
                     self.opts.run_folder,
                     lanes=list(self.opts.lanes) if self.opts.lanes else None,
                     tiles=list(self.opts.tiles) if self.opts.tiles else None,
-                    pf_only=self.opts.pf_only)
+                    pf_only=self.opts.pf_only,
+                    use_bases_mask=self.opts.use_bases_mask)
                 self._bcl_barcodes = barcodes
                 self._reads_cache = (b1, b2)
             else:
@@ -271,22 +273,22 @@ class AlignWorkflow:
         return {}
 
     def _phase_reports(self) -> None:
-        """MatchSelectorStats.xml / AlignmentReportGenerator analog:
-        machine-readable JSON + a small self-contained HTML report."""
+        """MatchSelectorStats / AlignmentReportGenerator analog: JSON +
+        reference-shaped XML + a self-contained HTML report with inline
+        SVG plots (workflow/reports.py)."""
+        from . import reports
         stats = self._stats.get("match_selector", {})
         (self.stats_dir / "MatchSelectorStats.json").write_text(
             json.dumps(stats, indent=2))
-        total = max(stats.get("total_reads", 0), 1)
-        aligned = stats.get("aligned", 0)
-        rows = "".join(
-            f"<tr><td>{k}</td><td>{v}</td></tr>"
-            for k, v in stats.items() if k != "mapq_hist")
-        html = (
-            "<html><head><title>Alignment report</title></head><body>"
-            f"<h1>Alignment report</h1><table border=1>{rows}"
-            f"<tr><td>percent aligned</td><td>{100.0 * aligned / total:.2f}%"
-            "</td></tr></table></body></html>")
-        (self.stats_dir / "AlignmentReport.html").write_text(html)
+        reports.write_match_selector_stats_xml(
+            stats, self.stats_dir / "MatchSelectorStats.xml",
+            sample=self.opts.sample)
+        if "demultiplexing" in self._stats:
+            reports.write_demultiplexing_stats_xml(
+                self._stats["demultiplexing"],
+                self.stats_dir / "DemultiplexingStats.xml")
+        reports.write_html_report(self._stats,
+                                  self.stats_dir / "AlignmentReport.html")
 
     def _phase_bam(self) -> None:
         index = self._load_index()
@@ -315,6 +317,9 @@ class AlignWorkflow:
                                 "realigned": realigned}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
+        from . import reports
+        reports.write_build_stats_xml(self._stats["build"],
+                                      self.stats_dir / "BuildStats.xml")
         if self.opts.sample_sheet:
             # per-sample BAMs (reference BarcodeBamMapping: one output
             # stream per project/sample)

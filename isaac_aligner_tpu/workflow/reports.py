@@ -1,0 +1,132 @@
+"""Stats artifacts: XML files + self-contained HTML report.
+
+Reference analogs:
+  - MatchSelectorStats.xml   lib/alignment/matchSelector/MatchSelectorStatsXml.cpp
+  - DemultiplexingStats.xml  FindMatchesTransition.cpp:606-659
+  - BuildStats.xml           lib/build/BuildStatsXml.cpp
+  - HTML report              lib/reports/AlignmentReportGenerator.cpp:65-154
+    (libxslt + gnuplot there; a direct HTML writer with inline SVG plots
+    here — no external tools).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+
+def _write(root: ET.Element, path: Path) -> None:
+    ET.indent(root)
+    ET.ElementTree(root).write(path, encoding="utf-8", xml_declaration=True)
+
+
+def write_match_selector_stats_xml(stats: dict, path: str | Path,
+                                   sample: str = "sample") -> None:
+    """Yield / alignment-quality stats (MatchSelectorStatsXml.cpp layout:
+    Stats/Flowcell/Lane/Tile nesting collapses to one logical tile here —
+    the device pipeline has no physical tiles)."""
+    root = ET.Element("Stats")
+    fc = ET.SubElement(root, "Flowcell", {"flowcell-id": "all"})
+    proj = ET.SubElement(fc, "Project", name="default")
+    smp = ET.SubElement(proj, "Sample", name=sample)
+    bc = ET.SubElement(smp, "Barcode", name="all")
+    tile = ET.SubElement(bc, "Tile", number="0")
+    frag = ET.SubElement(tile, "AllFragments")
+    total = int(stats.get("total_reads", 0))
+    aligned = int(stats.get("aligned", 0))
+    ET.SubElement(frag, "Count").text = str(total)
+    ET.SubElement(frag, "Aligned").text = str(aligned)
+    ET.SubElement(frag, "Perfect").text = str(stats.get("perfect", 0))
+    ET.SubElement(frag, "ProperPairs").text = str(stats.get("proper_pairs", 0))
+    pct = 100.0 * aligned / total if total else 0.0
+    ET.SubElement(frag, "PercentAligned").text = f"{pct:.2f}"
+    hist = stats.get("mapq_hist")
+    if hist:
+        h = ET.SubElement(frag, "MapqDistribution")
+        for q, n in enumerate(hist):
+            if n:
+                ET.SubElement(h, "Mapq", value=str(q)).text = str(int(n))
+    _write(root, Path(path))
+
+
+def write_demultiplexing_stats_xml(counts: dict[str, int],
+                                   path: str | Path) -> None:
+    """Per-sample cluster counts (DemultiplexingStats.xml analog)."""
+    root = ET.Element("Stats")
+    fc = ET.SubElement(root, "Flowcell", {"flowcell-id": "all"})
+    lane = ET.SubElement(fc, "Lane", number="0")
+    for sample_name, n in sorted(counts.items()):
+        b = ET.SubElement(lane, "Barcode", name=sample_name)
+        ET.SubElement(b, "ClusterCount").text = str(int(n))
+    _write(root, Path(path))
+
+
+def write_build_stats_xml(build: dict, path: str | Path) -> None:
+    """Per-run duplicate/realignment counts (BuildStats.xml analog)."""
+    root = ET.Element("Stats")
+    b = ET.SubElement(root, "Bin", index="0")
+    ET.SubElement(b, "Total").text = str(build.get("records", 0))
+    dup = int(build.get("duplicates", 0))
+    ET.SubElement(b, "Unique").text = str(int(build.get("records", 0)) - dup)
+    ET.SubElement(b, "Duplicates").text = str(dup)
+    ET.SubElement(b, "Realigned").text = str(build.get("realigned", 0))
+    _write(root, Path(path))
+
+
+def _mapq_svg(hist: list[int], width: int = 640, height: int = 200) -> str:
+    """Inline SVG bar chart of the MAPQ distribution (the gnuplot analog)."""
+    if not hist or not any(hist):
+        return "<p>no mapped reads</p>"
+    n = len(hist)
+    peak = max(hist)
+    bar_w = width / n
+    bars = []
+    for q, v in enumerate(hist):
+        if not v:
+            continue
+        h = max(1.0, height * v / peak)
+        bars.append(
+            f'<rect x="{q * bar_w:.1f}" y="{height - h:.1f}" '
+            f'width="{max(bar_w - 1, 1):.1f}" height="{h:.1f}" '
+            f'fill="#4878a8"><title>MAPQ {q}: {v}</title></rect>')
+    axis = (f'<line x1="0" y1="{height}" x2="{width}" y2="{height}" '
+            'stroke="#333"/>')
+    labels = "".join(
+        f'<text x="{q * bar_w:.1f}" y="{height + 14}" font-size="10">{q}</text>'
+        for q in range(0, n, 10))
+    return (f'<svg width="{width}" height="{height + 20}" '
+            f'xmlns="http://www.w3.org/2000/svg">{"".join(bars)}{axis}'
+            f'{labels}</svg>')
+
+
+def write_html_report(stats: dict, path: str | Path) -> None:
+    """Self-contained HTML report (AlignmentReportGenerator analog)."""
+    ms = stats.get("match_selector", {})
+    build = stats.get("build", {})
+    demux = stats.get("demultiplexing", {})
+    tls = stats.get("tls", {})
+
+    def table(d: dict, skip=("mapq_hist",)) -> str:
+        rows = "".join(f"<tr><td>{k}</td><td>{v}</td></tr>"
+                       for k, v in d.items() if k not in skip)
+        return f'<table border="1" cellpadding="4">{rows}</table>'
+
+    total = max(int(ms.get("total_reads", 0)), 1)
+    aligned = int(ms.get("aligned", 0))
+    parts = [
+        "<html><head><title>Alignment report</title>",
+        "<style>body{font-family:sans-serif} h2{margin-top:1.5em}</style>",
+        "</head><body><h1>Alignment report</h1>",
+        f"<p><b>{aligned}</b> of <b>{total}</b> reads aligned "
+        f"({100.0 * aligned / total:.2f}%)</p>",
+        "<h2>Match selector</h2>", table(ms),
+        "<h2>MAPQ distribution</h2>", _mapq_svg(ms.get("mapq_hist", [])),
+    ]
+    if tls:
+        parts += ["<h2>Template length statistics</h2>", table(tls)]
+    if demux:
+        parts += ["<h2>Demultiplexing</h2>", table(demux)]
+    if build:
+        parts += ["<h2>Build (sort/dedup/realign)</h2>", table(build)]
+    parts.append("</body></html>")
+    Path(path).write_text("".join(parts))

@@ -1,0 +1,81 @@
+"""Stats XML + HTML report tests (reference: MatchSelectorStatsXml.cpp,
+BuildStatsXml.cpp, AlignmentReportGenerator.cpp)."""
+
+import xml.etree.ElementTree as ET
+
+from isaac_aligner_tpu.workflow import reports
+
+
+def test_match_selector_stats_xml(tmp_path):
+    stats = {"total_reads": 100, "aligned": 95, "perfect": 60,
+             "proper_pairs": 40, "mapq_hist": [0] * 60 + [95]}
+    f = tmp_path / "MatchSelectorStats.xml"
+    reports.write_match_selector_stats_xml(stats, f, sample="s1")
+    root = ET.parse(f).getroot()
+    frag = root.find(".//AllFragments")
+    assert frag.findtext("Count") == "100"
+    assert frag.findtext("Aligned") == "95"
+    assert frag.findtext("PercentAligned") == "95.00"
+    mapqs = frag.findall(".//Mapq")
+    assert len(mapqs) == 1 and mapqs[0].get("value") == "60"
+    assert root.find(".//Sample").get("name") == "s1"
+
+
+def test_demultiplexing_stats_xml(tmp_path):
+    f = tmp_path / "DemultiplexingStats.xml"
+    reports.write_demultiplexing_stats_xml({"sA": 10, "unknown": 3}, f)
+    root = ET.parse(f).getroot()
+    got = {b.get("name"): b.findtext("ClusterCount")
+           for b in root.findall(".//Barcode")}
+    assert got == {"sA": "10", "unknown": "3"}
+
+
+def test_build_stats_xml(tmp_path):
+    f = tmp_path / "BuildStats.xml"
+    reports.write_build_stats_xml(
+        {"records": 50, "duplicates": 5, "realigned": 2}, f)
+    root = ET.parse(f).getroot()
+    b = root.find("Bin")
+    assert b.findtext("Total") == "50"
+    assert b.findtext("Unique") == "45"
+    assert b.findtext("Duplicates") == "5"
+    assert b.findtext("Realigned") == "2"
+
+
+def test_html_report(tmp_path):
+    f = tmp_path / "AlignmentReport.html"
+    reports.write_html_report({
+        "match_selector": {"total_reads": 10, "aligned": 9,
+                           "mapq_hist": [0] * 60 + [9]},
+        "build": {"records": 9, "duplicates": 1},
+        "demultiplexing": {"sA": 9},
+        "tls": {"median": 300},
+    }, f)
+    html = f.read_text()
+    assert "<svg" in html           # the inline MAPQ plot
+    assert "90.00%" in html
+    assert "Demultiplexing" in html
+    assert "Template length" in html
+
+
+def test_workflow_emits_xml(tmp_path):
+    import numpy as np
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(2)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">c\n{seq}\n")
+    fq = tmp_path / "r.fq"
+    read = seq[100:164]
+    fq.write_text(f"@r0\n{read}\n+\n{'I' * 64}\n")
+    out = tmp_path / "out"
+    wf = AlignWorkflow(WorkflowOptions(reference=str(fa), output_dir=str(out),
+                                       fastq1=str(fq), batch_size=8,
+                                       realign_gaps="no"))
+    wf.run()
+    for name in ("MatchSelectorStats.xml", "BuildStats.xml",
+                 "AlignmentReport.html"):
+        assert (out / "Stats" / name).exists(), name
+    root = ET.parse(out / "Stats" / "MatchSelectorStats.xml").getroot()
+    assert root.find(".//AllFragments").findtext("Aligned") == "1"
