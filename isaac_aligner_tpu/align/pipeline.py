@@ -48,6 +48,9 @@ class IndexArrays(NamedTuple):
     # word (big-endian lanes) + 32 N-bits per word; one word of tail padding
     genome_packed: jax.Array   # uint32 [ceil(G/16) + 1]
     genome_nbits: jax.Array    # uint32 [ceil(G/32) + 1]
+    # first-level prefix-bucket table (reference maskWidth sharding as an
+    # O(1) lookup): record range per top-BUCKET_WIDTH-bits prefix
+    bucket_starts: jax.Array   # int32 [2^BUCKET_WIDTH + 1]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +81,11 @@ class AlignConfig:
     # scan cap are skipped (fixed-shape honesty).
     neighborhood_size_threshold: int = 0
     neighbor_scan_cap: int = 32
+    # bucketed seed search: when set, binary search runs inside the
+    # prefix bucket (2^bucket_log2 max records) instead of the full index
+    # — log2 of the LARGEST bucket, host-computed by build_bucket_table.
+    # None = plain full-range search (always correct, slower).
+    bucket_log2: int | None = None
 
 
 def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -124,6 +132,37 @@ def pack_reads(bases: jax.Array) -> jax.Array:
     return jnp.sum(lanes << shifts[None, None, :], axis=2, dtype=jnp.uint32)
 
 
+BUCKET_WIDTH = 16
+
+
+def build_bucket_table(key_hi_i32: np.ndarray,
+                       width: int = BUCKET_WIDTH) -> tuple[np.ndarray, int]:
+    """Host-side first-level lookup table over the sorted key_hi plane.
+
+    Returns (bucket_starts int32 [2^width + 1], bucket_log2) where
+    bucket_starts[m] is the first record whose top `width` key bits are
+    >= m, and 2^bucket_log2 bounds the largest bucket (the static step
+    budget for sorted_range_bucketed).
+    """
+    from ..index.build import unbias_i32_to_u32
+    qu = unbias_i32_to_u32(np.asarray(key_hi_i32, np.int32))
+    n = len(qu)
+    thresholds = (np.arange(1, 1 << width, dtype=np.uint64)
+                  << (32 - width)).astype(np.uint32)
+    edges = np.searchsorted(qu, thresholds, side="left")
+    starts = np.concatenate([[0], edges, [n]]).astype(np.int32)
+    max_bucket = int(np.diff(starts).max()) if n else 1
+    log2 = 0
+    while (1 << log2) < max(max_bucket, 1):
+        log2 += 1
+    return starts, max(log2, 1)
+
+
+def bucket_log2_for(index: SeedIndex, width: int = BUCKET_WIDTH) -> int:
+    """The static step budget matching prepare_index's bucket table."""
+    return build_bucket_table(index.key_hi, width)[1]
+
+
 def prepare_index(index: SeedIndex) -> IndexArrays:
     """Upload a host SeedIndex into padded device planes."""
     n = index.num_records
@@ -138,7 +177,9 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
     nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
     packed, nbits = pack_genome(index.genome.codes)
+    bucket_starts, _ = build_bucket_table(index.key_hi)
     return IndexArrays(
+        bucket_starts=jnp.asarray(bucket_starts),
         has_neighbors=jnp.asarray(nb),
         genome_packed=jnp.asarray(packed),
         genome_nbits=jnp.asarray(nbits),
@@ -206,8 +247,13 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     qoff_arr = jnp.asarray(np.array([s[1] for s in seed_list], np.int32))
     orient_arr = jnp.asarray(np.array([s[0] for s in seed_list], np.int32))
 
-    begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo, q_hi, q_lo,
-                                       arrays.n_real)
+    if cfg.bucket_log2 is not None:
+        begin, count = search.sorted_range_bucketed(
+            arrays.key_hi, arrays.key_lo, q_hi, q_lo, arrays.n_real,
+            arrays.bucket_starts, BUCKET_WIDTH, cfg.bucket_log2)
+    else:
+        begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo,
+                                           q_hi, q_lo, arrays.n_real)
     count = jnp.where(seed_has_n, 0, count)
 
     first_pos = arrays.pos[jnp.minimum(begin, arrays.key_hi.shape[0] - 1)]

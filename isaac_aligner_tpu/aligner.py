@@ -14,11 +14,19 @@ import numpy as np
 
 from . import dna
 from .align import clippers
+from .utils import tracing
 from .align import tls as tls_mod
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
-    default_seed_offsets, score_end
+    bucket_log2_for, default_seed_offsets, score_end
 from .index.build import SeedIndex
+
+
+def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
+    """Fill in the static bucketed-search step budget from the index."""
+    if cfg.bucket_log2 is not None:
+        return cfg
+    return dataclasses.replace(cfg, bucket_log2=bucket_log2_for(index))
 from .io import sam
 from .io.fastq import ReadBatch
 
@@ -39,6 +47,7 @@ class Aligner:
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
+        cfg = _with_bucket_log2(cfg, index)
         return Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
 
     def align_batch_arrays(self, batch: ReadBatch,
@@ -61,6 +70,7 @@ class Aligner:
             polish_simple_indels(self.index, self.cfg, res, bases, quals=quals)
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
+        tracing.trace_batch(batch.names, res)
         return res
 
     def align_to_sam(self, batch: ReadBatch, phred_offset: int = 33) -> list[sam.SamRecord]:
@@ -165,6 +175,7 @@ class PairedAligner:
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
+        cfg = _with_bucket_log2(cfg, index)
         return PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg,
                              **opts)
 
@@ -225,6 +236,8 @@ class PairedAligner:
             clippers.clip_semialigned(res, "_2", g_codes, m2.bases)
         if self.clip_overlapping:
             clippers.clip_overlapping(res, m1, m2, g_codes)
+        tracing.trace_batch(b1.names, res, "_1")
+        tracing.trace_batch(b2.names, res, "_2")
         return res
 
     def _rescue_window(self) -> int:

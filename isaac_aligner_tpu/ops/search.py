@@ -14,6 +14,7 @@ query vector, so the loop is log-depth with full VPU lanes busy.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 I32_MAX = jnp.int32(2**31 - 1)
@@ -67,6 +68,47 @@ def sorted_range(key_hi, key_lo, q_hi, q_lo, n_real):
     """
     lower = _count_prefix(key_hi, key_lo, lambda h, l: _lex_lt(h, l, q_hi, q_lo), jnp.shape(q_hi))
     upper = _count_prefix(key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), jnp.shape(q_hi))
+    lower = jnp.minimum(lower, n_real)
+    upper = jnp.minimum(upper, n_real)
+    return lower, upper - lower
+
+
+def _count_prefix_bounded(key_hi, key_lo, pred, lo, hi, start_step: int):
+    """Like _count_prefix but searching only [lo, hi) per query, with a
+    static power-of-two step schedule starting at start_step.  Requires
+    start_step >= (hi - lo) for every query."""
+    n_pad = key_hi.shape[0]
+    pos = lo
+    step = start_step
+    while step >= 1:
+        probe = jnp.minimum(pos + step - 1, n_pad - 1)
+        ok = (pos + step <= hi) & pred(key_hi[probe], key_lo[probe])
+        pos = jnp.where(ok, pos + step, pos)
+        step //= 2
+    return pos
+
+
+def sorted_range_bucketed(key_hi, key_lo, q_hi, q_lo, n_real, bucket_starts,
+                          width: int, bucket_log2: int):
+    """sorted_range accelerated by a first-level prefix-bucket table.
+
+    This is the TPU rebirth of the reference's maskWidth sharding
+    (oligo::Mask, src/c++/include/oligo/Mask.hh:36; 2^maskWidth sorted
+    shard files): `bucket_starts` [2^width + 1] maps each key's top
+    `width` bits to its record range, so the per-query binary search runs
+    only over one bucket — `bucket_log2`+1 probe steps instead of
+    log2(N)+1.  `bucket_log2` must satisfy 2^bucket_log2 >= the largest
+    bucket (host-computed at index prep; see pipeline.build_bucket_table).
+    """
+    qu = jax.lax.bitcast_convert_type(q_hi, jnp.uint32) ^ jnp.uint32(1 << 31)
+    bucket = (qu >> jnp.uint32(32 - width)).astype(jnp.int32)
+    lo = bucket_starts[bucket]
+    hi = bucket_starts[bucket + 1]
+    start_step = 1 << bucket_log2
+    lower = _count_prefix_bounded(
+        key_hi, key_lo, lambda h, l: _lex_lt(h, l, q_hi, q_lo), lo, hi, start_step)
+    upper = _count_prefix_bounded(
+        key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), lo, hi, start_step)
     lower = jnp.minimum(lower, n_real)
     upper = jnp.minimum(upper, n_real)
     return lower, upper - lower

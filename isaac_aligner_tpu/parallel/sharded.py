@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..align.pipeline import (AlignConfig, IndexArrays, dedup_candidates,
+from ..align.pipeline import (BUCKET_WIDTH, AlignConfig, IndexArrays,
+                              build_bucket_table, dedup_candidates,
                               finalize_single_end, find_seed_hits, pack_genome)
 from ..index.build import SeedIndex, TOO_MANY_POS
 from ..ops import search
@@ -47,6 +48,7 @@ class ShardedIndexArrays(NamedTuple):
     contig_starts: jax.Array
     contig_ends: jax.Array
     has_neighbors: jax.Array  # uint8 [S, m]
+    bucket_starts: jax.Array  # int32 [S, 2^BUCKET_WIDTH + 1] per-shard table
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,
@@ -105,9 +107,14 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
         nb[s, : e - b] = nb_src[b:e]
         n_real[s, 0] = e - b
 
+    buckets = np.zeros((num_shards, (1 << BUCKET_WIDTH) + 1), np.int32)
+    for s in range(num_shards):
+        buckets[s], _ = build_bucket_table(key_hi[s, : n_real[s, 0]])
+
     contigs = index.genome.contigs
     packed, nbits = pack_genome(index.genome.codes)
     return ShardedIndexArrays(
+        bucket_starts=jnp.asarray(buckets),
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
         pos=jnp.asarray(pos),
@@ -131,6 +138,7 @@ def place_sharded(mesh: Mesh, sharded: ShardedIndexArrays) -> ShardedIndexArrays
         key_lo=jax.device_put(sharded.key_lo, shard_spec),
         pos=jax.device_put(sharded.pos, shard_spec),
         has_neighbors=jax.device_put(sharded.has_neighbors, shard_spec),
+        bucket_starts=jax.device_put(sharded.bucket_starts, shard_spec),
         n_real=jax.device_put(sharded.n_real, shard_spec),
         genome=jax.device_put(sharded.genome, repl),
         genome_packed=jax.device_put(sharded.genome_packed, repl),
@@ -148,12 +156,12 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
     Returns the same result dict as align_batch, sharded over `data`.
     """
 
-    def local_fn(key_hi, key_lo, pos, nb, n_real, genome, gpack, gnbits,
-                 cstarts, cends, b, q):
+    def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
+                 gnbits, cstarts, cends, b, q):
         # refs carry a leading shard-block dim of 1 inside shard_map
         local = IndexArrays(
             key_hi=key_hi[0], key_lo=key_lo[0], pos=pos[0],
-            has_neighbors=nb[0],
+            has_neighbors=nb[0], bucket_starts=buckets[0],
             n_real=n_real[0, 0], genome=genome,
             genome_packed=gpack, genome_nbits=gnbits,
             contig_starts=cstarts, contig_ends=cends)
@@ -172,13 +180,14 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
-                  P("shard", None), P("shard", None), P(), P(), P(), P(), P(),
+                  P("shard", None), P("shard", None), P("shard", None),
+                  P(), P(), P(), P(), P(),
                   P("data", None), P("data", None)),
         out_specs=P("data"),
         check_vma=False,
     )
     return fn(sharded.key_hi, sharded.key_lo, sharded.pos,
-              sharded.has_neighbors, sharded.n_real,
+              sharded.has_neighbors, sharded.bucket_starts, sharded.n_real,
               sharded.genome, sharded.genome_packed, sharded.genome_nbits,
               sharded.contig_starts, sharded.contig_ends,
               bases, quals)

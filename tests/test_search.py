@@ -79,3 +79,45 @@ def test_sorted_range_all_max_key_query():
         jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.int32(len(keys)))
     assert int(begin[0]) == 1
     assert int(count[0]) == 2
+
+
+def test_bucketed_search_matches_plain():
+    """sorted_range_bucketed must agree with sorted_range on every query
+    (prefix-bucket table = reference maskWidth sharding as O(1) lookup)."""
+    import numpy as np
+    from isaac_aligner_tpu.align.pipeline import (BUCKET_WIDTH,
+                                                  build_bucket_table)
+    from isaac_aligner_tpu.index.build import bias_u32_to_i32
+    from isaac_aligner_tpu.ops import search
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    # heavy duplication to exercise ranges; keys sorted by (hi, lo)
+    hi = np.sort(rng.integers(0, 2**32, n, dtype=np.uint64)).astype(np.uint32)
+    lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    hi_i, lo_i = bias_u32_to_i32(hi), bias_u32_to_i32(lo)
+
+    n_pad = search.pad_pow2(n)
+    i32max = np.int32(2**31 - 1)
+    key_hi = np.concatenate([hi_i, np.full(n_pad - n, i32max, np.int32)])
+    key_lo = np.concatenate([lo_i, np.full(n_pad - n, i32max, np.int32)])
+
+    starts, log2 = build_bucket_table(hi_i)
+    # queries: half real keys, half random probes
+    qi = rng.integers(0, n, 64)
+    q_hi = np.concatenate([hi_i[qi], bias_u32_to_i32(
+        rng.integers(0, 2**32, 64, dtype=np.uint64).astype(np.uint32))])
+    q_lo = np.concatenate([lo_i[qi], bias_u32_to_i32(
+        rng.integers(0, 2**32, 64, dtype=np.uint64).astype(np.uint32))])
+
+    import jax.numpy as jnp
+    kh, kl = jnp.asarray(key_hi), jnp.asarray(key_lo)
+    qh, ql = jnp.asarray(q_hi.astype(np.int32)), jnp.asarray(q_lo.astype(np.int32))
+    b0, c0 = search.sorted_range(kh, kl, qh, ql, jnp.int32(n))
+    b1, c1 = search.sorted_range_bucketed(kh, kl, qh, ql, jnp.int32(n),
+                                          jnp.asarray(starts), BUCKET_WIDTH,
+                                          log2)
+    np.testing.assert_array_equal(np.array(b0), np.array(b1))
+    np.testing.assert_array_equal(np.array(c0), np.array(c1))
