@@ -341,20 +341,17 @@ class AlignWorkflow:
     # -- driver -------------------------------------------------------------
 
     def step(self) -> None:
-        if self.state == "Start":
-            self._phase_tls()
-            self.state = "TlsDone"
-        elif self.state == "TlsDone":
-            self._phase_align()
-            self.state = "AlignDone"
-        elif self.state == "AlignDone":
-            self._phase_reports()
-            self.state = "ReportsDone"
-        elif self.state == "ReportsDone":
-            self._phase_bam()
-            self.state = "BamDone"
-        else:
+        from ..utils import tracing
+        transitions = {"Start": (self._phase_tls, "TlsDone"),
+                       "TlsDone": (self._phase_align, "AlignDone"),
+                       "AlignDone": (self._phase_reports, "ReportsDone"),
+                       "ReportsDone": (self._phase_bam, "BamDone")}
+        if self.state not in transitions:
             raise RuntimeError(f"cannot step from {self.state}")
+        fn, next_state = transitions[self.state]
+        with tracing.phase(f"workflow {self.state} -> {next_state}"):
+            fn()
+        self.state = next_state
 
     def run(self, start_from: str | None = None, stop_at: str = "BamDone",
             resume: bool = False) -> None:
