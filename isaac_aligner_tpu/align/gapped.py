@@ -30,13 +30,67 @@ from .pipeline import AlignConfig
 #: (BandedSmithWaterman.hh:94 mismatchesCutoff)
 MISMATCHES_CUTOFF = 5
 
-# normalized gap scores (AlignerBase.cpp:38-41) for the bwa preset
-# 0:-3:-11:-4:-20 (AlignOptions.cpp:55): mismatch 3, open 11, extend 4,
-# extend cap 20
-NORM_MISMATCH = 3
-NORM_OPEN = 11
-NORM_EXTEND = 4
-NORM_MAX_EXTEND = 20
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class GapScoring:
+    """--gap-scoring parameters (AlignOptions.cpp:409,693; presets
+    bwa = 0:-3:-11:-4:-20, eland = 2:-1:-15:-3:-25).
+
+    Normalization follows AlignerBase.cpp:38-41: normalized X = match - X,
+    max gap extend = -min_extend.
+    """
+
+    match: float = 0.0
+    mismatch: float = -3.0
+    open: float = -11.0
+    extend: float = -4.0
+    min_extend: float = -20.0
+
+    @property
+    def norm_mismatch(self) -> int:
+        return int(self.match - self.mismatch)
+
+    @property
+    def norm_open(self) -> int:
+        return int(self.match - self.open)
+
+    @property
+    def norm_extend(self) -> int:
+        return int(self.match - self.extend)
+
+    @property
+    def norm_max_extend(self) -> int:
+        return int(-self.min_extend)
+
+    def sw_scores(self) -> tuple[float, float, float, float]:
+        """(match, mismatch, open, extend) for ops.sw kernels (static)."""
+        return (self.match, self.mismatch, self.open, self.extend)
+
+    @staticmethod
+    def parse(spec: str) -> "GapScoring":
+        if spec == "bwa":
+            return BWA
+        if spec == "eland":
+            return ELAND
+        parts = [float(x) for x in spec.split(":")]
+        if len(parts) not in (4, 5):
+            raise ValueError(
+                f"--gap-scoring {spec!r}: want bwa, eland or m:mm:go:ge[:me]")
+        if len(parts) == 4:
+            parts.append(-20.0)
+        return GapScoring(*parts)
+
+
+BWA = GapScoring()
+ELAND = GapScoring(2.0, -1.0, -15.0, -3.0, -25.0)
+
+# module-level defaults kept for callers that do not thread a GapScoring
+NORM_MISMATCH = BWA.norm_mismatch
+NORM_OPEN = BWA.norm_open
+NORM_EXTEND = BWA.norm_extend
+NORM_MAX_EXTEND = BWA.norm_max_extend
 
 
 def _flanks(local_pos: int, read_len: int, contig_len: int) -> tuple[int, int] | None:
@@ -52,7 +106,7 @@ def _flanks(local_pos: int, read_len: int, contig_len: int) -> tuple[int, int] |
     return left, right
 
 
-def cigar_stats(cigar: list[tuple[int, str]]):
+def cigar_stats(cigar: list[tuple[int, str]], gs: GapScoring = BWA):
     """(observed_ref_length, gap_bases, gap_count, normalized_gap_score)."""
     obs = 0
     gap_bases = 0
@@ -64,7 +118,8 @@ def cigar_stats(cigar: list[tuple[int, str]]):
         if op in ("I", "D"):
             gap_bases += length
             gap_count += 1
-            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+            norm += gs.norm_open + min(gs.norm_max_extend,
+                                       (length - 1) * gs.norm_extend)
     return obs, gap_bases, gap_count, norm
 
 
@@ -72,7 +127,8 @@ def cigar_to_str(cigar: list[tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cigar)
 
 
-def rescore_cigar(genome_codes, start, seq, quals, cigar):
+def rescore_cigar(genome_codes, start, seq, quals, cigar,
+                  gs: GapScoring = BWA):
     """Reference updateFragmentCigar over an explicit CIGAR (host, f64).
 
     Returns (log_prob, scoring_mismatches, edit_distance, norm_score).
@@ -93,7 +149,7 @@ def rescore_cigar(genome_codes, start, seq, quals, cigar):
                 else:
                     lp += quality.LOG_MISMATCH_F64[q]
                     nmm += 1
-                    norm += NORM_MISMATCH
+                    norm += gs.norm_mismatch
                 if s != r or s == 4:
                     edit += 1
                 qpos += 1
@@ -101,11 +157,13 @@ def rescore_cigar(genome_codes, start, seq, quals, cigar):
         elif op == "I":
             qpos += length
             edit += length
-            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+            norm += gs.norm_open + min(gs.norm_max_extend,
+                                       (length - 1) * gs.norm_extend)
         elif op == "D":
             rpos += length
             edit += length
-            norm += NORM_OPEN + min(NORM_MAX_EXTEND, (length - 1) * NORM_EXTEND)
+            norm += gs.norm_open + min(gs.norm_max_extend,
+                                       (length - 1) * gs.norm_extend)
         elif op == "S":
             for _ in range(length):
                 lp += quality.LOG_MATCH_F64[int(quals[qpos])]
@@ -117,7 +175,7 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
                   bases: np.ndarray, suffix: str = "",
                   trigger: int = MISMATCHES_CUTOFF,
                   quals: np.ndarray | None = None,
-                  block: int = 512) -> None:
+                  block: int = 512, gs: GapScoring = BWA) -> None:
     """Re-align triggered rows with banded SW; mutate `res` in place.
 
     res must carry (with `suffix`): aligned, start, reverse, mismatches,
@@ -171,7 +229,8 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
         q_arr = np.stack(queries[chunk.start : chunk.stop])
         db_arr = np.stack(dbs[chunk.start : chunk.stop])
         import jax
-        gfin, tb = jax.device_get(sw.banded_sw_jit(q_arr, db_arr))
+        gfin, tb = jax.device_get(
+            sw.banded_sw_jit(q_arr, db_arr, gs.sw_scores()))
         for k, (r, win_start, left) in enumerate(metas[chunk]):
             exit_d = int(np.argmax(gfin[k]))
             ops, first_db = sw.traceback(tb[k], exit_d)
@@ -182,8 +241,8 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
             rq = quals[r][::-1] if res["reverse" + s][r] else quals[r]
             seq = queries[lo + k]
             lp, nmm_g, edit_g, norm_g = rescore_cigar(
-                g_codes, new_start, seq, rq, cigar)
-            norm_u = int(res["mismatches" + s][r]) * NORM_MISMATCH
+                g_codes, new_start, seq, rq, cigar, gs)
+            norm_u = int(res["mismatches" + s][r]) * gs.norm_mismatch
             # FragmentBuilder acceptance: strictly better normalized score,
             # or equal score with higher log probability
             if norm_g < norm_u or (norm_g == norm_u and lp > res["log_prob" + s][r]):

@@ -20,8 +20,7 @@ import numpy as np
 
 from .. import dna
 from ..index.build import SeedIndex
-from .gapped import (NORM_EXTEND, NORM_MAX_EXTEND, NORM_MISMATCH, NORM_OPEN,
-                     rescore_cigar)
+from .gapped import BWA, GapScoring, rescore_cigar
 from .pipeline import AlignConfig
 
 MAX_GAP = 100          # reference semialignedGapLimit
@@ -41,7 +40,8 @@ def _mm_profile(genome: np.ndarray, start: int, seq: np.ndarray) -> np.ndarray:
 def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
                          bases: np.ndarray, suffix: str = "",
                          trigger: int = 6,
-                         quals: np.ndarray | None = None) -> None:
+                         quals: np.ndarray | None = None,
+                         gs: GapScoring = BWA) -> None:
     """Detect single long indels for rows still poorly aligned; mutate res.
 
     Runs AFTER the banded-SW polish: rows whose best alignment still has
@@ -73,7 +73,7 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
         best_choice = None   # (norm, cigar, pos)
         # compete against the current alignment (ungapped or banded-SW)
         # on the same normalized score
-        cur_norm = int(res["mismatches" + s][r]) * NORM_MISMATCH
+        cur_norm = int(res["mismatches" + s][r]) * gs.norm_mismatch
         if cur_cigar is not None:
             from ..io.bam import parse_cigar as _pc
             from .gapped import cigar_stats as _cs
@@ -124,8 +124,8 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
                         nmm = int(tot[j - j_lo])
                         cigar = f"{j}M{ins}I{read_len - j - ins}M"
                         glen = ins
-                    norm = nmm * NORM_MISMATCH + NORM_OPEN + \
-                        min(NORM_MAX_EXTEND, (glen - 1) * NORM_EXTEND)
+                    norm = nmm * gs.norm_mismatch + gs.norm_open + \
+                        min(gs.norm_max_extend, (glen - 1) * gs.norm_extend)
                     if norm < cur_norm and (best_choice is None or
                                             norm < best_choice[0]):
                         best_choice = (norm, cigar, s1, oi)
@@ -136,7 +136,7 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
         seq = dna.revcomp(bases[r]) if oi else bases[r]
         rq = quals[r][::-1] if oi else quals[r]
         lp, nmm_g, edit_g, _ = rescore_cigar(genome, pos, seq, rq,
-                                             parse_cigar(cigar_str))
+                                             parse_cigar(cigar_str), gs)
         res["start" + s][r] = pos
         res["reverse" + s][r] = bool(oi)
         res["mismatches" + s][r] = nmm_g

@@ -68,6 +68,14 @@ class AlignConfig:
     max_hits_per_seed: int = 10      # gather capacity == align repeat threshold
     repeat_threshold: int = 10
     max_candidates: int = 32
+    # candidates actually scored (leading dedup slots).  Reads with more
+    # distinct candidates than this are repeat placements whose probability
+    # mass can't be fully tracked -> forced MAPQ 0, the reference's dodgy
+    # template handling (forcedDodgyAlignmentScore,
+    # FragmentAccessorBamAdapter.hh).  Scoring cost scales linearly with
+    # this cap; 16 covers everything a 10-per-seed repeat threshold can
+    # produce outside pathological repeats.
+    max_scored_candidates: int = 16
     mapq_cap: int = 60
     # shadow rescue acceptance: max mismatch fraction of the rescued mate
     # (the reference gates rescue via hash-hit heuristics + later quality
@@ -383,8 +391,14 @@ def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals):
         dedup_candidates(start_f, orient_f, valid_f, clean_f, cfg.max_candidates)
     # well anchored: a neighbor-free seed supports it, or several seeds agree
     well_anchored = cand_clean | (support >= 2)
-    return cand_start, cand_orient, cand_valid, well_anchored, \
-        {**diag_a, **diag_b}
+    diag = {**diag_a, **diag_b}
+    # score only the leading slots; anything past the cap is untrackable
+    # repeat mass -> scored_overflow forces MAPQ 0 downstream
+    k = min(cfg.max_scored_candidates, cfg.max_candidates)
+    diag["scored_overflow"] = diag["num_candidates"] > k
+    sl = lambda x: x[:, :k]
+    return sl(cand_start), sl(cand_orient), sl(cand_valid), \
+        sl(well_anchored), diag
 
 
 def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
@@ -562,6 +576,9 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
     mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
     mapq = jnp.where(aligned, mapq, 0)
+    if diag.get("scored_overflow") is not None:
+        # more distinct placements than the scoring cap: dodgy repeat
+        mapq = jnp.where(diag["scored_overflow"], 0, mapq)
     if well_anchored is not None:
         # all supporting seeds have neighbors and no two agree -> score 0
         # (TemplateBuilder::updateMappingScore else-branch)

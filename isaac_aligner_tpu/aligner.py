@@ -14,6 +14,7 @@ import numpy as np
 
 from . import dna
 from .align import clippers
+from .align.gapped import BWA, GapScoring
 from .utils import tracing
 from .align import tls as tls_mod
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
@@ -22,13 +23,15 @@ from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_i
 from .index.build import SeedIndex
 
 
+from .io import sam
+from .io.fastq import ReadBatch
+
+
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
     """Fill in the static bucketed-search step budget from the index."""
     if cfg.bucket_log2 is not None:
         return cfg
     return dataclasses.replace(cfg, bucket_log2=bucket_log2_for(index))
-from .io import sam
-from .io.fastq import ReadBatch
 
 
 @dataclasses.dataclass
@@ -40,6 +43,7 @@ class Aligner:
     base_quality_cutoff: int = 25
     clip_semialigned: bool = True
     adapters: tuple[str, ...] = ()
+    gap_scoring: GapScoring = BWA
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -66,8 +70,10 @@ class Aligner:
         if gapped:
             from .align.gapped import polish_gapped
             from .align.indel import polish_simple_indels
-            polish_gapped(self.index, self.cfg, res, bases, quals=quals)
-            polish_simple_indels(self.index, self.cfg, res, bases, quals=quals)
+            polish_gapped(self.index, self.cfg, res, bases, quals=quals,
+                          gs=self.gap_scoring)
+            polish_simple_indels(self.index, self.cfg, res, bases, quals=quals,
+                                 gs=self.gap_scoring)
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
         tracing.trace_batch(batch.names, res)
@@ -168,6 +174,7 @@ class PairedAligner:
     clip_semialigned: bool = True
     clip_overlapping: bool = True
     adapters: tuple[str, ...] = ()
+    gap_scoring: GapScoring = BWA
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -224,12 +231,15 @@ class PairedAligner:
         clippers.apply_masked_tail_cigar(res, "_2", trims[1], b2.read_len)
         from .align.gapped import polish_gapped
         from .align.indel import polish_simple_indels
-        polish_gapped(self.index, self.cfg, res, m1.bases, "_1", quals=m1.quals)
-        polish_gapped(self.index, self.cfg, res, m2.bases, "_2", quals=m2.quals)
+        gs = self.gap_scoring
+        polish_gapped(self.index, self.cfg, res, m1.bases, "_1",
+                      quals=m1.quals, gs=gs)
+        polish_gapped(self.index, self.cfg, res, m2.bases, "_2",
+                      quals=m2.quals, gs=gs)
         polish_simple_indels(self.index, self.cfg, res, m1.bases, "_1",
-                             quals=m1.quals)
+                             quals=m1.quals, gs=gs)
         polish_simple_indels(self.index, self.cfg, res, m2.bases, "_2",
-                             quals=m2.quals)
+                             quals=m2.quals, gs=gs)
         g_codes = self.index.genome.codes
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "_1", g_codes, m1.bases)

@@ -58,6 +58,8 @@ def _cmd_align(args) -> int:
         barcode_fastq=args.barcode_fastq,
         barcode_mismatches=args.barcode_mismatches,
         realign_gaps=args.realign_gaps,
+        gap_scoring=args.gap_scoring,
+        tls_override=args.tls,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -118,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--barcode-fastq", default=None,
                     help="index (I1) FASTQ aligned with fastq1 order")
     al.add_argument("--barcode-mismatches", type=int, default=1)
+    al.add_argument("--gap-scoring", default="bwa",
+                    help="bwa | eland | m:mm:go:ge[:me] colon string")
+    al.add_argument("--tls", default=None,
+                    help="force template-length stats: "
+                         "min:median:max:lowStdDev:highStdDev:M0:M1")
     al.add_argument("--realign-gaps", default="sample",
                     choices=("no", "sample", "project", "all"),
                     help="realign reads against indels seen in other reads"

@@ -40,6 +40,21 @@ from ..io.fastq import ReadBatch, pad_batch, read_fastq
 STATES = ("Start", "TlsDone", "AlignDone", "ReportsDone", "BamDone")
 
 
+def parse_tls_override(spec: str) -> TlsStatic:
+    """--tls 'min:median:max:lowStdDev:highStdDev:M0:M1' (manual.md:572-575)
+    -> the static TLS model (mate window = [min, max], reference
+    --mate-drift-range -1 default)."""
+    parts = spec.split(":")
+    if len(parts) != 7:
+        raise ValueError(
+            f"--tls {spec!r}: want min:median:max:lowStdDev:highStdDev:M0:M1")
+    mn, _median, mx, _lo_sd, _hi_sd, m0, m1 = (int(x) for x in parts)
+    if not (0 <= m0 <= 7 and 0 <= m1 <= 7):
+        raise ValueError(f"--tls {spec!r}: models must be 0..7 (FFp..RRm)")
+    return TlsStatic(min=mn, max=mx, mate_min=mn, mate_max=mx,
+                     best0=m0, best1=m1)
+
+
 @dataclasses.dataclass
 class WorkflowOptions:
     reference: str                      # FASTA path or saved index directory
@@ -73,6 +88,11 @@ class WorkflowOptions:
     # known-gap realignment in the Build phase (reference --realign-gaps:
     # no | sample | project | all — gap-sharing scope across samples)
     realign_gaps: str = "sample"
+    # reference --gap-scoring: bwa | eland | m:mm:go:ge[:me]
+    gap_scoring: str = "bwa"
+    # reference --tls: 'min:median:max:lowStdDev:highStdDev:M0:M1' forces
+    # the template-length model instead of learning it
+    tls_override: str | None = None
 
 
 class AlignWorkflow:
@@ -183,6 +203,10 @@ class AlignWorkflow:
         if not self._paired:
             self.tls = None
             return
+        if self.opts.tls_override:
+            self.tls = parse_tls_override(self.opts.tls_override)
+            self._stats["tls"] = dataclasses.asdict(self.tls)
+            return
         index = self._load_index()
         batches = self._read_batches()
         aligner = PairedAligner.create(index, read_len=batches[0][0].read_len)
@@ -199,9 +223,11 @@ class AlignWorkflow:
                  "proper_pairs": 0, "mapq_hist": [0] * 61}
         t0 = time.time()
         o = self.opts
+        from ..align.gapped import GapScoring
         clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
                        clip_semialigned=o.clip_semialigned,
-                       adapters=tuple(o.adapters))
+                       adapters=tuple(o.adapters),
+                       gap_scoring=GapScoring.parse(o.gap_scoring))
         cfg = AlignConfig(
             seed_len=index.seed_len,
             seed_offsets=default_seed_offsets(read_len, index.seed_len),

@@ -1,0 +1,75 @@
+"""GapScoring presets / --tls override tests (reference
+AlignOptions.cpp:409,693 gap-scoring grammar; manual.md:572 --tls)."""
+
+import pytest
+
+from isaac_aligner_tpu.align.gapped import BWA, ELAND, GapScoring
+from isaac_aligner_tpu.workflow.align import parse_tls_override
+
+
+def test_presets():
+    assert GapScoring.parse("bwa") is BWA
+    assert GapScoring.parse("eland") is ELAND
+    # bwa 0:-3:-11:-4:-20 -> normalized 3/11/4/20 (AlignerBase.cpp:38-41)
+    assert (BWA.norm_mismatch, BWA.norm_open, BWA.norm_extend,
+            BWA.norm_max_extend) == (3, 11, 4, 20)
+    # eland 2:-1:-15:-3:-25 -> normalized 3/17/5/25
+    assert (ELAND.norm_mismatch, ELAND.norm_open, ELAND.norm_extend,
+            ELAND.norm_max_extend) == (3, 17, 5, 25)
+
+
+def test_parse_colon_string():
+    gs = GapScoring.parse("1:-2:-10:-3:-15")
+    assert gs.sw_scores() == (1.0, -2.0, -10.0, -3.0)
+    assert gs.norm_max_extend == 15
+    # 4-part form defaults min_extend to -20
+    assert GapScoring.parse("0:-3:-11:-4").norm_max_extend == 20
+    with pytest.raises(ValueError):
+        GapScoring.parse("0:-3")
+    with pytest.raises(ValueError):
+        GapScoring.parse("nope")
+
+
+def test_tls_override_parse():
+    t = parse_tls_override("100:300:500:50:50:1:6")
+    assert (t.min, t.max) == (100, 500)
+    assert (t.mate_min, t.mate_max) == (100, 500)
+    assert (t.best0, t.best1) == (1, 6)
+    with pytest.raises(ValueError):
+        parse_tls_override("100:300:500")
+    with pytest.raises(ValueError):
+        parse_tls_override("100:300:500:50:50:9:6")
+
+
+def test_workflow_tls_override(tmp_path):
+    """Paired workflow with --tls skips learning and uses the given model."""
+    import numpy as np
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(7)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    r1s, r2s = [], []
+    for s in (500, 1500, 2500, 3500):
+        r1s.append(seq[s:s + 64])
+        frag_end = s + 300
+        mate = seq[frag_end - 64:frag_end]
+        r2s.append("".join(comp[b] for b in reversed(mate)))
+    q = "I" * 64
+    (tmp_path / "r1.fq").write_text(
+        "".join(f"@p{i}\n{r}\n+\n{q}\n" for i, r in enumerate(r1s)))
+    (tmp_path / "r2.fq").write_text(
+        "".join(f"@p{i}\n{r}\n+\n{q}\n" for i, r in enumerate(r2s)))
+    out = tmp_path / "out"
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
+        batch_size=8, realign_gaps="no",
+        tls_override="200:300:400:30:30:1:6"))
+    wf.run()
+    assert wf._stats["tls"]["min"] == 200
+    from isaac_aligner_tpu.io import sam
+    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    proper = [r for r in recs if r.flag & sam.FLAG_PROPER_PAIR]
+    assert len(proper) == 8  # all 4 pairs proper under the forced model
