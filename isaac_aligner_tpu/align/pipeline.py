@@ -76,6 +76,13 @@ class AlignConfig:
     # this cap; 16 covers everything a 10-per-seed repeat threshold can
     # produce outside pathological repeats.
     max_scored_candidates: int = 16
+    # compacted scoring: valid (read, candidate) pairs across the batch
+    # are gathered into a dense [B * scored_pairs_per_read] work queue
+    # before the window-gather scorer runs (typical batches carry ~1-2
+    # candidates per read, so scoring the full [B, C] grid wastes >85%
+    # of the gathers and VPU work).  Reads whose pairs overflow the
+    # queue keep their best scored placement but are forced MAPQ 0.
+    scored_pairs_per_read: int = 4
     mapq_cap: int = 60
     # shadow rescue acceptance: max mismatch fraction of the rescued mate
     # (the reference gates rescue via hash-hit heuristics + later quality
@@ -431,7 +438,6 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     packed_fwd = pack_reads(bases)                  # [B, Wr]
     packed_rev = pack_reads(rc_bases)
     t_match, t_mismatch = quality.log_tables()
-    is_rc_c = (cand_orient == 1)
 
     def per_orient(base_arr, qual_arr):
         qi = qual_arr.astype(jnp.int32)
@@ -443,61 +449,82 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     lp_all_f, delta_f, n_f = per_orient(bases, quals)
     lp_all_r, delta_r, n_r = per_orient(rc_bases, r_quals)
 
+    # ---- compact valid (read, candidate) pairs into a dense work queue
+    flat_valid = cand_valid.reshape(-1)                           # [B*C]
+    n_flat = b * c
+    p = min(getattr(cfg, "scored_pairs_per_read", 4) * b, n_flat)
+    (pair_idx,) = jnp.nonzero(flat_valid, size=p, fill_value=n_flat)
+    pvalid = pair_idx < n_flat
+    safe_idx = jnp.minimum(pair_idx, n_flat - 1)
+    row = safe_idx // c                                           # [P]
+    p_start = cand_start.reshape(-1)[safe_idx]
+    p_rc = cand_orient.reshape(-1)[safe_idx] == 1
+    # reads whose valid pairs overflow the queue (forced MAPQ 0 upstream)
+    cum = jnp.cumsum(flat_valid.astype(jnp.int32))
+    dropped_row = jnp.any(
+        (flat_valid & (cum > p)).reshape(b, c), axis=1)
+
     # gather packed genome windows: Wr+1 words starting at start>>4
     gp = arrays.genome_packed
     gw = gp.shape[0]
-    word0 = cand_start >> 4                                       # [B, C]
+    word0 = p_start >> 4                                          # [P]
     t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
-    widx = jnp.clip(word0[:, :, None] + t_idx[None, None, :], 0, gw - 1)
-    words = gp[widx]                                              # [B, C, Wr+1]
+    widx = jnp.clip(word0[:, None] + t_idx[None, :], 0, gw - 1)
+    words = gp[widx]                                              # [P, Wr+1]
 
     # funnel-shift into read phase: o2 = 2*(start % 16) bits
-    o2 = ((cand_start & 15) << 1).astype(jnp.uint32)[:, :, None]  # [B, C, 1]
-    lo_words = words[:, :, :-1]
-    hi_words = words[:, :, 1:]
+    o2 = ((p_start & 15) << 1).astype(jnp.uint32)[:, None]        # [P, 1]
+    lo_words = words[:, :-1]
+    hi_words = words[:, 1:]
     safe = jnp.where(o2 == 0, jnp.uint32(1), jnp.uint32(32) - o2)
     aligned = jnp.where(o2 == 0, lo_words,
-                        (lo_words << o2) | (hi_words >> safe))    # [B, C, Wr]
+                        (lo_words << o2) | (hi_words >> safe))    # [P, Wr]
 
-    read_words = jnp.where(is_rc_c[:, :, None], packed_rev[:, None, :],
-                           packed_fwd[:, None, :])
-    x = aligned ^ read_words                                      # [B, C, Wr]
+    read_words = jnp.where(p_rc[:, None], packed_rev[row], packed_fwd[row])
+    x = aligned ^ read_words                                      # [P, Wr]
 
     # expand 16 two-bit lanes per word with static shifts
     lane_shifts = jnp.asarray((2 * (15 - np.arange(16))).astype(np.uint32))
-    lanes = (x[:, :, :, None] >> lane_shifts[None, None, None, :]) & jnp.uint32(3)
-    code_mismatch = (lanes != 0).reshape(b, c, w_read * 16)[:, :, :read_len]
+    lanes = (x[:, :, None] >> lane_shifts[None, None, :]) & jnp.uint32(3)
+    code_mismatch = (lanes != 0).reshape(p, w_read * 16)[:, :read_len]
 
     # genome N bits: gather + align on the 1-bit plane
     gn = arrays.genome_nbits
     gnw = gn.shape[0]
     w_n = -(-(read_len + 31) // 32) + 1
-    nword0 = cand_start >> 5
+    nword0 = p_start >> 5
     nt = jnp.arange(w_n, dtype=jnp.int32)
-    nwidx = jnp.clip(nword0[:, :, None] + nt[None, None, :], 0, gnw - 1)
+    nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
     nwords = gn[nwidx]
-    no = (cand_start & 31).astype(jnp.uint32)[:, :, None]
+    no = (p_start & 31).astype(jnp.uint32)[:, None]
     nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
-    naligned = jnp.where(no == 0, nwords[:, :, :-1],
-                         (nwords[:, :, :-1] << no) | (nwords[:, :, 1:] >> nsafe))
+    naligned = jnp.where(no == 0, nwords[:, :-1],
+                         (nwords[:, :-1] << no) | (nwords[:, 1:] >> nsafe))
     nlane_shifts = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
-    nlanes = (naligned[:, :, :, None] >> nlane_shifts[None, None, None, :]) & jnp.uint32(1)
-    ref_n = (nlanes != 0).reshape(b, c, (w_n - 1) * 32)[:, :, :read_len]
+    nlanes = (naligned[:, :, None] >> nlane_shifts[None, None, :]) & jnp.uint32(1)
+    ref_n = (nlanes != 0).reshape(p, (w_n - 1) * 32)[:, :read_len]
 
-    read_n = jnp.where(is_rc_c[:, :, None], n_r[:, None, :], n_f[:, None, :])
+    read_n = jnp.where(p_rc[:, None], n_r[row], n_f[row])         # [P, L]
 
     # reference isMatch: read N matches; otherwise equal codes and ref not N
     is_match = read_n | (~code_mismatch & ~ref_n)
-    mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
-    edit_distance = jnp.sum(read_n | ref_n | code_mismatch, axis=-1).astype(jnp.int32)
+    p_mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
+    p_edit = jnp.sum(read_n | ref_n | code_mismatch, axis=-1).astype(jnp.int32)
 
-    delta = jnp.where(is_rc_c[:, :, None], delta_r[:, None, :], delta_f[:, None, :])
-    lp_all = jnp.where(is_rc_c, lp_all_r[:, None], lp_all_f[:, None])
-    log_prob = lp_all + jnp.sum(jnp.where(is_match, 0.0, delta), axis=-1)
+    delta = jnp.where(p_rc[:, None], delta_r[row], delta_f[row])
+    lp_all = jnp.where(p_rc, lp_all_r[row], lp_all_f[row])
+    p_log_prob = lp_all + jnp.sum(jnp.where(is_match, 0.0, delta), axis=-1)
 
+    # ---- scatter back to the [B, C] grid (invalid slots -> -inf / 0)
     neg_inf = jnp.float32(-jnp.inf)
-    log_prob = jnp.where(cand_valid, log_prob, neg_inf)
-    return log_prob, mismatches, edit_distance
+    scatter_idx = jnp.where(pvalid, pair_idx, n_flat)
+    log_prob = jnp.full(n_flat, neg_inf, jnp.float32) \
+        .at[scatter_idx].set(p_log_prob, mode="drop").reshape(b, c)
+    mismatches = jnp.zeros(n_flat, jnp.int32) \
+        .at[scatter_idx].set(p_mismatches, mode="drop").reshape(b, c)
+    edit_distance = jnp.zeros(n_flat, jnp.int32) \
+        .at[scatter_idx].set(p_edit, mode="drop").reshape(b, c)
+    return log_prob, mismatches, edit_distance, dropped_row
 
 
 def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
@@ -510,11 +537,12 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
     b, read_len = bases.shape
     cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
         arrays, cfg, bases, quals)
-    log_prob, mismatches, edit_distance = _score_ungapped(
+    log_prob, mismatches, edit_distance, dropped = _score_ungapped(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
     cid = jnp.searchsorted(arrays.contig_starts, cand_start, side="right") - 1
     cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
     return {
+        "score_dropped": dropped,
         "start": cand_start,
         "orient": cand_orient,
         "valid": cand_valid,
@@ -556,7 +584,7 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
                         well_anchored=None):
     """Stages C+D: score candidates, pick best, MAPQ (single-end)."""
     _b, read_len = bases.shape
-    log_prob, mismatches, edit_distance = _score_ungapped(
+    log_prob, mismatches, edit_distance, dropped = _score_ungapped(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
 
     # best candidate: lowest mismatch count ("smith-waterman score" of the
@@ -579,6 +607,9 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     if diag.get("scored_overflow") is not None:
         # more distinct placements than the scoring cap: dodgy repeat
         mapq = jnp.where(diag["scored_overflow"], 0, mapq)
+    # pairs dropped from the compacted scoring queue: probability mass is
+    # incomplete for these reads -> dodgy
+    mapq = jnp.where(dropped, 0, mapq)
     if well_anchored is not None:
         # all supporting seeds have neighbors and no two agree -> score 0
         # (TemplateBuilder::updateMappingScore else-branch)
