@@ -83,6 +83,16 @@ class AlignConfig:
     # of the gathers and VPU work).  Reads whose pairs overflow the
     # queue keep their best scored placement but are forced MAPQ 0.
     scored_pairs_per_read: int = 4
+    # two-pass seed escalation (reference --first-pass-seeds=1 + completion
+    # masking, FindMatchesTransition.cpp:90-109,410-425): pass 1 searches
+    # only the first `first_pass_seeds` seed offsets (fwd+rc); reads with
+    # a clean (neighbor-free) exact hit whose valid hits all agree on one
+    # placement are COMPLETE and skip pass 2.  Incomplete reads compact
+    # into a batch*second_pass_fraction sub-batch searched with ALL seeds
+    # (disagreeing anchors stay incomplete so long-indel detection keeps
+    # both anchors).  0 disables the escalation.
+    first_pass_seeds: int = 1
+    second_pass_fraction: float = 0.25
     mapq_cap: int = 60
     # shadow rescue acceptance: max mismatch fraction of the rescued mate
     # (the reference gates rescue via hash-hit heuristics + later quality
@@ -391,9 +401,70 @@ def dedup_candidates(start_f, orient_f, valid_f, clean_f, max_candidates: int):
             {"num_candidates": num_unique, "candidate_overflow": num_unique > c})
 
 
+def _split_seed_passes(cfg: AlignConfig, read_len: int):
+    """(pass1 offsets, pass2 offsets): pass 1 is the first
+    `first_pass_seeds` offsets PLUS the end-flush seed, so head and tail
+    anchors are both probed — a wide indel shows up as disagreement and
+    escalates instead of completing on the head anchor alone."""
+    offsets = [o for o in cfg.seed_offsets if o + cfg.seed_len <= read_len]
+    p1 = list(dict.fromkeys(offsets[: cfg.first_pass_seeds] + offsets[-1:]))
+    p2 = [o for o in offsets if o not in p1]
+    return tuple(p1), tuple(p2)
+
+
+def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases):
+    """Two-pass seed escalation (see AlignConfig.first_pass_seeds)."""
+    b = bases.shape[0]
+    p1, p2 = _split_seed_passes(cfg, bases.shape[1])
+    cfg1 = dataclasses.replace(cfg, seed_offsets=p1)
+    s1, o1, v1, c1, diag1 = find_seed_hits(arrays, cfg1, bases)
+
+    # complete = has a clean exact anchor AND every valid hit projects to
+    # the same (orient, start) — disagreeing anchors (indel candidates)
+    # and neighbor-flagged-only reads fall through to the full seed set
+    has_clean = jnp.any(v1 & c1, axis=1)
+    big = jnp.int32(2**30)
+    mn_s = jnp.min(jnp.where(v1, s1, big), axis=1)
+    mx_s = jnp.max(jnp.where(v1, s1, -big), axis=1)
+    mn_o = jnp.min(jnp.where(v1, o1, big), axis=1)
+    mx_o = jnp.max(jnp.where(v1, o1, -big), axis=1)
+    complete = has_clean & (mn_s == mx_s) & (mn_o == mx_o)
+
+    incomplete = ~complete
+    b2 = max(1, int(round(b * cfg.second_pass_fraction)))
+    (ridx,) = jnp.nonzero(incomplete, size=b2, fill_value=b)
+    rvalid = ridx < b
+    sub_bases = bases[jnp.minimum(ridx, b - 1)]
+    cfg2 = dataclasses.replace(cfg, seed_offsets=p2)
+    s2, o2, v2, c2, _diag2 = find_seed_hits(arrays, cfg2, sub_bases)
+    v2 = v2 & rvalid[:, None]
+
+    h2 = s2.shape[1]
+    rows = jnp.where(rvalid, ridx, b)    # row b = scratch, sliced off
+
+    def scatter(x, fill):
+        base_arr = jnp.full((b + 1, h2), fill, x.dtype)
+        return base_arr.at[rows].set(x, mode="drop")[:b]
+
+    start_f = jnp.concatenate([s1, scatter(s2, 0)], axis=1)
+    orient_f = jnp.concatenate([o1, scatter(o2, 0)], axis=1)
+    valid_f = jnp.concatenate([v1, scatter(v2, False)], axis=1)
+    clean_f = jnp.concatenate([c1, scatter(c2, False)], axis=1)
+    n_inc = jnp.sum(incomplete.astype(jnp.int32))
+    diag1["pass2_reads"] = n_inc
+    diag1["pass2_dropped"] = jnp.maximum(n_inc - b2, 0)
+    return start_f, orient_f, valid_f, clean_f, diag1
+
+
 def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals):
     """Stages A+B fused for the single-device path."""
-    start_f, orient_f, valid_f, clean_f, diag_a = find_seed_hits(arrays, cfg, bases)
+    _p1, p2 = _split_seed_passes(cfg, bases.shape[1])
+    if cfg.first_pass_seeds > 0 and p2:
+        start_f, orient_f, valid_f, clean_f, diag_a = _find_hits_two_pass(
+            arrays, cfg, bases)
+    else:
+        start_f, orient_f, valid_f, clean_f, diag_a = find_seed_hits(
+            arrays, cfg, bases)
     cand_start, cand_orient, cand_valid, cand_clean, support, diag_b = \
         dedup_candidates(start_f, orient_f, valid_f, clean_f, cfg.max_candidates)
     # well anchored: a neighbor-free seed supports it, or several seeds agree
