@@ -273,9 +273,15 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     orient_arr = jnp.asarray(np.array([s[0] for s in seed_list], np.int32))
 
     if cfg.bucket_log2 is not None:
+        # count only needs resolving up to "more than repeat_threshold"
+        need = max(cfg.repeat_threshold, cfg.max_hits_per_seed) + 1
+        cap_log2 = 0
+        while (1 << cap_log2) < need:
+            cap_log2 += 1
         begin, count = search.sorted_range_bucketed(
             arrays.key_hi, arrays.key_lo, q_hi, q_lo, arrays.n_real,
-            arrays.bucket_starts, BUCKET_WIDTH, cfg.bucket_log2)
+            arrays.bucket_starts, BUCKET_WIDTH, cfg.bucket_log2,
+            count_cap_log2=cap_log2)
     else:
         begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo,
                                            q_hi, q_lo, arrays.n_real)

@@ -89,7 +89,8 @@ def _count_prefix_bounded(key_hi, key_lo, pred, lo, hi, start_step: int):
 
 
 def sorted_range_bucketed(key_hi, key_lo, q_hi, q_lo, n_real, bucket_starts,
-                          width: int, bucket_log2: int):
+                          width: int, bucket_log2: int,
+                          count_cap_log2: int | None = None):
     """sorted_range accelerated by a first-level prefix-bucket table.
 
     This is the TPU rebirth of the reference's maskWidth sharding
@@ -99,6 +100,12 @@ def sorted_range_bucketed(key_hi, key_lo, q_hi, q_lo, n_real, bucket_starts,
     only over one bucket — `bucket_log2`+1 probe steps instead of
     log2(N)+1.  `bucket_log2` must satisfy 2^bucket_log2 >= the largest
     bucket (host-computed at index prep; see pipeline.build_bucket_table).
+
+    When `count_cap_log2` is given, the upper bound is only resolved
+    within [lower, lower + 2^count_cap_log2]: the returned count saturates
+    at 2^count_cap_log2.  Callers that only need "count <= threshold vs
+    too many" (repeat_threshold semantics) pass a cap just above the
+    threshold and save the full-depth second search.
     """
     qu = jax.lax.bitcast_convert_type(q_hi, jnp.uint32) ^ jnp.uint32(1 << 31)
     bucket = (qu >> jnp.uint32(32 - width)).astype(jnp.int32)
@@ -107,8 +114,15 @@ def sorted_range_bucketed(key_hi, key_lo, q_hi, q_lo, n_real, bucket_starts,
     start_step = 1 << bucket_log2
     lower = _count_prefix_bounded(
         key_hi, key_lo, lambda h, l: _lex_lt(h, l, q_hi, q_lo), lo, hi, start_step)
-    upper = _count_prefix_bounded(
-        key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), lo, hi, start_step)
+    if count_cap_log2 is not None and count_cap_log2 < bucket_log2:
+        hi = jnp.minimum(hi, lower + (1 << count_cap_log2))
+        upper = _count_prefix_bounded(
+            key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), lower, hi,
+            1 << count_cap_log2)
+    else:
+        upper = _count_prefix_bounded(
+            key_hi, key_lo, lambda h, l: _lex_le(h, l, q_hi, q_lo), lo, hi,
+            start_step)
     lower = jnp.minimum(lower, n_real)
     upper = jnp.minimum(upper, n_real)
     return lower, upper - lower

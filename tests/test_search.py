@@ -121,3 +121,38 @@ def test_bucketed_search_matches_plain():
                                           log2)
     np.testing.assert_array_equal(np.array(b0), np.array(b1))
     np.testing.assert_array_equal(np.array(c0), np.array(c1))
+
+
+def test_bucketed_search_count_cap():
+    """Capped-count variant: counts saturate at 2^cap, lower bound exact."""
+    import numpy as np
+    from isaac_aligner_tpu.align.pipeline import (BUCKET_WIDTH,
+                                                  build_bucket_table)
+    from isaac_aligner_tpu.index.build import bias_u32_to_i32
+    from isaac_aligner_tpu.ops import search
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    # few distinct keys => large equal runs to saturate the cap
+    n = 4096
+    hi = np.sort(rng.integers(0, 50, n, dtype=np.uint64)).astype(np.uint32) << 26
+    lo = np.sort(rng.integers(0, 8, n, dtype=np.uint64)).astype(np.uint32)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    hi_i, lo_i = bias_u32_to_i32(hi), bias_u32_to_i32(lo)
+    n_pad = search.pad_pow2(n)
+    i32max = np.int32(2**31 - 1)
+    key_hi = np.concatenate([hi_i, np.full(n_pad - n, i32max, np.int32)])
+    key_lo = np.concatenate([lo_i, np.full(n_pad - n, i32max, np.int32)])
+    starts, log2 = build_bucket_table(hi_i)
+
+    qi = rng.integers(0, n, 128)
+    kh, kl = jnp.asarray(key_hi), jnp.asarray(key_lo)
+    qh, ql = jnp.asarray(hi_i[qi]), jnp.asarray(lo_i[qi])
+    b_full, c_full = search.sorted_range(kh, kl, qh, ql, jnp.int32(n))
+    b_cap, c_cap = search.sorted_range_bucketed(
+        kh, kl, qh, ql, jnp.int32(n), jnp.asarray(starts), BUCKET_WIDTH,
+        log2, count_cap_log2=4)
+    np.testing.assert_array_equal(np.array(b_full), np.array(b_cap))
+    np.testing.assert_array_equal(np.minimum(np.array(c_full), 16),
+                                  np.array(c_cap))
