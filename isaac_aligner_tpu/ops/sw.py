@@ -52,9 +52,18 @@ BWA_SCORES = (0.0, -3.0, -11.0, -4.0)       # match, mismatch, open, extend
 ELAND_SCORES = (2.0, -1.0, -15.0, -3.0)
 
 
-def _sw_body(scores, q_ref, db_ref, gfin_ref, tb_ref):
-    match_s, mismatch_s, open_s, extend_s = scores
-    l, p = q_ref.shape
+def _sw_body(scores, w_ref, gfin_ref, tb_ref):
+    """DP over precomputed substitution weights.
+
+    w_ref: [L*BAND, P] f32 — W(q_i, db_{i+d}) at row i*BAND+d, computed
+    OUTSIDE the kernel so every in-kernel access is a sublane-ALIGNED
+    [BAND, P] block at offset i*BAND (dynamic q/db row slices at
+    arbitrary offsets forced a Mosaic relayout per row and dominated the
+    kernel's runtime ~5x).
+    """
+    _match_s, _mismatch_s, open_s, extend_s = scores
+    lb, p = w_ref.shape
+    l = lb // BAND
 
     def _shift_down(x, fill, k=1):
         """out[d] = x[d-k] along the band (sublane) axis; out[:k] = fill."""
@@ -74,10 +83,7 @@ def _sw_body(scores, q_ref, db_ref, gfin_ref, tb_ref):
     def row(i, carry):
         g_prev, e_prev, f_prev = carry
 
-        q_i = q_ref[pl.ds(i, 1), :]                      # [1, P]
-        db = db_ref[pl.ds(i, BAND), :]                   # [16, P]
-        is_match = (db == q_i) & (q_i < 4)
-        w = jnp.where(is_match, jnp.float32(match_s), jnp.float32(mismatch_s))
+        w = w_ref[pl.ds(i * BAND, BAND), :]              # [16, P] aligned
 
         # diagonal: predecessor state max with G>E>F tie preference
         m_prev = jnp.maximum(jnp.maximum(g_prev, e_prev), f_prev)
@@ -151,14 +157,22 @@ def banded_sw(query: jax.Array, db: jax.Array,
     assert db.shape == (n, l + BAND - 1), (query.shape, db.shape)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    match_s, mismatch_s = scores[0], scores[1]
 
     block = 128
     n_pad = -(-n // block) * block
     qT = jnp.zeros((l, n_pad), jnp.int32).at[:, :n].set(query.T.astype(jnp.int32))
     # pad db with sentinel 5 (never matches)
-    dbT = jnp.full((l + BAND - 1 + 1, n_pad), 5, jnp.int32).at[: l + BAND - 1, :n].set(
+    dbT = jnp.full((l + BAND - 1, n_pad), 5, jnp.int32).at[:, :n].set(
         db.T.astype(jnp.int32))
-    # one extra row so db[i:i+16] at i=l-1 stays in bounds
+    # substitution weights in band layout [L*BAND, P]: row i*BAND+d holds
+    # W(q_i, db_{i+d}) — computed here (plain XLA) so the kernel only does
+    # aligned block loads (see _sw_body)
+    win_rows = (jnp.arange(l)[:, None] + jnp.arange(BAND)[None, :]).reshape(-1)
+    db_win = dbT[win_rows, :]                            # [L*BAND, P]
+    q_rep = jnp.repeat(qT, BAND, axis=0)
+    w_plane = jnp.where((db_win == q_rep) & (q_rep < 4),
+                        jnp.float32(match_s), jnp.float32(mismatch_s))
     grid = (n_pad // block,)
 
     gfin, tb = pl.pallas_call(
@@ -169,15 +183,15 @@ def banded_sw(query: jax.Array, db: jax.Array,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((l, block), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l + BAND, block), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l * BAND, block), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((BAND, block), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((l * BAND, block), lambda b: (0, b), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(qT, dbT)
+    )(w_plane)
 
     tb3 = tb.reshape(l, BAND, n_pad)
     return gfin.T[:n], jnp.transpose(tb3, (2, 0, 1))[:n]
