@@ -331,6 +331,7 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
     segments = effective_segments(info, use_bases_mask)
     needed = sorted({c for _, cycles in segments for c in cycles})
 
+    lane_slice = None   # (lo, hi) cluster range in per-lane aggregate files
     per_cycle_dirs = (lane_dir / "C1.1").is_dir()
     if per_cycle_dirs:
         def fetch(cycle0: int):
@@ -350,6 +351,7 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
         ti = tiles.index(tile)
         lo = int(pairs[:ti, 1].sum())
         hi = lo + int(pairs[ti, 1])
+        lane_slice = (lo, hi)
 
         def fetch(cycle0: int):
             cycle = cycle0 + 1
@@ -384,7 +386,13 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
     pf_file = _find_tile_file(lane_dir, f"s_{lane}_{tile}",
                               (".filter",)) or _find_tile_file(
         _intensities_dir(run_folder) / f"L{lane:03d}", f"s_{lane}_{tile}", (".filter",))
-    pf = read_filter(pf_file) if pf_file else np.ones(count, bool)
+    if pf_file:
+        pf = read_filter(pf_file)
+    elif lane_slice and (lane_dir / f"s_{lane}.filter").exists():
+        # NextSeq: one per-lane filter covering all tiles, sliced via bci
+        pf = read_filter(lane_dir / f"s_{lane}.filter")[lane_slice[0]:lane_slice[1]]
+    else:
+        pf = np.ones(count, bool)
     if len(pf) != count:
         raise ValueError(f"filter count {len(pf)} != cluster count {count}")
 
@@ -506,3 +514,33 @@ def write_run_folder(run_folder: str | Path, info: RunInfo, lane: int,
         x = np.arange(count, dtype=np.float32)
         y = np.zeros(count, np.float32)
     write_locs(pos_dir / f"s_{lane}_{tile}.locs", x, y)
+
+
+def write_run_folder_bgzf(run_folder: str | Path, info: RunInfo, lane: int,
+                          tiles: list[tuple[int, list[tuple[np.ndarray, np.ndarray]]]],
+                          ) -> None:
+    """Write the NextSeq bgzf-aggregated layout: one <cycle>.bcl.bgzf per
+    cycle holding every tile's clusters back to back, plus the s_<lane>.bci
+    tile index (BclBgzfSeedSource analog).
+
+    tiles: [(tile_number, segments)] where segments matches
+    write_run_folder's convention.
+    """
+    run_folder = Path(run_folder)
+    write_run_info(run_folder, info)
+    lane_dir = _basecalls_dir(run_folder) / f"L{lane:03d}"
+    lane_dir.mkdir(parents=True, exist_ok=True)
+    counts = [segs[0][0].shape[0] for _t, segs in tiles]
+    bci = np.array([[t, c] for (t, _s), c in zip(tiles, counts)],
+                   np.uint32)
+    (lane_dir / f"s_{lane}.bci").write_bytes(bci.astype("<u4").tobytes())
+    for (seg_i, (seg, first, _last)) in enumerate(info.cycle_ranges()):
+        for c in range(seg.num_cycles):
+            cycle = first + c
+            bases = np.concatenate(
+                [segs[seg_i][0][:, c] for _t, segs in tiles])
+            quals = np.concatenate(
+                [segs[seg_i][1][:, c] for _t, segs in tiles])
+            write_bcl(lane_dir / f"{cycle:04d}.bcl.bgzf", bases, quals)
+    total = int(sum(counts))
+    write_filter(lane_dir / f"s_{lane}.filter", np.ones(total, bool))

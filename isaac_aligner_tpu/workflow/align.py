@@ -258,6 +258,7 @@ class AlignWorkflow:
             self._stats["demultiplexing"] = demux_counts
             (self.stats_dir / "DemultiplexingStats.json").write_text(
                 json.dumps(demux_counts, indent=2))
+        per_tile: dict[tuple[str, str], dict] = {}
         for r in records:
             stats["total_reads"] += 1
             if r.is_mapped:
@@ -267,6 +268,18 @@ class AlignWorkflow:
                     stats["perfect"] += 1
             if r.flag & sam.FLAG_PROPER_PAIR and r.flag & sam.FLAG_READ1:
                 stats["proper_pairs"] += 1
+            if self.opts.run_folder:
+                # Illumina names <inst>:<run>:<fc>:<lane>:<tile>:<x>:<y>
+                parts = r.qname.split(":")
+                if len(parts) >= 7:
+                    t = per_tile.setdefault((parts[3], parts[4]),
+                                            {"total": 0, "aligned": 0})
+                    t["total"] += 1
+                    t["aligned"] += int(r.is_mapped)
+        if per_tile:
+            stats["tiles"] = [
+                {"lane": lane, "tile": tile, **agg}
+                for (lane, tile), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
         self._stats["match_selector"] = stats
         genome = index.genome

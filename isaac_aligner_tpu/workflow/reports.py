@@ -30,6 +30,12 @@ def write_match_selector_stats_xml(stats: dict, path: str | Path,
     proj = ET.SubElement(fc, "Project", name="default")
     smp = ET.SubElement(proj, "Sample", name=sample)
     bc = ET.SubElement(smp, "Barcode", name="all")
+    # per-(lane, tile) breakdown when the input was a BCL run folder
+    for t in stats.get("tiles", []):
+        te = ET.SubElement(bc, "Tile", number=str(t["tile"]),
+                           lane=str(t["lane"]))
+        ET.SubElement(te, "Count").text = str(t["total"])
+        ET.SubElement(te, "Aligned").text = str(t["aligned"])
     tile = ET.SubElement(bc, "Tile", number="0")
     frag = ET.SubElement(tile, "AllFragments")
     total = int(stats.get("total_reads", 0))

@@ -209,3 +209,55 @@ def test_workflow_from_run_folder(tmp_path):
     mapped = [r for r in records if not (r.flag & sam.FLAG_UNMAPPED)]
     assert len(mapped) == 4
     assert sorted(r.pos for r in mapped) == [s + 1 for s in starts]
+
+
+def test_bgzf_aggregated_layout(tmp_path):
+    """NextSeq layout: per-cycle bgzf files + bci index (BclBgzfSeedSource)."""
+    info = _make_info(read_cycles=(8,))
+    q = np.full((2, 8), 30, np.uint8)
+    q3 = np.full((3, 8), 30, np.uint8)
+    t1_reads = ["ACGTACGT", "TTTTCCCC"]
+    t2_reads = ["GGGGAAAA", "CACACACA", "TGTGTGTG"]
+    t1 = np.stack([_codes(r) for r in t1_reads])
+    t2 = np.stack([_codes(r) for r in t2_reads])
+    bcl.write_run_folder_bgzf(tmp_path, info, lane=1,
+                              tiles=[(1101, [(t1, q)]), (1102, [(t2, q3)])])
+    assert bcl.discover_tiles(tmp_path, 1) == [1101, 1102]
+    td1 = bcl.load_tile(tmp_path, 1, 1101)
+    td2 = bcl.load_tile(tmp_path, 1, 1102)
+    got1 = ["".join("ACGTN"[c] for c in row) for row in td1.read_bases[0]]
+    got2 = ["".join("ACGTN"[c] for c in row) for row in td2.read_bases[0]]
+    assert got1 == t1_reads
+    assert got2 == t2_reads
+    assert td1.pf.all() and td2.pf.all()
+    # whole-run loader concatenates both tiles
+    b1, b2, _bar = bcl.load_run_reads(tmp_path)
+    assert b2 is None
+    assert b1.count == 5
+
+
+def test_per_tile_stats_from_run_folder(tmp_path):
+    """MatchSelectorStats carries a per-(lane, tile) breakdown for BCL."""
+    import xml.etree.ElementTree as ET
+
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(13)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">c\n{seq}\n")
+    info = _make_info(read_cycles=(64,))
+    q = np.full((2, 64), 30, np.uint8)
+    for tile, starts in ((1101, (100, 900)), (1102, (1500, 2200))):
+        reads = np.stack([_codes(seq[s:s + 64]) for s in starts])
+        bcl.write_run_folder(tmp_path / "run", info, lane=1, tile=tile,
+                             segments=[(reads, q)])
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(fa), output_dir=str(out),
+        run_folder=str(tmp_path / "run"), batch_size=8,
+        realign_gaps="no")).run()
+    root = ET.parse(out / "Stats" / "MatchSelectorStats.xml").getroot()
+    tiles = {(t.get("lane"), t.get("number")): t.findtext("Aligned")
+             for t in root.findall(".//Tile") if t.get("lane")}
+    assert tiles == {("1", "1101"): "2", ("1", "1102"): "2"}
