@@ -224,6 +224,9 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
     out = {}
     out.update(end_out(end1, idx1, score1, "_1"))
     out.update(end_out(end2, idx2, score2, "_2"))
+    for sfx, end in (("_1", end1), ("_2", end2)):
+        for k, v in end.get("finder_stats", {}).items():
+            out[f"{k}{sfx}"] = v
     out["pair_resolved"] = pairs["resolved"]
     out["proper_pair"] = pairs["proper"]
     out["template_length"] = pairs["template_length"]

@@ -631,6 +631,12 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
         "edit": edit_distance,
         "obs_len": jnp.full(cand_start.shape, read_len, jnp.int32),
         "num_candidates": diag["num_candidates"],
+        "finder_stats": {k: diag[k] for k in
+                         ("pass2_reads", "pass2_dropped") if k in diag} | (
+            {"seeds_no_match": jnp.sum(
+                (diag["seed_match_counts"] == 0).astype(jnp.int32)),
+             "seeds_too_many": jnp.sum(diag["seed_too_many"].astype(jnp.int32))}
+            if "seed_match_counts" in diag else {}),
     }
 
 
@@ -692,7 +698,19 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         # (TemplateBuilder::updateMappingScore else-branch)
         mapq = jnp.where(take(well_anchored.astype(jnp.int32)) == 1, mapq, 0)
 
+    finder = {}
+    if "seed_match_counts" in diag:
+        # MatchFinderStats analog (lib/statistics): per-batch seed outcome
+        # tallies — exact-miss and repeat-suppressed seed counts
+        finder["seeds_no_match"] = jnp.sum(
+            (diag["seed_match_counts"] == 0).astype(jnp.int32))
+        finder["seeds_too_many"] = jnp.sum(
+            diag["seed_too_many"].astype(jnp.int32))
+    for key in ("pass2_reads", "pass2_dropped"):
+        if key in diag:
+            finder[key] = diag[key]
     return {
+        **finder,
         "aligned": aligned,
         "start": jnp.where(aligned, take(cand_start), -1),
         "reverse": take(cand_orient) == 1,

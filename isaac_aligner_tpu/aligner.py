@@ -27,6 +27,15 @@ from .io import sam
 from .io.fastq import ReadBatch
 
 
+def _accumulate_finder_stats(acc: dict, res: dict) -> None:
+    """Tally MatchFinder-style seed outcome scalars out of a result dict."""
+    for key in ("seeds_no_match", "seeds_too_many", "pass2_reads",
+                "pass2_dropped"):
+        for k in (key, key + "_1", key + "_2"):
+            if k in res:
+                acc[key] = acc.get(key, 0) + int(res[k])
+
+
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
     """Fill in the static bucketed-search step budget from the index."""
     if cfg.bucket_log2 is not None:
@@ -44,6 +53,8 @@ class Aligner:
     clip_semialigned: bool = True
     adapters: tuple[str, ...] = ()
     gap_scoring: GapScoring = BWA
+    # accumulated MatchFinder-style seed stats (statistics lib analog)
+    finder_stats: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -76,6 +87,7 @@ class Aligner:
                                  gs=self.gap_scoring)
         if self.clip_semialigned:
             clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
+        _accumulate_finder_stats(self.finder_stats, res)
         tracing.trace_batch(batch.names, res)
         return res
 
@@ -175,6 +187,7 @@ class PairedAligner:
     clip_overlapping: bool = True
     adapters: tuple[str, ...] = ()
     gap_scoring: GapScoring = BWA
+    finder_stats: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -246,6 +259,7 @@ class PairedAligner:
             clippers.clip_semialigned(res, "_2", g_codes, m2.bases)
         if self.clip_overlapping:
             clippers.clip_overlapping(res, m1, m2, g_codes)
+        _accumulate_finder_stats(self.finder_stats, res)
         tracing.trace_batch(b1.names, res, "_1")
         tracing.trace_batch(b2.names, res, "_2")
         return res

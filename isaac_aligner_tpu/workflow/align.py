@@ -282,6 +282,8 @@ class AlignWorkflow:
                 for (lane, tile), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
         self._stats["match_selector"] = stats
+        if aligner.finder_stats:
+            self._stats["match_finder"] = dict(aligner.finder_stats)
         genome = index.genome
         sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
                       sample=self.opts.sample)
@@ -326,6 +328,10 @@ class AlignWorkflow:
             reports.write_demultiplexing_stats_xml(
                 self._stats["demultiplexing"],
                 self.stats_dir / "DemultiplexingStats.xml")
+        if "match_finder" in self._stats:
+            reports.write_match_finder_stats_xml(
+                self._stats["match_finder"],
+                self.stats_dir / "MatchFinderStats.xml")
         reports.write_html_report(self._stats,
                                   self.stats_dir / "AlignmentReport.html")
 

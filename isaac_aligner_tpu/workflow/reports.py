@@ -67,6 +67,19 @@ def write_demultiplexing_stats_xml(counts: dict[str, int],
     _write(root, Path(path))
 
 
+def write_match_finder_stats_xml(finder: dict, path: str | Path) -> None:
+    """Seed-matching outcome tallies (statistics lib analog:
+    include/statistics/MatchFinderTileStats.hh)."""
+    root = ET.Element("Stats")
+    tile = ET.SubElement(root, "Tile", number="0")
+    for k in ("seeds_no_match", "seeds_too_many", "pass2_reads",
+              "pass2_dropped"):
+        if k in finder:
+            tag = "".join(w.capitalize() for w in k.split("_"))
+            ET.SubElement(tile, tag).text = str(int(finder[k]))
+    _write(root, Path(path))
+
+
 def write_build_stats_xml(build: dict, path: str | Path) -> None:
     """Per-run duplicate/realignment counts (BuildStats.xml analog)."""
     root = ET.Element("Stats")

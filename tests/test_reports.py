@@ -79,3 +79,36 @@ def test_workflow_emits_xml(tmp_path):
         assert (out / "Stats" / name).exists(), name
     root = ET.parse(out / "Stats" / "MatchSelectorStats.xml").getroot()
     assert root.find(".//AllFragments").findtext("Aligned") == "1"
+
+
+def test_match_finder_stats_xml(tmp_path):
+    f = tmp_path / "MatchFinderStats.xml"
+    reports.write_match_finder_stats_xml(
+        {"seeds_no_match": 7, "seeds_too_many": 2, "pass2_reads": 3}, f)
+    root = ET.parse(f).getroot()
+    t = root.find("Tile")
+    assert t.findtext("SeedsNoMatch") == "7"
+    assert t.findtext("SeedsTooMany") == "2"
+    assert t.findtext("Pass2Reads") == "3"
+
+
+def test_workflow_emits_match_finder_stats(tmp_path):
+    import numpy as np
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    # one aligning read + one garbage read (all seeds miss)
+    good = seq[100:164]
+    bad = "".join("ACGT"[(i * 7 + 3) % 4] for i in range(64))
+    (tmp_path / "r.fq").write_text(
+        f"@g\n{good}\n+\n{'I' * 64}\n@b\n{bad}\n+\n{'I' * 64}\n")
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r.fq"), batch_size=8,
+        realign_gaps="no")).run()
+    assert (out / "Stats" / "MatchFinderStats.xml").exists()
+    root = ET.parse(out / "Stats" / "MatchFinderStats.xml").getroot()
+    assert int(root.find("Tile").findtext("SeedsNoMatch")) > 0
