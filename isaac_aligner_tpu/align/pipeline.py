@@ -111,6 +111,11 @@ class AlignConfig:
     # — log2 of the LARGEST bucket, host-computed by build_bucket_table.
     # None = plain full-range search (always correct, slower).
     bucket_log2: int | None = None
+    # reference --dodgy-alignment-score (manual.md:367-370): MAPQ assigned
+    # when the score is impossible to track (repeat overflow); dodgy
+    # reads can also be marked unaligned entirely ("Unaligned")
+    dodgy_mapq: int = 0
+    dodgy_unaligned: bool = False
 
 
 def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -687,12 +692,13 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
     mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
     mapq = jnp.where(aligned, mapq, 0)
+    dodgy = dropped
     if diag.get("scored_overflow") is not None:
         # more distinct placements than the scoring cap: dodgy repeat
-        mapq = jnp.where(diag["scored_overflow"], 0, mapq)
-    # pairs dropped from the compacted scoring queue: probability mass is
-    # incomplete for these reads -> dodgy
-    mapq = jnp.where(dropped, 0, mapq)
+        dodgy = dodgy | diag["scored_overflow"]
+    mapq = jnp.where(dodgy, jnp.int32(cfg.dodgy_mapq), mapq)
+    if cfg.dodgy_unaligned:
+        aligned = aligned & ~dodgy
     if well_anchored is not None:
         # all supporting seeds have neighbors and no two agree -> score 0
         # (TemplateBuilder::updateMappingScore else-branch)

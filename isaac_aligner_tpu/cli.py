@@ -60,6 +60,10 @@ def _cmd_align(args) -> int:
         realign_gaps=args.realign_gaps,
         gap_scoring=args.gap_scoring,
         tls_override=args.tls,
+        seeds=args.seeds,
+        repeat_threshold=args.repeat_threshold,
+        first_pass_seeds=args.first_pass_seeds,
+        dodgy_alignment_score=args.dodgy_alignment_score,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -120,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--barcode-fastq", default=None,
                     help="index (I1) FASTQ aligned with fastq1 order")
     al.add_argument("--barcode-mismatches", type=int, default=1)
+    al.add_argument("--seeds", default="auto",
+                    help="auto | colon-separated seed offsets, e.g. 0:32:64")
+    al.add_argument("--repeat-threshold", type=int, default=10,
+                    help="suppress seeds matching more reference positions")
+    al.add_argument("--first-pass-seeds", type=int, default=1,
+                    help="seed offsets probed before completion masking")
+    al.add_argument("--dodgy-alignment-score", default="0",
+                    help="Unaligned | 0-254 MAPQ for untrackable repeats")
     al.add_argument("--gap-scoring", default="bwa",
                     help="bwa | eland | m:mm:go:ge[:me] colon string")
     al.add_argument("--tls", default=None,

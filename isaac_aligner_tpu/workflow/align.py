@@ -90,6 +90,17 @@ class WorkflowOptions:
     realign_gaps: str = "sample"
     # reference --gap-scoring: bwa | eland | m:mm:go:ge[:me]
     gap_scoring: str = "bwa"
+    # reference --seeds: auto | colon-separated offsets ("0:32:64"); a
+    # comma-separated per-read list collapses to the first entry (all our
+    # reads share geometry)
+    seeds: str = "auto"
+    # reference --repeat-threshold (align-time, default 10)
+    repeat_threshold: int = 10
+    # reference --first-pass-seeds (default 1; ignored when --seeds=auto
+    # in the reference, honored always here)
+    first_pass_seeds: int = 1
+    # reference --dodgy-alignment-score: Unaligned | 0-254
+    dodgy_alignment_score: str = "0"
     # reference --tls: 'min:median:max:lowStdDev:highStdDev:M0:M1' forces
     # the template-length model instead of learning it
     tls_override: str | None = None
@@ -228,9 +239,20 @@ class AlignWorkflow:
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters),
                        gap_scoring=GapScoring.parse(o.gap_scoring))
+        if o.seeds == "auto":
+            offsets = default_seed_offsets(read_len, index.seed_len)
+        else:
+            first = o.seeds.split(",")[0]
+            offsets = tuple(int(x) for x in first.split(":"))
+        dodgy = o.dodgy_alignment_score
         cfg = AlignConfig(
             seed_len=index.seed_len,
-            seed_offsets=default_seed_offsets(read_len, index.seed_len),
+            seed_offsets=offsets,
+            repeat_threshold=o.repeat_threshold,
+            max_hits_per_seed=o.repeat_threshold,
+            first_pass_seeds=o.first_pass_seeds,
+            dodgy_mapq=0 if dodgy == "Unaligned" else int(dodgy),
+            dodgy_unaligned=dodgy == "Unaligned",
             neighborhood_size_threshold=o.neighborhood_size_threshold)
         barcode_of = self._resolve_barcodes()
         if self._paired:

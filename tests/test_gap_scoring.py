@@ -73,3 +73,33 @@ def test_workflow_tls_override(tmp_path):
     _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
     proper = [r for r in recs if r.flag & sam.FLAG_PROPER_PAIR]
     assert len(proper) == 8  # all 4 pairs proper under the forced model
+
+
+def test_seeds_and_dodgy_flags(tmp_path):
+    """--seeds explicit offsets + --dodgy-alignment-score Unaligned."""
+    import numpy as np
+    from isaac_aligner_tpu.io import sam
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(21)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 64))
+    # genome with the same 64bp unit repeated 30 times + unique flank
+    flank = "".join("ACGT"[i] for i in rng.integers(0, 4, 2000))
+    seq = core * 30 + flank
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    # a repeat read (30 placements > scored capacity) and a unique read
+    (tmp_path / "r.fq").write_text(
+        f"@rep\n{core}\n+\n{'I' * 64}\n"
+        f"@uni\n{flank[100:164]}\n+\n{'I' * 64}\n")
+
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r.fq"), batch_size=8, realign_gaps="no",
+        seeds="0:32", dodgy_alignment_score="Unaligned")).run()
+    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    by_name = {r.qname: r for r in recs}
+    # the repeat read is dodgy -> marked unaligned under "Unaligned"
+    assert by_name["rep"].flag & sam.FLAG_UNMAPPED
+    assert not (by_name["uni"].flag & sam.FLAG_UNMAPPED)
+    assert by_name["uni"].pos == 64 * 30 + 101
