@@ -261,19 +261,32 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     """
     b, read_len = bases.shape
     k = cfg.seed_len
+    # seeds longer than the 32-mer index are searched on their 32-mer
+    # prefix, then each hit verifies the remaining ext bases against the
+    # packed genome — the 64-mer (LongKmerType) mode without a separate
+    # 64-mer index (reference: include/oligo/Kmer.hh:32-38 builds one
+    # index per seed length instead)
+    k_search = min(k, 32)
+    k_ext = k - k_search
     rc_bases = bitops.revcomp_reads(bases)
     seed_list = seed_table(read_len, cfg)
 
-    hips, lops, nmask = [], [], []
+    hips, lops, nmask, extws = [], [], [], []
+    w_ext = -(-k_ext // 16)
     for orient, qoff in seed_list:
         q = bases if orient == 0 else rc_bases
-        hi, lo, has_n = bitops.pack_seed(q, qoff, k)
+        hi, lo, has_n = bitops.pack_seed(q, qoff, k_search)
+        if k_ext:
+            ext = q[:, qoff + k_search : qoff + k]
+            has_n = has_n | jnp.any(ext >= dna.NUM_BASES, axis=1)
+            extws.append(pack_reads(ext))           # [B, We] zero-padded
         hips.append(hi)
         lops.append(lo)
         nmask.append(has_n)
     q_hi = jnp.stack(hips, axis=1)          # [B, S]
     q_lo = jnp.stack(lops, axis=1)
     seed_has_n = jnp.stack(nmask, axis=1)
+    q_ext = jnp.stack(extws, axis=1) if k_ext else None   # [B, S, We]
     qoff_arr = jnp.asarray(np.array([s[1] for s in seed_list], np.int32))
     orient_arr = jnp.asarray(np.array([s[0] for s in seed_list], np.int32))
 
@@ -316,6 +329,48 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
                (start_arr + read_len <= arrays.contig_ends[cid])
 
     valid = hit_valid & contig_bounded(start) & (start >= 0)
+
+    if k_ext:
+        # verify the seed extension: genome[pos+32 : pos+k] must equal the
+        # read's ext bases exactly (and carry no Ns)
+        ext_pos = jnp.maximum(hit_pos + k_search, 0)      # [B, S, R]
+        gp = arrays.genome_packed
+        gw = gp.shape[0]
+        word0 = ext_pos >> 4
+        t_idx = jnp.arange(w_ext + 1, dtype=jnp.int32)
+        widx = jnp.clip(word0[..., None] + t_idx, 0, gw - 1)
+        words = gp[widx]                                  # [B, S, R, We+1]
+        o2 = ((ext_pos & 15) << 1).astype(jnp.uint32)[..., None]
+        safe = jnp.where(o2 == 0, jnp.uint32(1), jnp.uint32(32) - o2)
+        g_ext = jnp.where(o2 == 0, words[..., :-1],
+                          (words[..., :-1] << o2) | (words[..., 1:] >> safe))
+        xor = g_ext ^ q_ext[:, :, None, :]                # [B, S, R, We]
+        # zero out bases beyond k_ext in the final word
+        tail = k_ext - 16 * (w_ext - 1)
+        word_mask = np.full(w_ext, 0xFFFFFFFF, np.uint64)
+        word_mask[-1] = (0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF
+        xor = xor & jnp.asarray(word_mask.astype(np.uint32))
+        ext_eq = jnp.all(xor == 0, axis=-1)
+        # genome N in the ext range: check the N-bit plane word span
+        gn = arrays.genome_nbits
+        gnw = gn.shape[0]
+        nw = -(-(k_ext + 31) // 32) + 1
+        nword0 = ext_pos >> 5
+        nt = jnp.arange(nw, dtype=jnp.int32)
+        nwidx = jnp.clip(nword0[..., None] + nt, 0, gnw - 1)
+        nwords = gn[nwidx]
+        no = (ext_pos & 31).astype(jnp.uint32)[..., None]
+        nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+        n_al = jnp.where(no == 0, nwords[..., :-1],
+                         (nwords[..., :-1] << no) | (nwords[..., 1:] >> nsafe))
+        nmask_words = np.zeros(nw - 1, np.uint64)
+        for wi in range(nw - 1):
+            span = min(32, k_ext - 32 * wi)
+            if span > 0:
+                nmask_words[wi] = (0xFFFFFFFF << (32 - span)) & 0xFFFFFFFF
+        n_hit = jnp.any(
+            (n_al & jnp.asarray(nmask_words.astype(np.uint32))) != 0, axis=-1)
+        valid = valid & ext_eq & ~n_hit
 
     diag = {"seed_match_counts": count, "seed_too_many": too_many}
     flat = lambda x: x.reshape(b, -1)

@@ -156,7 +156,9 @@ class AlignWorkflow:
                 self._index = SeedIndex.load(ref)
             else:
                 genome = read_fasta(ref)
-                self._index = build_index(genome, seed_len=self.opts.seed_len)
+                # 64-mer seeds search a 32-mer index + extension verify
+                self._index = build_index(genome,
+                                          seed_len=min(self.opts.seed_len, 32))
         return self._index
 
     @property
@@ -239,14 +241,17 @@ class AlignWorkflow:
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters),
                        gap_scoring=GapScoring.parse(o.gap_scoring))
+        seed_len = max(o.seed_len, index.seed_len)
+        if seed_len > 32 and index.seed_len != 32:
+            raise ValueError("64-mer seeds need a 32-mer index")
         if o.seeds == "auto":
-            offsets = default_seed_offsets(read_len, index.seed_len)
+            offsets = default_seed_offsets(read_len, seed_len)
         else:
             first = o.seeds.split(",")[0]
             offsets = tuple(int(x) for x in first.split(":"))
         dodgy = o.dodgy_alignment_score
         cfg = AlignConfig(
-            seed_len=index.seed_len,
+            seed_len=seed_len,
             seed_offsets=offsets,
             repeat_threshold=o.repeat_threshold,
             max_hits_per_seed=o.repeat_threshold,
