@@ -46,6 +46,9 @@ def _unclipped_5prime(rec: sam.SamRecord) -> int:
     return pos
 
 
+unclipped_five_prime = _unclipped_5prime   # public: genomic binning uses it
+
+
 def _anchor(rec: sam.SamRecord):
     return (rec.rname, _unclipped_5prime(rec), bool(rec.flag & sam.FLAG_REVERSE))
 

@@ -150,54 +150,113 @@ class _BaiBuilder:
         return out
 
 
+class BamWriter:
+    """Streaming BAM writer: records go out in bounded memory.
+
+    The out-of-core half of the reference's Build phase
+    (lib/build/Build.cpp:509-903 serializes bin by bin into per-sample
+    BGZF streams): callers feed coordinate-ordered record batches; full
+    BGZF blocks compress and hit disk as they fill, .bai virtual offsets
+    and the md5 accumulate along the way.
+    """
+
+    def __init__(self, path: str | Path, contigs, write_index: bool = True,
+                 write_md5: bool = True, compression_level: int = 1,
+                 threads: int = 4, **header_kw):
+        self.path = Path(path)
+        self.contigs = contigs
+        self.ref_ids = {c.name: c.index for c in contigs}
+        self.level = compression_level
+        self.threads = threads
+        self.write_index = write_index
+        self.write_md5 = write_md5
+        self._pending = bytearray(header_bytes(contigs, **header_kw))
+        self._u_base = 0                    # uncompressed offset of pending[0]
+        self._comp_starts: list[int] = []   # compressed start per BGZF block
+        self._c_off = 0
+        self._spans: list[tuple[int, int, int, int, int]] = []
+        self._f = open(self.path, "wb")
+        self._md5 = hashlib.md5()
+        self._closed = False
+
+    def write(self, records: list[sam.SamRecord]) -> None:
+        for rec in records:
+            u0 = self._u_base + len(self._pending)
+            self._pending += record_bytes(rec, self.ref_ids)
+            if self.write_index:
+                ref_id = self.ref_ids.get(rec.rname, -1)
+                pos = rec.pos - 1
+                cig = parse_cigar(rec.cigar) if rec.cigar != "*" else []
+                end = pos + max(1, _ref_len_from_cigar(cig))
+                self._spans.append((ref_id, pos, end, u0,
+                                    self._u_base + len(self._pending)))
+        self._flush_full_blocks()
+
+    def _flush_full_blocks(self) -> None:
+        bs = bgzf.BLOCK_SIZE
+        n_full = (len(self._pending) // bs) * bs
+        if not n_full:
+            return
+        chunk = bytes(self._pending[:n_full])
+        del self._pending[:n_full]
+        self._u_base += n_full
+        stream, blocks = bgzf.compress(chunk, level=self.level,
+                                       threads=self.threads)
+        for _u, clen in blocks:
+            self._comp_starts.append(self._c_off)
+            self._c_off += clen
+        self._f.write(stream)
+        self._md5.update(stream)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._pending:
+            stream, _ = bgzf.compress(bytes(self._pending), level=self.level,
+                                      threads=self.threads)
+            self._comp_starts.append(self._c_off)
+            self._c_off += len(stream)
+            self._f.write(stream)
+            self._md5.update(stream)
+            self._u_base += len(self._pending)
+            self._pending.clear()
+        self._f.write(bgzf.EOF_BLOCK)
+        self._md5.update(bgzf.EOF_BLOCK)
+        self._f.close()
+        if self.write_md5:
+            Path(str(self.path) + ".md5").write_text(
+                f"{self._md5.hexdigest()}  {self.path.name}\n")
+        if self.write_index:
+            bs = bgzf.BLOCK_SIZE
+
+            def voff(u: int) -> int:
+                b = u // bs
+                if b >= len(self._comp_starts):   # exactly at stream end
+                    return self._c_off << 16
+                return (self._comp_starts[b] << 16) | (u - b * bs)
+
+            bai = _BaiBuilder(len(self.contigs))
+            for ref_id, pos, end, u0, u1 in self._spans:
+                bai.add(ref_id, pos, end, reg2bin(pos, end), voff(u0), voff(u1))
+            Path(str(self.path) + ".bai").write_bytes(bai.serialize())
+
+    def __enter__(self) -> "BamWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def write_bam(path: str | Path, records: list[sam.SamRecord], contigs,
               write_index: bool = True, write_md5: bool = True,
               compression_level: int = 1, threads: int = 4,
               **header_kw) -> None:
     """Write records (must be coordinate-sorted for a valid .bai) to BAM."""
-    path = Path(path)
-    ref_ids = {c.name: c.index for c in contigs}
-
-    payload = bytearray(header_bytes(contigs, **header_kw))
-    # virtual-offset bookkeeping: remember each record's uncompressed span
-    rec_spans = []
-    for rec in records:
-        start = len(payload)
-        payload += record_bytes(rec, ref_ids)
-        rec_spans.append((rec, start, len(payload)))
-
-    stream, blocks = bgzf.compress(bytes(payload), level=compression_level,
-                                   threads=threads)
-    stream += bgzf.EOF_BLOCK
-    path.write_bytes(stream)
-
-    if write_md5:
-        md5 = hashlib.md5(stream).hexdigest()
-        Path(str(path) + ".md5").write_text(f"{md5}  {path.name}\n")
-
-    if write_index:
-        # map uncompressed offset -> virtual offset
-        comp_starts = []
-        acc = 0
-        for _u_off, clen in blocks:
-            comp_starts.append(acc)
-            acc += clen
-        bs = bgzf.BLOCK_SIZE
-
-        def voff(u: int) -> int:
-            b = u // bs
-            if b >= len(comp_starts):  # exactly at stream end
-                return (acc << 16)
-            return (comp_starts[b] << 16) | (u - b * bs)
-
-        bai = _BaiBuilder(len(contigs))
-        for rec, u0, u1 in rec_spans:
-            ref_id = ref_ids.get(rec.rname, -1)
-            pos = rec.pos - 1
-            cig = parse_cigar(rec.cigar) if rec.cigar != "*" else []
-            end = pos + max(1, _ref_len_from_cigar(cig))
-            bai.add(ref_id, pos, end, reg2bin(pos, end), voff(u0), voff(u1))
-        Path(str(path) + ".bai").write_bytes(bai.serialize())
+    with BamWriter(path, contigs, write_index=write_index,
+                   write_md5=write_md5, compression_level=compression_level,
+                   threads=threads, **header_kw) as w:
+        w.write(records)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,14 @@ def write_sam(path, records: list[SamRecord], contigs, **header_kw) -> None:
             f.write(r.to_line() + "\n")
 
 
+def iter_sam(path):
+    """Stream records from a SAM file (bounded memory for bin merging)."""
+    with open(path) as f:
+        for line in f:
+            if not line.startswith("@") and line.strip():
+                yield SamRecord.from_line(line)
+
+
 def read_sam(path) -> tuple[list[str], list[SamRecord]]:
     headers: list[str] = []
     records: list[SamRecord] = []

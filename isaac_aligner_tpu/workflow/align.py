@@ -104,6 +104,10 @@ class WorkflowOptions:
     # reference --tls: 'min:median:max:lowStdDev:highStdDev:M0:M1' forces
     # the template-length model instead of learning it
     tls_override: str | None = None
+    # genomic binning threshold: runs larger than this many records split
+    # into position bins processed in bounded memory during the Build
+    # phase (reference BinIndexMap + Build::sortBinParallel)
+    records_per_bin: int = 1_000_000
 
 
 class AlignWorkflow:
@@ -312,8 +316,52 @@ class AlignWorkflow:
         if aligner.finder_stats:
             self._stats["match_finder"] = dict(aligner.finder_stats)
         genome = index.genome
-        sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
-                      sample=self.opts.sample)
+        n_bins = max(1, -(-len(records) // self.opts.records_per_bin))
+        if n_bins > 1:
+            self._write_bins(records, genome, n_bins)
+        else:
+            sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
+                          sample=self.opts.sample)
+
+    def _write_bins(self, records, genome, n_bins: int) -> None:
+        """Genomic binning (reference BinIndexMap,
+        include/alignment/matchSelector/BinIndexMap.hh:44-96): whole
+        templates route to the bin of their smallest mapped unclipped-5'
+        anchor, so every copy of a duplicate template lands in ONE bin and
+        per-bin dedup stays exact; unmapped-only templates go to the
+        trailing unaligned bin.  Each bin then sorts/dedups/realigns in
+        bounded memory in the Build phase."""
+        import shutil
+
+        from ..build.dedup import unclipped_five_prime
+        bins_dir = self.temp / "bins"
+        if bins_dir.exists():
+            shutil.rmtree(bins_dir)
+        bins_dir.mkdir(parents=True)
+        g_len = sum(c.length for c in genome.contigs)
+        bin_bp = max(1, -(-g_len // n_bins))
+        offs = {c.name: c.offset for c in genome.contigs}
+        by_name: dict[str, list[sam.SamRecord]] = {}
+        for r in records:
+            by_name.setdefault(r.qname, []).append(r)
+        files: dict[str, object] = {}
+        try:
+            for recs in by_name.values():
+                poss = [offs[r.rname] + unclipped_five_prime(r)
+                        for r in recs if r.is_mapped and r.rname in offs]
+                if not poss:
+                    key = "unaligned"
+                else:
+                    key = f"bin_{min(max(min(poss), 0) // bin_bp, n_bins - 1):05d}"
+                f = files.get(key)
+                if f is None:
+                    f = open(bins_dir / f"{key}.sam", "w")
+                    files[key] = f
+                for r in recs:
+                    f.write(r.to_line() + "\n")
+        finally:
+            for f in files.values():
+                f.close()
 
     def _sample_specs(self):
         from ..demultiplexing.samplesheet import parse_sample_sheet
@@ -362,10 +410,10 @@ class AlignWorkflow:
         reports.write_html_report(self._stats,
                                   self.stats_dir / "AlignmentReport.html")
 
-    def _phase_bam(self) -> None:
-        index = self._load_index()
-        _, records = sam.read_sam(self.temp / "aligned.sam")
-        records = coordinate_sort(records, index.genome.contigs)
+    def _process_bin(self, records: list[sam.SamRecord], genome
+                     ) -> tuple[list[sam.SamRecord], int]:
+        """Sort + dedup + realign one bin's records (BinSorter::process)."""
+        records = coordinate_sort(records, genome.contigs)
         if self.opts.mark_duplicates:
             records = mark_duplicates(records, keep=self.opts.keep_duplicates)
         realigned = 0
@@ -381,34 +429,112 @@ class AlignWorkflow:
                     by_scope.setdefault(rg, []).append(r)
                 groups = list(by_scope.values())
             for grp in groups:
-                realigned += realign_records(grp, index.genome,
-                                             collect_gaps(grp))
-            records = coordinate_sort(records, index.genome.contigs)
-        dup = sum(1 for r in records if r.flag & sam.FLAG_DUPLICATE)
-        self._stats["build"] = {"records": len(records), "duplicates": dup,
-                                "realigned": realigned}
+                realigned += realign_records(grp, genome, collect_gaps(grp))
+            records = coordinate_sort(records, genome.contigs)
+        return records, realigned
+
+    def _emit_bam(self, stream, contigs) -> None:
+        """Route a coordinate-ordered record stream into the output BAM
+        writer(s) — one per sample when demultiplexing (BarcodeBamMapping),
+        one flat file otherwise."""
+        from ..io.bam import BamWriter
+        writers: dict[str | None, BamWriter] = {}
+
+        def writer_for(rec: sam.SamRecord) -> BamWriter:
+            if not self.opts.sample_sheet:
+                key = None
+            else:
+                key = str(rec.tags.get("RG", ("Z", "unknown"))[1])
+            w = writers.get(key)
+            if w is None:
+                if key is None:
+                    path = self.out / "sorted.bam"
+                    sample_name = self.opts.sample
+                else:
+                    d = self.out / key
+                    d.mkdir(parents=True, exist_ok=True)
+                    path = d / "sorted.bam"
+                    sample_name = key
+                w = BamWriter(path, contigs,
+                              compression_level=self.opts.compression_level,
+                              sample=sample_name)
+                writers[key] = w
+            return w
+
+        buf: dict[str | None, list[sam.SamRecord]] = {}
+        for rec in stream:
+            w = writer_for(rec)
+            key = None if not self.opts.sample_sheet else \
+                str(rec.tags.get("RG", ("Z", "unknown"))[1])
+            buf.setdefault(key, []).append(rec)
+            if len(buf[key]) >= 4096:
+                w.write(buf[key])
+                buf[key] = []
+        for key, recs in buf.items():
+            if recs:
+                writers[key].write(recs)
+        for w in writers.values():
+            w.close()
+
+    def _phase_bam(self) -> None:
+        import heapq
+        import itertools
+
+        index = self._load_index()
+        genome = index.genome
+        bins_dir = self.temp / "bins"
+        bin_paths = sorted(bins_dir.glob("bin_*.sam")) if bins_dir.is_dir() else []
+
+        if not bin_paths:
+            # single-bin path: everything fits in memory at once
+            _, records = sam.read_sam(self.temp / "aligned.sam")
+            records, realigned = self._process_bin(records, genome)
+            dup = sum(1 for r in records if r.flag & sam.FLAG_DUPLICATE)
+            n_records = len(records)
+            stream = iter(records)
+        else:
+            # bin-parallel path (reference Build::sortBinParallel): each
+            # genomic bin sorts/dedups/realigns independently in bounded
+            # memory, then the sorted bin streams k-way-merge into the BAM
+            realigned = 0
+            dup = 0
+            n_records = 0
+            sorted_paths = []
+            for bp in bin_paths:
+                recs = list(sam.iter_sam(bp))
+                recs, r_cnt = self._process_bin(recs, genome)
+                realigned += r_cnt
+                dup += sum(1 for r in recs if r.flag & sam.FLAG_DUPLICATE)
+                n_records += len(recs)
+                sp = bins_dir / ("sorted_" + bp.name[4:])
+                with open(sp, "w") as f:
+                    for r in recs:
+                        f.write(r.to_line() + "\n")
+                sorted_paths.append(sp)
+            order = {c.name: c.index for c in genome.contigs}
+
+            def coord_key(r: sam.SamRecord):
+                if r.rname == "*":
+                    return (len(order), 0, r.qname)
+                return (order[r.rname], r.pos, r.qname)
+
+            stream = heapq.merge(*(sam.iter_sam(p) for p in sorted_paths),
+                                 key=coord_key)
+            unal = bins_dir / "unaligned.sam"
+            if unal.exists():
+                extra = sam.iter_sam(unal)
+                n_records += sum(1 for _ in sam.iter_sam(unal))
+                stream = itertools.chain(stream, extra)
+
+        self._stats["build"] = {"records": n_records, "duplicates": dup,
+                                "realigned": realigned,
+                                "bins": max(1, len(bin_paths))}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
         from . import reports
         reports.write_build_stats_xml(self._stats["build"],
                                       self.stats_dir / "BuildStats.xml")
-        if self.opts.sample_sheet:
-            # per-sample BAMs (reference BarcodeBamMapping: one output
-            # stream per project/sample)
-            by_sample: dict[str, list[sam.SamRecord]] = {}
-            for r in records:
-                rg = r.tags.get("RG", ("Z", "unknown"))[1]
-                by_sample.setdefault(str(rg), []).append(r)
-            for sample_name, recs in by_sample.items():
-                d = self.out / sample_name
-                d.mkdir(parents=True, exist_ok=True)
-                write_bam(d / "sorted.bam", recs, index.genome.contigs,
-                          compression_level=self.opts.compression_level,
-                          sample=sample_name)
-        else:
-            write_bam(self.out / "sorted.bam", records, index.genome.contigs,
-                      compression_level=self.opts.compression_level,
-                      sample=self.opts.sample)
+        self._emit_bam(stream, genome.contigs)
 
     # -- driver -------------------------------------------------------------
 
