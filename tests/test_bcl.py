@@ -261,3 +261,53 @@ def test_per_tile_stats_from_run_folder(tmp_path):
     tiles = {(t.get("lane"), t.get("number")): t.findtext("Aligned")
              for t in root.findall(".//Tile") if t.get("lane")}
     assert tiles == {("1", "1101"): "2", ("1", "1102"): "2"}
+
+
+def test_bcl_demux_to_per_sample_bams(tmp_path):
+    """Paired BCL run with index read -> BarcodeResolver -> per-sample
+    sorted BAMs (reference FindMatchesTransition barcode path +
+    BarcodeBamMapping)."""
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(17)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 8000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    (tmp_path / "samples.csv").write_text(
+        "barcode,sample\nACACACAC,sampleA\nTGTGTGTG,sampleB\n")
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    starts = [500, 2000, 4000, 6000]
+    barcodes = ["ACACACAC", "TGTGTGTG", "ACACACAC", "GGGGGGGG"]  # last unknown
+    r1 = [seq[s:s + 64] for s in starts]
+    r2 = ["".join(comp[b] for b in reversed(seq[s + 236:s + 300]))
+          for s in starts]
+    q = np.full((4, 64), 30, np.uint8)
+    qi = np.full((4, 8), 30, np.uint8)
+    info = _make_info(read_cycles=(64, 64), index_cycles=(8,))
+    bcl.write_run_folder(
+        tmp_path / "run", info, lane=1, tile=1101,
+        segments=[(np.stack([_codes(r) for r in r1]), q),
+                  (np.stack([_codes(r) for r in r2]), q),
+                  (np.stack([_codes(b) for b in barcodes]), qi)])
+
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        run_folder=str(tmp_path / "run"), batch_size=8,
+        sample_sheet=str(tmp_path / "samples.csv"),
+        realign_gaps="no")).run()
+
+    from isaac_aligner_tpu.io.bam import read_bam
+    a = read_bam(out / "sampleA" / "sorted.bam")[2]
+    b = read_bam(out / "sampleB" / "sorted.bam")[2]
+    assert len(a) == 4   # 2 pairs
+    assert len(b) == 2   # 1 pair
+    # the unknown-barcode pair lands in the unknown-sample output
+    unknown_dirs = [d.name for d in out.iterdir() if d.is_dir()
+                    and d.name not in ("sampleA", "sampleB", "Temp", "Stats")]
+    assert unknown_dirs, "unknown barcode output missing"
+    import xml.etree.ElementTree as ET
+    root = ET.parse(out / "Stats" / "DemultiplexingStats.xml").getroot()
+    counts = {e.get("name"): int(e.findtext("ClusterCount"))
+              for e in root.findall(".//Barcode")}
+    assert counts["sampleA"] == 2 and counts["sampleB"] == 1
