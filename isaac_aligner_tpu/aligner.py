@@ -65,15 +65,19 @@ class Aligner:
         cfg = _with_bucket_log2(cfg, index)
         return Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
 
-    def align_batch_arrays(self, batch: ReadBatch,
-                           gapped: bool = True) -> dict[str, np.ndarray]:
-        """Run the device pipeline; returns host numpy result arrays."""
+    def _dispatch(self, batch: ReadBatch):
+        """Async half: mask/trim on host, launch the device program."""
         bases = batch.bases.copy()
         quals = batch.quals.copy()
         trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
         trims = trims + clippers.quality_trim_batch(
             bases, quals, self.base_quality_cutoff, tail_masked=trims)
         out = align_batch_jit(self.arrays, bases, quals, self.cfg)
+        return out, bases, quals, trims, batch
+
+    def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
+        """Sync half: fetch device results, run host polish passes."""
+        out, bases, quals, trims, batch = pending
         # jax.device_get (NOT np.asarray): the remote-TPU tunnel's
         # __array__ fetch path is pathologically slow
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
@@ -91,8 +95,34 @@ class Aligner:
         tracing.trace_batch(batch.names, res)
         return res
 
+    def align_batch_arrays(self, batch: ReadBatch,
+                           gapped: bool = True) -> dict[str, np.ndarray]:
+        """Run the device pipeline; returns host numpy result arrays."""
+        return self._finish(self._dispatch(batch), gapped=gapped)
+
+    def align_to_sam_many(self, batches, phred_offset: int = 33):
+        """Pipelined multi-batch alignment: batch i+1 is dispatched to the
+        device BEFORE batch i's results are fetched and host-polished —
+        the TPU version of the reference's load/compute/flush slot overlap
+        (SelectMatchesTransition.cpp:295-357).  Yields per-batch record
+        lists in order."""
+        pending = None
+        for batch in batches:
+            nxt = self._dispatch(batch)
+            if pending is not None:
+                res = self._finish(pending)
+                yield self._records_from_res(pending[4], res, phred_offset)
+            pending = nxt
+        if pending is not None:
+            res = self._finish(pending)
+            yield self._records_from_res(pending[4], res, phred_offset)
+
     def align_to_sam(self, batch: ReadBatch, phred_offset: int = 33) -> list[sam.SamRecord]:
         res = self.align_batch_arrays(batch)
+        return self._records_from_res(batch, res, phred_offset)
+
+    def _records_from_res(self, batch: ReadBatch, res: dict,
+                          phred_offset: int = 33) -> list[sam.SamRecord]:
         genome = self.index.genome
         records: list[sam.SamRecord] = []
         for i, name in enumerate(batch.names):
@@ -223,7 +253,8 @@ class PairedAligner:
 
     # -- alignment ----------------------------------------------------------
 
-    def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
+    def _dispatch(self, b1: ReadBatch, b2: ReadBatch):
+        """Async half: mask/trim both ends, launch the device program."""
         masked = []
         trims = []
         for b in (b1, b2):
@@ -237,6 +268,30 @@ class PairedAligner:
         m1, m2 = masked
         out = _paired_jit(self.arrays, m1.bases, m1.quals, m2.bases, m2.quals,
                           self.cfg, self.tls)
+        return out, m1, m2, trims, (b1, b2)
+
+    def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
+        return self._finish(self._dispatch(b1, b2))
+
+    def align_to_sam_many(self, batches, phred_offset: int = 33):
+        """Pipelined paired alignment over (b1, b2) batches — dispatch of
+        batch i+1 overlaps batch i's fetch + host polish (the reference's
+        3-slot tile pipeline, SelectMatchesTransition.cpp:295-357)."""
+        pending = None
+        for b1, b2 in batches:
+            nxt = self._dispatch(b1, b2)
+            if pending is not None:
+                res = self._finish(pending)
+                p1, p2 = pending[4]
+                yield self._records_from_res(p1, p2, res, phred_offset)
+            pending = nxt
+        if pending is not None:
+            res = self._finish(pending)
+            p1, p2 = pending[4]
+            yield self._records_from_res(p1, p2, res, phred_offset)
+
+    def _finish(self, pending) -> dict[str, np.ndarray]:
+        out, m1, m2, trims, (b1, b2) = pending
         # device_get + np.array copy — rescue merging mutates in place
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         self._apply_rescue(res, m1, m2)
@@ -339,6 +394,10 @@ class PairedAligner:
     def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:
         res = self.align_batch_arrays(b1, b2)
+        return self._records_from_res(b1, b2, res, phred_offset)
+
+    def _records_from_res(self, b1: ReadBatch, b2: ReadBatch, res: dict,
+                          phred_offset: int = 33) -> list[sam.SamRecord]:
         genome = self.index.genome
         records: list[sam.SamRecord] = []
         for i in range(b1.count):

@@ -270,12 +270,12 @@ class AlignWorkflow:
                 clip_overlapping=o.clip_overlapping, **clip_kw)
             if self.tls is not None:
                 aligner.tls = self.tls
-            for b1, b2 in batches:
-                records.extend(aligner.align_to_sam(b1, b2))
+            for recs in aligner.align_to_sam_many(batches):
+                records.extend(recs)
         else:
             aligner = Aligner.create(index, read_len=read_len, cfg=cfg, **clip_kw)
-            for b1, _ in batches:
-                records.extend(aligner.align_to_sam(b1))
+            for recs in aligner.align_to_sam_many(b1 for b1, _ in batches):
+                records.extend(recs)
         if barcode_of is not None:
             from ..demultiplexing.samplesheet import UNKNOWN_SAMPLE
             specs = {sp.index: sp for sp in self._sample_specs()}
