@@ -518,5 +518,9 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
             rec.set_tag("SM", "i", me["frag_score"])
             if proper and tscore >= 0:
                 rec.set_tag("AS", "i", tscore)
+        if mate["aligned"]:
+            # standard mate tags: cigar + mapping quality (samtools MC/MQ)
+            rec.set_tag("MC", "Z", mate["cigar"])
+            rec.set_tag("MQ", "i", min(mapq_cap, mate["frag_score"]))
         out.append(rec)
     return out

@@ -33,7 +33,6 @@ from ..aligner import Aligner, PairedAligner
 from ..build.dedup import coordinate_sort, mark_duplicates
 from ..index.build import SeedIndex, build_index
 from ..io import sam
-from ..io.bam import write_bam
 from ..io.fasta import read_fasta
 from ..io.fastq import ReadBatch, pad_batch, read_fastq
 
