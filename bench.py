@@ -41,7 +41,7 @@ TIMED_BATCHES = 8
 def main() -> None:
     import jax
     from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch_jit,
-                                                  bucket_log2_for,
+                                                  bucket_params_for,
                                                   default_seed_offsets, prepare_index)
     from isaac_aligner_tpu.index.build import build_index
     from isaac_aligner_tpu.io.fasta import genome_from_sequences
@@ -56,8 +56,9 @@ def main() -> None:
     index = build_index(genome, seed_len=32)
     build_s = time.time() - t0
 
+    bw, bl = bucket_params_for(index)
     cfg = AlignConfig(seed_len=32, seed_offsets=default_seed_offsets(READ_LEN, 32),
-                      bucket_log2=bucket_log2_for(index))
+                      bucket_width=bw, bucket_log2=bl)
     arrays = prepare_index(index)
 
     def make_batch(seed):

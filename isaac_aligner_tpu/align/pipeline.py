@@ -33,6 +33,9 @@ from ..ops import bitops, search
 from . import quality
 
 
+BUCKET_WIDTH = 16
+
+
 class IndexArrays(NamedTuple):
     """Device-resident index planes (a pytree — jit-traceable)."""
 
@@ -111,6 +114,7 @@ class AlignConfig:
     # — log2 of the LARGEST bucket, host-computed by build_bucket_table.
     # None = plain full-range search (always correct, slower).
     bucket_log2: int | None = None
+    bucket_width: int = BUCKET_WIDTH   # must match the prepared table
     # reference --dodgy-alignment-score (manual.md:367-370): MAPQ assigned
     # when the score is impossible to track (repeat overflow); dodgy
     # reads can also be marked unaligned entirely ("Unaligned")
@@ -162,7 +166,15 @@ def pack_reads(bases: jax.Array) -> jax.Array:
     return jnp.sum(lanes << shifts[None, None, :], axis=2, dtype=jnp.uint32)
 
 
-BUCKET_WIDTH = 16
+def choose_bucket_width(n_records: int) -> int:
+    """Bucket-table width scaling with index size (~64 records/bucket
+    expected): wider tables keep the per-query step count flat as the
+    genome grows — chr21-scale indexes get 2^20 buckets, bacterial ones
+    2^16."""
+    import math
+    if n_records <= 1:
+        return BUCKET_WIDTH
+    return min(20, max(BUCKET_WIDTH, int(math.log2(n_records / 64))))
 
 
 def build_bucket_table(key_hi_i32: np.ndarray,
@@ -188,8 +200,16 @@ def build_bucket_table(key_hi_i32: np.ndarray,
     return starts, max(log2, 1)
 
 
-def bucket_log2_for(index: SeedIndex, width: int = BUCKET_WIDTH) -> int:
+def bucket_params_for(index: SeedIndex) -> tuple[int, int]:
+    """(bucket_width, bucket_log2) matching prepare_index's table."""
+    width = choose_bucket_width(index.num_records)
+    return width, build_bucket_table(index.key_hi, width)[1]
+
+
+def bucket_log2_for(index: SeedIndex, width: int | None = None) -> int:
     """The static step budget matching prepare_index's bucket table."""
+    if width is None:
+        width = choose_bucket_width(index.num_records)
     return build_bucket_table(index.key_hi, width)[1]
 
 
@@ -207,7 +227,8 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
     nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
     packed, nbits = pack_genome(index.genome.codes)
-    bucket_starts, _ = build_bucket_table(index.key_hi)
+    bucket_starts, _ = build_bucket_table(index.key_hi,
+                                          choose_bucket_width(index.num_records))
     return IndexArrays(
         bucket_starts=jnp.asarray(bucket_starts),
         has_neighbors=jnp.asarray(nb),
@@ -298,7 +319,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
             cap_log2 += 1
         begin, count = search.sorted_range_bucketed(
             arrays.key_hi, arrays.key_lo, q_hi, q_lo, arrays.n_real,
-            arrays.bucket_starts, BUCKET_WIDTH, cfg.bucket_log2,
+            arrays.bucket_starts, cfg.bucket_width, cfg.bucket_log2,
             count_cap_log2=cap_log2)
     else:
         begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo,

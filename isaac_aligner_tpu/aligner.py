@@ -19,7 +19,7 @@ from .utils import tracing
 from .align import tls as tls_mod
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
-    bucket_log2_for, default_seed_offsets, score_end
+    bucket_params_for, default_seed_offsets, score_end
 from .index.build import SeedIndex
 
 
@@ -37,10 +37,11 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
 
 
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
-    """Fill in the static bucketed-search step budget from the index."""
+    """Fill in the static bucketed-search parameters from the index."""
     if cfg.bucket_log2 is not None:
         return cfg
-    return dataclasses.replace(cfg, bucket_log2=bucket_log2_for(index))
+    width, log2 = bucket_params_for(index)
+    return dataclasses.replace(cfg, bucket_width=width, bucket_log2=log2)
 
 
 @dataclasses.dataclass
