@@ -94,6 +94,39 @@ def main() -> None:
     total_reads = TIMED_BATCHES * BATCH
     rps = total_reads / dt
 
+    # secondary metric: paired-end (2x100bp) throughput — the BASELINE
+    # metric's read geometry; TLS fixed so the measurement is pure
+    # device pipeline (pair resolution + template scoring included)
+    import functools
+
+    from isaac_aligner_tpu.align.pairs import TlsStatic, align_paired_batch
+
+    pb = BATCH // 2
+    pr = np.random.default_rng(7)
+    pstarts = pr.integers(0, GENOME_LEN - 500, pb)
+    p1 = seq_codes[pstarts[:, None] + np.arange(READ_LEN)[None, :]]
+    m = seq_codes[(pstarts + 300 - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]]
+    p2 = np.where(m[:, ::-1] < 4, 3 - m[:, ::-1], m[:, ::-1]).astype(np.uint8)
+    mutp = pr.random(p1.shape) < 0.01
+    p1 = np.where(mutp, pr.integers(0, 4, p1.shape), p1).astype(np.uint8)
+    pq = np.full((pb, READ_LEN), 30, np.uint8)
+    tls = TlsStatic(min=200, max=400, mate_min=200, mate_max=400,
+                    best0=1, best1=6)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "tls"))
+    def paired_jit(arrays, b1, q1, b2, q2, cfg, tls):
+        return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls)
+
+    args = tuple(jax.numpy.asarray(x) for x in (p1, pq, p2, pq))
+    outp = paired_jit(arrays, *args, cfg, tls)
+    jax.device_get(outp["proper_pair"])
+    t0 = time.time()
+    preps = 4
+    pouts = [paired_jit(arrays, *args, cfg, tls)["proper_pair"]
+             for _ in range(preps)]
+    jax.block_until_ready(pouts)
+    paired_rps = preps * 2 * pb / (time.time() - t0)
+
     # secondary metric: banded Smith-Waterman GCUPS (BASELINE.json asks for
     # the SW kernel at per-chip roofline; cells = pairs * L * BAND)
     from isaac_aligner_tpu.ops import sw
@@ -119,6 +152,7 @@ def main() -> None:
             "batch": BATCH,
             "timed_batches": TIMED_BATCHES,
             "aligned_frac": round(aligned / total_reads, 4),
+            "paired_reads_per_sec": round(paired_rps, 1),
             "banded_sw_gcups": round(gcups, 2),
             "index_build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),
