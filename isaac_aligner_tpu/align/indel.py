@@ -77,7 +77,7 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
         if cur_cigar is not None:
             from ..io.bam import parse_cigar as _pc
             from .gapped import cigar_stats as _cs
-            cur_norm += _cs(_pc(cur_cigar))[3]
+            cur_norm += _cs(_pc(cur_cigar), gs)[3]
         for oi in (0, 1):
             cands = [int(cand_start[r, k]) for k in valid
                      if int(cand_orient[r, k]) == oi]

@@ -198,10 +198,16 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
 
     score1 = _gate(end1, idx1, end_mapping_score(end1, idx1, rog1))
     score2 = _gate(end2, idx2, end_mapping_score(end2, idx2, rog2))
+    # dodgy repeats (scored-candidate overflow): forced score, optional
+    # unaligned marking — reference --dodgy-alignment-score semantics
+    score1 = jnp.where(end1["dodgy"], jnp.int32(cfg.dodgy_mapq), score1)
+    score2 = jnp.where(end2["dodgy"], jnp.int32(cfg.dodgy_mapq), score2)
 
     def end_out(end, idx, frag_score, suffix):
         take = lambda x: jnp.take_along_axis(x, idx[:, None], axis=1)[:, 0]
         aligned = jnp.any(end["valid"], axis=1)
+        if cfg.dodgy_unaligned:
+            aligned = aligned & ~end["dodgy"]
         probs = jnp.where(end["valid"], jnp.exp(end["log_prob"]), 0.0)
         others = jnp.maximum(jnp.sum(probs, axis=1)
                              - jnp.exp(take(end["log_prob"])), 0.0)
@@ -230,7 +236,9 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
     out["pair_resolved"] = pairs["resolved"]
     out["proper_pair"] = pairs["proper"]
     out["template_length"] = pairs["template_length"]
-    out["template_score"] = jnp.clip(pairs["template_score"], -1, cfg.mapq_cap)
+    out["template_score"] = jnp.where(
+        end1["dodgy"] | end2["dodgy"], jnp.int32(-1),
+        jnp.clip(pairs["template_score"], -1, cfg.mapq_cap))
     # shadow rows: exactly one end aligned — host routes these through
     # rescue (iSAAC terms: the aligned end is the "orphan", the unaligned
     # mate the "shadow"; shadow_1 == end 1 is the shadow)

@@ -200,17 +200,22 @@ def build_bucket_table(key_hi_i32: np.ndarray,
     return starts, max(log2, 1)
 
 
+def _cached_bucket_table(index: SeedIndex) -> tuple[np.ndarray, int, int]:
+    """(starts, width, log2) for the index, memoized on the instance —
+    prepare_index and bucket_params_for share one computation."""
+    width = choose_bucket_width(index.num_records)
+    cached = getattr(index, "_bucket_table", None)
+    if cached is None or cached[1] != width:
+        starts, log2 = build_bucket_table(index.key_hi, width)
+        cached = (starts, width, log2)
+        index._bucket_table = cached
+    return cached
+
+
 def bucket_params_for(index: SeedIndex) -> tuple[int, int]:
     """(bucket_width, bucket_log2) matching prepare_index's table."""
-    width = choose_bucket_width(index.num_records)
-    return width, build_bucket_table(index.key_hi, width)[1]
-
-
-def bucket_log2_for(index: SeedIndex, width: int | None = None) -> int:
-    """The static step budget matching prepare_index's bucket table."""
-    if width is None:
-        width = choose_bucket_width(index.num_records)
-    return build_bucket_table(index.key_hi, width)[1]
+    _starts, width, log2 = _cached_bucket_table(index)
+    return width, log2
 
 
 def prepare_index(index: SeedIndex) -> IndexArrays:
@@ -227,8 +232,7 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
     nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
     packed, nbits = pack_genome(index.genome.codes)
-    bucket_starts, _ = build_bucket_table(index.key_hi,
-                                          choose_bucket_width(index.num_records))
+    bucket_starts, _width, _log2 = _cached_bucket_table(index)
     return IndexArrays(
         bucket_starts=jnp.asarray(bucket_starts),
         has_neighbors=jnp.asarray(nb),
@@ -271,6 +275,21 @@ def seed_table(read_len: int, cfg: AlignConfig) -> list[tuple[int, int]]:
     if not seed_list:
         raise ValueError(f"no seed fits read_len={read_len} seed_len={k}")
     return seed_list
+
+
+def _finder_stats_from_diag(diag: dict) -> dict:
+    """MatchFinderStats analog (lib/statistics): per-batch seed outcome
+    tallies — exact-miss / repeat-suppressed counts + pass-2 volumes."""
+    finder = {}
+    if "seed_match_counts" in diag:
+        finder["seeds_no_match"] = jnp.sum(
+            (diag["seed_match_counts"] == 0).astype(jnp.int32))
+        finder["seeds_too_many"] = jnp.sum(
+            diag["seed_too_many"].astype(jnp.int32))
+    for key in ("pass2_reads", "pass2_dropped"):
+        if key in diag:
+            finder[key] = diag[key]
+    return finder
 
 
 def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
@@ -701,6 +720,9 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
     cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
     return {
         "score_dropped": dropped,
+        # untrackable repeat mass: force dodgy handling in the pair
+        # resolver exactly like finalize_single_end does
+        "dodgy": diag["scored_overflow"] | dropped,
         "start": cand_start,
         "orient": cand_orient,
         "valid": cand_valid,
@@ -712,12 +734,7 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
         "edit": edit_distance,
         "obs_len": jnp.full(cand_start.shape, read_len, jnp.int32),
         "num_candidates": diag["num_candidates"],
-        "finder_stats": {k: diag[k] for k in
-                         ("pass2_reads", "pass2_dropped") if k in diag} | (
-            {"seeds_no_match": jnp.sum(
-                (diag["seed_match_counts"] == 0).astype(jnp.int32)),
-             "seeds_too_many": jnp.sum(diag["seed_too_many"].astype(jnp.int32))}
-            if "seed_match_counts" in diag else {}),
+        "finder_stats": _finder_stats_from_diag(diag),
     }
 
 
@@ -780,19 +797,8 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         # (TemplateBuilder::updateMappingScore else-branch)
         mapq = jnp.where(take(well_anchored.astype(jnp.int32)) == 1, mapq, 0)
 
-    finder = {}
-    if "seed_match_counts" in diag:
-        # MatchFinderStats analog (lib/statistics): per-batch seed outcome
-        # tallies — exact-miss and repeat-suppressed seed counts
-        finder["seeds_no_match"] = jnp.sum(
-            (diag["seed_match_counts"] == 0).astype(jnp.int32))
-        finder["seeds_too_many"] = jnp.sum(
-            diag["seed_too_many"].astype(jnp.int32))
-    for key in ("pass2_reads", "pass2_dropped"):
-        if key in diag:
-            finder[key] = diag[key]
     return {
-        **finder,
+        **_finder_stats_from_diag(diag),
         "aligned": aligned,
         "start": jnp.where(aligned, take(cand_start), -1),
         "reverse": take(cand_orient) == 1,

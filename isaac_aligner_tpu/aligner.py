@@ -501,13 +501,14 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
             else:
                 tlen = -tlen_mag
 
-        if me["aligned"]:
+        def end_mapq(end) -> int:
+            if not end["aligned"]:
+                return 0
             if proper and tscore >= 0:
-                mapq = min(mapq_cap, max(me["frag_score"], tscore))
-            else:
-                mapq = min(mapq_cap, me["frag_score"])
-        else:
-            mapq = 0
+                return min(mapq_cap, max(end["frag_score"], tscore))
+            return min(mapq_cap, end["frag_score"])
+
+        mapq = end_mapq(me)
 
         rec = sam.SamRecord(
             qname=name, flag=flag, rname=rname, pos=pos, mapq=mapq,
@@ -520,8 +521,9 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
             if proper and tscore >= 0:
                 rec.set_tag("AS", "i", tscore)
         if mate["aligned"]:
-            # standard mate tags: cigar + mapping quality (samtools MC/MQ)
+            # standard mate tags: cigar + mapping quality (samtools MC/MQ);
+            # MQ must equal the MAPQ written on the mate's own record
             rec.set_tag("MC", "Z", mate["cigar"])
-            rec.set_tag("MQ", "i", min(mapq_cap, mate["frag_score"]))
+            rec.set_tag("MQ", "i", end_mapq(mate))
         out.append(rec)
     return out

@@ -397,7 +397,10 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
         raise ValueError(f"filter count {len(pf)} != cluster count {count}")
 
     pos_dir = _intensities_dir(run_folder) / f"L{lane:03d}"
-    x = y = np.zeros(count, np.int32)
+    # no position files: synthesize unique coordinates (cluster ordinal) —
+    # read names must stay distinct for demultiplexing and pairing
+    x = np.arange(count, dtype=np.int32)
+    y = np.zeros(count, np.int32)
     locs = _find_tile_file(pos_dir, f"s_{lane}_{tile}", (".locs",))
     clocs = _find_tile_file(pos_dir, f"s_{lane}_{tile}", (".clocs",))
     if locs:

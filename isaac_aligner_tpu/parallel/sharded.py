@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..align.pipeline import (BUCKET_WIDTH, AlignConfig, IndexArrays,
-                              build_bucket_table, dedup_candidates,
+from ..align.pipeline import (AlignConfig, IndexArrays, build_bucket_table,
+                              choose_bucket_width, dedup_candidates,
                               finalize_single_end, find_seed_hits, pack_genome)
 from ..index.build import SeedIndex, TOO_MANY_POS
 from ..ops import search
@@ -48,7 +48,9 @@ class ShardedIndexArrays(NamedTuple):
     contig_starts: jax.Array
     contig_ends: jax.Array
     has_neighbors: jax.Array  # uint8 [S, m]
-    bucket_starts: jax.Array  # int32 [S, 2^BUCKET_WIDTH + 1] per-shard table
+    bucket_starts: jax.Array  # int32 [S, 2^width + 1]; width follows
+                              # choose_bucket_width(index.num_records) so
+                              # cfgs built via bucket_params_for match
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,
@@ -107,9 +109,10 @@ def shard_index(index: SeedIndex, num_shards: int) -> ShardedIndexArrays:
         nb[s, : e - b] = nb_src[b:e]
         n_real[s, 0] = e - b
 
-    buckets = np.zeros((num_shards, (1 << BUCKET_WIDTH) + 1), np.int32)
+    width = choose_bucket_width(index.num_records)
+    buckets = np.zeros((num_shards, (1 << width) + 1), np.int32)
     for s in range(num_shards):
-        buckets[s], _ = build_bucket_table(key_hi[s, : n_real[s, 0]])
+        buckets[s], _ = build_bucket_table(key_hi[s, : n_real[s, 0]], width)
 
     contigs = index.genome.contigs
     packed, nbits = pack_genome(index.genome.codes)

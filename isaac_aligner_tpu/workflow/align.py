@@ -319,6 +319,11 @@ class AlignWorkflow:
         if n_bins > 1:
             self._write_bins(records, genome, n_bins)
         else:
+            # drop any stale bin files from a previous (binned) run: the
+            # Build phase prefers Temp/bins when present
+            import shutil
+            if (self.temp / "bins").exists():
+                shutil.rmtree(self.temp / "bins")
             sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
                           sample=self.opts.sample)
 

@@ -103,3 +103,61 @@ def test_seeds_and_dodgy_flags(tmp_path):
     assert by_name["rep"].flag & sam.FLAG_UNMAPPED
     assert not (by_name["uni"].flag & sam.FLAG_UNMAPPED)
     assert by_name["uni"].pos == 64 * 30 + 101
+
+
+def test_paired_dodgy_repeat_mapq_zero(tmp_path):
+    """Paired path must apply dodgy handling too: a pair whose end has
+    more placements than the scored-candidate cap gets MAPQ 0."""
+    import numpy as np
+    from isaac_aligner_tpu.io import sam
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(47)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 64))
+    flank = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    seq = core * 30 + flank
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    # R1 = the repeat unit, R2 = unique flank revcomped (a real-ish pair)
+    mate = flank[100:164]
+    (tmp_path / "r1.fq").write_text(f"@rep\n{core}\n+\n{'I' * 64}\n")
+    (tmp_path / "r2.fq").write_text(
+        f"@rep\n{''.join(comp[b] for b in reversed(mate))}\n+\n{'I' * 64}\n")
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
+        batch_size=8, realign_gaps="no", seeds="0:32",
+        tls_override="100:300:2200:50:50:1:6")).run()
+    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    r1 = next(r for r in recs if r.flag & sam.FLAG_READ1)
+    assert r1.is_mapped
+    assert r1.mapq == 0, f"repeat end must be dodgy, got MAPQ {r1.mapq}"
+
+
+def test_mq_tag_matches_mate_mapq(tmp_path):
+    """MQ must equal the MAPQ written on the mate's own record."""
+    import numpy as np
+    from isaac_aligner_tpu.io import sam
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(49)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    r1 = seq[500:564]
+    mate = seq[736:800]
+    (tmp_path / "r1.fq").write_text(f"@p\n{r1}\n+\n{'I' * 64}\n")
+    (tmp_path / "r2.fq").write_text(
+        f"@p\n{''.join(comp[b] for b in reversed(mate))}\n+\n{'I' * 64}\n")
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
+        batch_size=8, realign_gaps="no",
+        tls_override="200:300:400:30:30:1:6")).run()
+    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    by_end = {1 if r.flag & sam.FLAG_READ1 else 2: r for r in recs}
+    assert by_end[1].tags["MQ"][1] == by_end[2].mapq
+    assert by_end[2].tags["MQ"][1] == by_end[1].mapq
+    assert by_end[1].tags["MC"][1] == by_end[2].cigar
