@@ -56,9 +56,11 @@ def main() -> None:
     index = build_index(genome, seed_len=32)
     build_s = time.time() - t0
 
+    from isaac_aligner_tpu.align.pipeline import genome_has_n_for
     bw, bl = bucket_params_for(index)
     cfg = AlignConfig(seed_len=32, seed_offsets=default_seed_offsets(READ_LEN, 32),
-                      bucket_width=bw, bucket_log2=bl)
+                      bucket_width=bw, bucket_log2=bl,
+                      genome_has_n=genome_has_n_for(index))
     arrays = prepare_index(index)
 
     def make_batch(seed):

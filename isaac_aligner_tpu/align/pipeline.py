@@ -120,6 +120,10 @@ class AlignConfig:
     # reads can also be marked unaligned entirely ("Unaligned")
     dodgy_mapq: int = 0
     dodgy_unaligned: bool = False
+    # static "genome contains N bases" flag (set from the index by
+    # Aligner.create): N-free genomes skip the N-bit-plane gathers in the
+    # scorer and the 64-mer extension check (~30% of scoring gathers)
+    genome_has_n: bool = True
 
 
 def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -216,6 +220,15 @@ def bucket_params_for(index: SeedIndex) -> tuple[int, int]:
     """(bucket_width, bucket_log2) matching prepare_index's table."""
     _starts, width, log2 = _cached_bucket_table(index)
     return width, log2
+
+
+def genome_has_n_for(index: SeedIndex) -> bool:
+    """Whether the genome contains any ambiguous base (cached)."""
+    cached = getattr(index, "_has_n", None)
+    if cached is None:
+        cached = bool((index.genome.codes >= 4).any())
+        index._has_n = cached
+    return cached
 
 
 def prepare_index(index: SeedIndex) -> IndexArrays:
@@ -391,26 +404,28 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
         word_mask[-1] = (0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF
         xor = xor & jnp.asarray(word_mask.astype(np.uint32))
         ext_eq = jnp.all(xor == 0, axis=-1)
-        # genome N in the ext range: check the N-bit plane word span
-        gn = arrays.genome_nbits
-        gnw = gn.shape[0]
-        nw = -(-(k_ext + 31) // 32) + 1
-        nword0 = ext_pos >> 5
-        nt = jnp.arange(nw, dtype=jnp.int32)
-        nwidx = jnp.clip(nword0[..., None] + nt, 0, gnw - 1)
-        nwords = gn[nwidx]
-        no = (ext_pos & 31).astype(jnp.uint32)[..., None]
-        nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
-        n_al = jnp.where(no == 0, nwords[..., :-1],
-                         (nwords[..., :-1] << no) | (nwords[..., 1:] >> nsafe))
-        nmask_words = np.zeros(nw - 1, np.uint64)
-        for wi in range(nw - 1):
-            span = min(32, k_ext - 32 * wi)
-            if span > 0:
-                nmask_words[wi] = (0xFFFFFFFF << (32 - span)) & 0xFFFFFFFF
-        n_hit = jnp.any(
-            (n_al & jnp.asarray(nmask_words.astype(np.uint32))) != 0, axis=-1)
-        valid = valid & ext_eq & ~n_hit
+        valid = valid & ext_eq
+        if cfg.genome_has_n:
+            # genome N in the ext range: check the N-bit plane word span
+            gn = arrays.genome_nbits
+            gnw = gn.shape[0]
+            nw = -(-(k_ext + 31) // 32) + 1
+            nword0 = ext_pos >> 5
+            nt = jnp.arange(nw, dtype=jnp.int32)
+            nwidx = jnp.clip(nword0[..., None] + nt, 0, gnw - 1)
+            nwords = gn[nwidx]
+            no = (ext_pos & 31).astype(jnp.uint32)[..., None]
+            nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+            n_al = jnp.where(no == 0, nwords[..., :-1],
+                             (nwords[..., :-1] << no) | (nwords[..., 1:] >> nsafe))
+            nmask_words = np.zeros(nw - 1, np.uint64)
+            for wi in range(nw - 1):
+                span = min(32, k_ext - 32 * wi)
+                if span > 0:
+                    nmask_words[wi] = (0xFFFFFFFF << (32 - span)) & 0xFFFFFFFF
+            n_hit = jnp.any(
+                (n_al & jnp.asarray(nmask_words.astype(np.uint32))) != 0, axis=-1)
+            valid = valid & ~n_hit
 
     diag = {"seed_match_counts": count, "seed_too_many": too_many}
     flat = lambda x: x.reshape(b, -1)
@@ -665,21 +680,25 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     lanes = (x[:, :, None] >> lane_shifts[None, None, :]) & jnp.uint32(3)
     code_mismatch = (lanes != 0).reshape(p, w_read * 16)[:, :read_len]
 
-    # genome N bits: gather + align on the 1-bit plane
-    gn = arrays.genome_nbits
-    gnw = gn.shape[0]
-    w_n = -(-(read_len + 31) // 32) + 1
-    nword0 = p_start >> 5
-    nt = jnp.arange(w_n, dtype=jnp.int32)
-    nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
-    nwords = gn[nwidx]
-    no = (p_start & 31).astype(jnp.uint32)[:, None]
-    nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
-    naligned = jnp.where(no == 0, nwords[:, :-1],
-                         (nwords[:, :-1] << no) | (nwords[:, 1:] >> nsafe))
-    nlane_shifts = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
-    nlanes = (naligned[:, :, None] >> nlane_shifts[None, None, :]) & jnp.uint32(1)
-    ref_n = (nlanes != 0).reshape(p, (w_n - 1) * 32)[:, :read_len]
+    # genome N bits: gather + align on the 1-bit plane (skipped entirely
+    # for N-free genomes — a static property of the index)
+    if cfg.genome_has_n:
+        gn = arrays.genome_nbits
+        gnw = gn.shape[0]
+        w_n = -(-(read_len + 31) // 32) + 1
+        nword0 = p_start >> 5
+        nt = jnp.arange(w_n, dtype=jnp.int32)
+        nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
+        nwords = gn[nwidx]
+        no = (p_start & 31).astype(jnp.uint32)[:, None]
+        nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+        naligned = jnp.where(no == 0, nwords[:, :-1],
+                             (nwords[:, :-1] << no) | (nwords[:, 1:] >> nsafe))
+        nlane_shifts = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
+        nlanes = (naligned[:, :, None] >> nlane_shifts[None, None, :]) & jnp.uint32(1)
+        ref_n = (nlanes != 0).reshape(p, (w_n - 1) * 32)[:, :read_len]
+    else:
+        ref_n = jnp.zeros((p, read_len), bool)
 
     read_n = jnp.where(p_rc[:, None], n_r[row], n_f[row])         # [P, L]
 

@@ -19,7 +19,7 @@ from .utils import tracing
 from .align import tls as tls_mod
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
-    bucket_params_for, default_seed_offsets, score_end
+    bucket_params_for, default_seed_offsets, genome_has_n_for, score_end
 from .index.build import SeedIndex
 
 
@@ -37,11 +37,12 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
 
 
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
-    """Fill in the static bucketed-search parameters from the index."""
+    """Fill in static index-derived parameters (bucket table + N flag)."""
     if cfg.bucket_log2 is not None:
         return cfg
     width, log2 = bucket_params_for(index)
-    return dataclasses.replace(cfg, bucket_width=width, bucket_log2=log2)
+    return dataclasses.replace(cfg, bucket_width=width, bucket_log2=log2,
+                               genome_has_n=genome_has_n_for(index))
 
 
 @dataclasses.dataclass
