@@ -21,7 +21,8 @@ def _cmd_sort_reference(args) -> int:
 
     genome = read_fasta(args.genome_file)
     index = build_index(genome, seed_len=args.seed_length,
-                        repeat_threshold=args.repeat_threshold)
+                        repeat_threshold=args.repeat_threshold,
+                        annotate_neighbors=not args.dont_annotate)
     index.save(args.output_directory)
     print(f"sorted reference: {index.num_records} records "
           f"({index.collapsed_kmers} repeat k-mers collapsed) -> "
@@ -84,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("-s", "--seed-length", type=int, default=32,
                     choices=(16, 32))
     sr.add_argument("--repeat-threshold", type=int, default=1000)
+    sr.add_argument("--dont-annotate", action="store_true",
+                    help="skip the <=4-mismatch neighbor annotation "
+                         "(reference isaac-sort-reference --dont-annotate)")
     sr.set_defaults(fn=_cmd_sort_reference)
 
     al = sub.add_parser("align", help="align FASTQ reads to a reference")
