@@ -36,6 +36,20 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
                 acc[key] = acc.get(key, 0) + int(res[k])
 
 
+def _pad_to_seed(bases: np.ndarray, quals: np.ndarray, seed_len: int):
+    """Widen a batch narrower than the seed with N columns: its seeds all
+    carry N and the reads come out unmapped instead of crashing the
+    seed-table construction."""
+    b, l = bases.shape
+    if l >= seed_len:
+        return bases, quals
+    pb = np.full((b, seed_len), 4, np.uint8)
+    pq = np.zeros((b, seed_len), np.uint8)
+    pb[:, :l] = bases
+    pq[:, :l] = quals
+    return pb, pq
+
+
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
     """Fill in static index-derived parameters (bucket table + N flag)."""
     if cfg.bucket_log2 is not None:
@@ -74,6 +88,7 @@ class Aligner:
         trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
         trims = trims + clippers.quality_trim_batch(
             bases, quals, self.base_quality_cutoff, tail_masked=trims)
+        bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
         out = align_batch_jit(self.arrays, bases, quals, self.cfg)
         return out, bases, quals, trims, batch
 
@@ -265,6 +280,7 @@ class PairedAligner:
             t = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
             t = t + clippers.quality_trim_batch(
                 bases, quals, self.base_quality_cutoff, tail_masked=t)
+            bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
             trims.append(t)
         m1, m2 = masked
