@@ -1,0 +1,87 @@
+"""Multi-index (contig-group) alignment: must match the single combined
+index on placements, and merged MAPQ must account for cross-group
+repeats."""
+
+import numpy as np
+
+from isaac_aligner_tpu.aligner import Aligner
+from isaac_aligner_tpu.index.build import build_index
+from isaac_aligner_tpu.io.fasta import genome_from_sequences
+from isaac_aligner_tpu.io.fastq import ReadBatch
+from isaac_aligner_tpu.parallel.multi_index import (MultiIndexAligner,
+                                                    split_genome_groups)
+
+
+def _seqs(seed=61):
+    rng = np.random.default_rng(seed)
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    return mk(6000), mk(5000)
+
+
+def _batch(rows, names):
+    bases = np.stack(rows).astype(np.uint8)
+    return ReadBatch(names=names, bases=bases,
+                     quals=np.full(bases.shape, 35, np.uint8),
+                     lengths=np.full(len(rows), bases.shape[1], np.int32))
+
+
+def test_split_genome_groups():
+    g = genome_from_sequences([("a", "A" * 100), ("b", "C" * 100),
+                               ("c", "G" * 50)])
+    groups = split_genome_groups(g.contigs, limit=150)
+    assert groups == [["a"], ["b", "c"]]
+
+
+def test_matches_single_index():
+    sa, sb = _seqs()
+    combined = genome_from_sequences([("cA", sa), ("cB", sb)])
+    ga = genome_from_sequences([("cA", sa)])
+    gb = genome_from_sequences([("cB", sb)])
+
+    L = 80
+    reads, names = [], []
+    for s in (500, 3000):
+        reads.append(combined.codes[s:s + L])
+        names.append(f"a{s}")
+    for s in (800, 4200):
+        reads.append(gb.codes[s:s + L])
+        names.append(f"b{s}")
+    batch = _batch(reads, names)
+
+    single = Aligner.create(build_index(combined, seed_len=32), read_len=L,
+                            base_quality_cutoff=0).align_to_sam(batch)
+    multi = MultiIndexAligner.create(
+        [build_index(ga, seed_len=32), build_index(gb, seed_len=32)],
+        read_len=L, base_quality_cutoff=0).align_to_sam(batch)
+
+    for s_rec, m_rec in zip(single, multi):
+        assert (s_rec.rname, s_rec.pos, s_rec.flag, s_rec.cigar) == \
+            (m_rec.rname, m_rec.pos, m_rec.flag, m_rec.cigar)
+        assert abs(s_rec.mapq - m_rec.mapq) <= 1  # f32 reassociation slack
+
+
+def test_cross_group_repeat_collapses_mapq():
+    """A sequence present once in EACH group: each group alone sees a
+    unique hit, but the merged MAPQ must collapse to ~0."""
+    rng = np.random.default_rng(67)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 120))
+    pad = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    sa = pad(2000) + core + pad(2000)
+    sb = pad(1500) + core + pad(2500)
+    ga = genome_from_sequences([("cA", sa)])
+    gb = genome_from_sequences([("cB", sb)])
+
+    L = 100
+    read = ga.codes[2000 + 10 : 2000 + 10 + L]
+    batch = _batch([read], ["rep"])
+    multi = MultiIndexAligner.create(
+        [build_index(ga, seed_len=32), build_index(gb, seed_len=32)],
+        read_len=L, base_quality_cutoff=0)
+    recs = multi.align_to_sam(batch)
+    assert recs[0].is_mapped
+    assert recs[0].mapq <= 3, f"cross-group repeat must be ambiguous, " \
+                              f"got MAPQ {recs[0].mapq}"
+    # each group ALONE would have called it unique
+    solo = Aligner.create(build_index(ga, seed_len=32), read_len=L,
+                          base_quality_cutoff=0).align_to_sam(batch)
+    assert solo[0].mapq >= 50
