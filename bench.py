@@ -33,7 +33,7 @@ BASELINE_READS_PER_SEC = 64_600.0
 
 GENOME_LEN = 4_600_000
 READ_LEN = 100
-BATCH = 16_384
+BATCH = 32_768
 WARMUP_BATCHES = 1
 TIMED_BATCHES = 8
 
