@@ -120,7 +120,7 @@ class AlignWorkflow:
         self.state = "Start"
         self._reads_cache = None
         self.tls: TlsStatic | None = None
-        self._index: SeedIndex | None = None
+        self._index: list[SeedIndex] | None = None
         self._stats: dict = {}
 
     # -- state (de)serialization -------------------------------------------
@@ -152,17 +152,43 @@ class AlignWorkflow:
 
     # -- shared resources ---------------------------------------------------
 
-    def _load_index(self) -> SeedIndex:
+    def _load_indexes(self) -> list[SeedIndex]:
+        """One index per comma-separated --reference entry (contig-group
+        indexes for genomes beyond one index's 2^31-base address space:
+        parallel/multi_index.py)."""
         if self._index is None:
-            ref = Path(self.opts.reference)
-            if ref.is_dir():
-                self._index = SeedIndex.load(ref)
-            else:
-                genome = read_fasta(ref)
-                # 64-mer seeds search a 32-mer index + extension verify
-                self._index = build_index(genome,
-                                          seed_len=min(self.opts.seed_len, 32))
+            indexes = []
+            for part in str(self.opts.reference).split(","):
+                ref = Path(part)
+                if ref.is_dir():
+                    indexes.append(SeedIndex.load(ref))
+                else:
+                    genome = read_fasta(ref)
+                    # 64-mer seeds search a 32-mer index + extension verify
+                    indexes.append(build_index(
+                        genome, seed_len=min(self.opts.seed_len, 32)))
+            self._index = indexes
         return self._index
+
+    def _load_index(self) -> SeedIndex:
+        return self._load_indexes()[0]
+
+    def _genome(self):
+        """The (combined) genome for output phases."""
+        idxs = self._load_indexes()
+        if len(idxs) == 1:
+            return idxs[0].genome
+        from ..io.fasta import ContigMeta, Genome
+        codes = np.concatenate([ix.genome.codes for ix in idxs])
+        contigs, off, k = [], 0, 0
+        for ix in idxs:
+            for c in ix.genome.contigs:
+                contigs.append(ContigMeta(index=k, name=c.name,
+                                          offset=off + c.offset,
+                                          length=c.length, md5=c.md5))
+                k += 1
+            off += ix.genome.total_length
+        return Genome(codes=codes, contigs=contigs)
 
     @property
     def _paired(self) -> bool:
@@ -263,7 +289,18 @@ class AlignWorkflow:
             dodgy_unaligned=dodgy == "Unaligned",
             neighborhood_size_threshold=o.neighborhood_size_threshold)
         barcode_of = self._resolve_barcodes()
-        if self._paired:
+        indexes = self._load_indexes()
+        if len(indexes) > 1:
+            if self._paired:
+                raise ValueError(
+                    "multiple --reference indexes support single-end only "
+                    "(paired cross-group merging is future work)")
+            from ..parallel.multi_index import MultiIndexAligner
+            aligner = MultiIndexAligner.create(indexes, read_len=read_len,
+                                               cfg=cfg, **clip_kw)
+            for b1, _ in batches:
+                records.extend(aligner.align_to_sam(b1))
+        elif self._paired:
             aligner = PairedAligner.create(
                 index, read_len=read_len, cfg=cfg,
                 clip_overlapping=o.clip_overlapping, **clip_kw)
@@ -312,9 +349,9 @@ class AlignWorkflow:
                 for (lane, tile), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
         self._stats["match_selector"] = stats
-        if aligner.finder_stats:
+        if getattr(aligner, "finder_stats", None):
             self._stats["match_finder"] = dict(aligner.finder_stats)
-        genome = index.genome
+        genome = self._genome()
         n_bins = max(1, -(-len(records) // self.opts.records_per_bin))
         if n_bins > 1:
             self._write_bins(records, genome, n_bins)
@@ -484,8 +521,7 @@ class AlignWorkflow:
         import heapq
         import itertools
 
-        index = self._load_index()
-        genome = index.genome
+        genome = self._genome()
         bins_dir = self.temp / "bins"
         bin_paths = sorted(bins_dir.glob("bin_*.sam")) if bins_dir.is_dir() else []
 

@@ -85,3 +85,50 @@ def test_cross_group_repeat_collapses_mapq():
     solo = Aligner.create(build_index(ga, seed_len=32), read_len=L,
                           base_quality_cutoff=0).align_to_sam(batch)
     assert solo[0].mapq >= 50
+
+
+def test_workflow_multi_reference(tmp_path):
+    """CLI/workflow surface: comma-separated --reference entries align
+    across contig groups into one sorted BAM."""
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    sa, sb = _seqs(seed=71)
+    (tmp_path / "a.fa").write_text(f">cA\n{sa}\n")
+    (tmp_path / "b.fa").write_text(f">cB\n{sb}\n")
+    ga = genome_from_sequences([("cA", sa)])
+    gb = genome_from_sequences([("cB", sb)])
+    L = 80
+    reads = {"a1000": "".join("ACGTN"[c] for c in ga.codes[1000:1000 + L]),
+             "b2000": "".join("ACGTN"[c] for c in gb.codes[2000:2000 + L])}
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{r}\n+\n{'I' * L}\n" for n, r in reads.items()))
+
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=f"{tmp_path}/a.fa,{tmp_path}/b.fa",
+        output_dir=str(out), fastq1=str(tmp_path / "r.fq"),
+        batch_size=8, realign_gaps="no")).run()
+    from isaac_aligner_tpu.io.bam import read_bam
+    recs = read_bam(out / "sorted.bam")[2]
+    by = {r.qname: (r.rname, r.pos) for r in recs}
+    assert by == {"a1000": ("cA", 1001), "b2000": ("cB", 2001)}
+
+
+def test_workflow_multi_reference_paired_rejected(tmp_path):
+    import pytest
+
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+    sa, sb = _seqs(seed=73)
+    (tmp_path / "a.fa").write_text(f">cA\n{sa}\n")
+    (tmp_path / "b.fa").write_text(f">cB\n{sb}\n")
+    r = "".join("ACGTN"[c] for c in
+                genome_from_sequences([("cA", sa)]).codes[100:180])
+    for f in ("r1.fq", "r2.fq"):
+        (tmp_path / f).write_text(f"@p\n{r}\n+\n{'I' * 80}\n")
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=f"{tmp_path}/a.fa,{tmp_path}/b.fa",
+        output_dir=str(tmp_path / "out"),
+        fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
+        batch_size=8, realign_gaps="no"))
+    with pytest.raises(ValueError, match="single-end"):
+        wf.run()
