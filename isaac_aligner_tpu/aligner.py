@@ -14,17 +14,15 @@ import numpy as np
 
 from . import dna
 from .align import clippers
-from .align.gapped import BWA, GapScoring
-from .utils import tracing
 from .align import tls as tls_mod
+from .align.gapped import BWA, GapScoring
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
     bucket_params_for, default_seed_offsets, genome_has_n_for, score_end
 from .index.build import SeedIndex
-
-
 from .io import sam
 from .io.fastq import ReadBatch
+from .utils import tracing
 
 
 def _accumulate_finder_stats(acc: dict, res: dict) -> None:
