@@ -234,6 +234,10 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
         for k, v in end.get("finder_stats", {}).items():
             out[f"{k}{sfx}"] = v
     out["pair_resolved"] = pairs["resolved"]
+    # probability-mass components for host-side cross-group merging
+    # (parallel/multi_index.py): template score re-derives from these
+    out["pair_total_prob"] = pairs["total_prob"]
+    out["pair_best_lp"] = pairs["best_lp"]
     out["proper_pair"] = pairs["proper"]
     out["template_length"] = pairs["template_length"]
     out["template_score"] = jnp.where(

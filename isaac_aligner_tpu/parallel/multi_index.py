@@ -19,8 +19,8 @@ prior computed over the TOTAL genome length — identical math to the
 single-index pipeline (align/pipeline.py finalize_single_end), just
 re-associated on the host.
 
-Single-end only for now; the paired resolver needs per-group template
-mass merging (round-2 work, noted in PARITY.md).
+MultiIndexPairedAligner does the same for pairs: the template score
+re-derives from summed per-group pair-probability masses.
 """
 
 from __future__ import annotations
@@ -97,8 +97,9 @@ class MultiIndexAligner:
 
         rog = quality.rest_of_genome_correction(self.total_genome_length,
                                                 batch.read_len)
+        safe_lp = np.where(any_aligned, best_lp, 0.0)   # rows stay unmapped
         mapq_f = np.asarray(quality.mapping_quality(
-            best_lp.astype(np.float32), others_total.astype(np.float32),
+            safe_lp.astype(np.float32), others_total.astype(np.float32),
             np.float32(rog)))
         cap = self.aligners[0].cfg.mapq_cap
         merged_mapq = np.clip(np.floor(mapq_f), 0, cap).astype(np.int32)
@@ -130,4 +131,138 @@ class MultiIndexAligner:
                 rec.mapq = mq
                 rec.set_tag("SM", "i", mq)
             records.append(rec)
+        return records
+
+
+@dataclasses.dataclass
+class MultiIndexPairedAligner:
+    """Paired-end alignment across contig-group indexes.
+
+    Per-group PairedAligner results merge on the host: the winning group
+    is the one with the highest joint log-probability (pair lp when both
+    ends aligned, single-end lp otherwise); the template score re-derives
+    from the SUMMED cross-group pair-probability mass
+    (resolve_pairs total_prob per group, align/pairs.py) and each end's
+    mapping score from the summed end neighborhoods — the same math the
+    reference runs per cluster (TemplateBuilder.cpp:233-286,435-447),
+    re-associated across groups.
+    """
+
+    aligners: list  # list[PairedAligner]
+
+    @staticmethod
+    def create(indexes: list[SeedIndex], read_len: int, **opts
+               ) -> "MultiIndexPairedAligner":
+        from ..aligner import PairedAligner
+        names = set()
+        for ix in indexes:
+            for c in ix.genome.contigs:
+                if c.name in names:
+                    raise ValueError(f"contig {c.name} in more than one index")
+                names.add(c.name)
+        return MultiIndexPairedAligner(
+            [PairedAligner.create(ix, read_len=read_len, **opts)
+             for ix in indexes])
+
+    @property
+    def tls(self):
+        return self.aligners[0].tls
+
+    @tls.setter
+    def tls(self, value) -> None:
+        for a in self.aligners:
+            a.tls = value
+
+    def learn_tls(self, batches):
+        """Learn TLS on the largest group (insert-size statistics are a
+        library property, not a genome-region one) and share it."""
+        biggest = max(self.aligners,
+                      key=lambda a: a.index.genome.total_length)
+        stats = biggest.learn_tls(batches)
+        self.tls = stats
+        return stats
+
+    @property
+    def total_genome_length(self) -> int:
+        return sum(a.index.genome.total_length for a in self.aligners)
+
+    def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
+                     phred_offset: int = 33) -> list[sam.SamRecord]:
+        results = [a.align_batch_arrays(b1, b2) for a in self.aligners]
+        n = b1.bases.shape[0]
+        neg_inf = -np.inf
+
+        def joint_lp(r):
+            a1, a2 = r["aligned_1"], r["aligned_2"]
+            lp1 = np.where(a1, r["log_prob_1"], 0.0)
+            lp2 = np.where(a2, r["log_prob_2"], 0.0)
+            any_al = a1 | a2
+            return np.where(any_al, lp1 + lp2, neg_inf)
+
+        jl = np.stack([joint_lp(r) for r in results])          # [G, B]
+        best_g = np.argmax(jl, axis=0)
+
+        g_total = self.total_genome_length
+        read_lens = (b1.read_len, b2.read_len)
+        rog_t = quality.rest_of_genome_correction(g_total, sum(read_lens))
+        rogs = [quality.rest_of_genome_correction(g_total, l)
+                for l in read_lens]
+
+        # summed cross-group masses
+        pair_total = np.stack([r["pair_total_prob"] for r in results]).sum(0)
+        end_others = []
+        for e in (1, 2):
+            o = np.stack([r[f"others_sum_{e}"] for r in results])
+            lp = np.stack([np.where(r[f"aligned_{e}"], r[f"log_prob_{e}"],
+                                    neg_inf) for r in results])
+            exp_lp = np.where(np.isfinite(lp), np.exp(lp), 0.0)
+            end_others.append((o.sum(0), exp_lp.sum(0), lp))
+
+        records: list[sam.SamRecord] = []
+        cap = self.aligners[0].cfg.mapq_cap
+        for i in range(n):
+            name = b1.names[i]
+            if name.startswith("__pad"):
+                continue
+            g = int(best_g[i])
+            res = results[g]
+            al = self.aligners[g]
+
+            def row_slice(v):
+                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
+                    return v[i : i + 1].copy()
+                if isinstance(v, list) and len(v) == n:
+                    return v[i : i + 1]
+                return v
+            sub = {k: row_slice(v) for k, v in res.items()}
+
+            # merged template score: neighborhood over ALL groups
+            if bool(res["pair_resolved"][i]):
+                p_best = float(np.exp(res["pair_best_lp"][i]))
+                others = max(float(pair_total[i]) - p_best, 0.0) + rog_t
+                denom = float(pair_total[i]) + rog_t
+                ts = int(np.floor(-10.0 * np.log10(others / denom)))
+                sub["template_score"][0] = np.clip(ts, -1, cap)
+            # merged per-end scores
+            for e_idx, e in enumerate((1, 2)):
+                if not bool(res[f"aligned_{e}"][i]):
+                    continue
+                if res[f"frag_score_{e}"][i] == 0:
+                    continue   # in-group gate (dodgy / not well-anchored)
+                o_sum, exp_sum, lp = end_others[e_idx]
+                best_lp = float(lp[g, i])
+                others_total = float(o_sum[i]) + float(exp_sum[i]) \
+                    - float(np.exp(best_lp))
+                mq = float(np.asarray(quality.mapping_quality(
+                    np.float32(best_lp), np.float32(max(others_total, 0.0)),
+                    np.float32(rogs[e_idx]))))
+                sub[f"frag_score_{e}"][0] = np.clip(
+                    np.floor(mq), 0, cap).astype(np.int32)
+
+            sub_b1 = ReadBatch([name], b1.bases[i : i + 1],
+                               b1.quals[i : i + 1], b1.lengths[i : i + 1])
+            sub_b2 = ReadBatch([name], b2.bases[i : i + 1],
+                               b2.quals[i : i + 1], b2.lengths[i : i + 1])
+            records.extend(al._records_from_res(sub_b1, sub_b2, sub,
+                                                phred_offset))
         return records

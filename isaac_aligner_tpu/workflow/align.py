@@ -249,7 +249,9 @@ class AlignWorkflow:
             self.tls = parse_tls_override(self.opts.tls_override)
             self._stats["tls"] = dataclasses.asdict(self.tls)
             return
-        index = self._load_index()
+        # learn on the largest contig group (TLS is a library property)
+        index = max(self._load_indexes(),
+                    key=lambda ix: ix.genome.total_length)
         batches = self._read_batches()
         aligner = PairedAligner.create(index, read_len=batches[0][0].read_len)
         learn = [(b1, b2) for b1, b2 in batches[: self.opts.tls_batches]]
@@ -291,15 +293,21 @@ class AlignWorkflow:
         barcode_of = self._resolve_barcodes()
         indexes = self._load_indexes()
         if len(indexes) > 1:
+            from ..parallel.multi_index import (MultiIndexAligner,
+                                                MultiIndexPairedAligner)
             if self._paired:
-                raise ValueError(
-                    "multiple --reference indexes support single-end only "
-                    "(paired cross-group merging is future work)")
-            from ..parallel.multi_index import MultiIndexAligner
-            aligner = MultiIndexAligner.create(indexes, read_len=read_len,
-                                               cfg=cfg, **clip_kw)
-            for b1, _ in batches:
-                records.extend(aligner.align_to_sam(b1))
+                aligner = MultiIndexPairedAligner.create(
+                    indexes, read_len=read_len, cfg=cfg,
+                    clip_overlapping=o.clip_overlapping, **clip_kw)
+                if self.tls is not None:
+                    aligner.tls = self.tls
+                for b1, b2 in batches:
+                    records.extend(aligner.align_to_sam(b1, b2))
+            else:
+                aligner = MultiIndexAligner.create(indexes, read_len=read_len,
+                                                   cfg=cfg, **clip_kw)
+                for b1, _ in batches:
+                    records.extend(aligner.align_to_sam(b1))
         elif self._paired:
             aligner = PairedAligner.create(
                 index, read_len=read_len, cfg=cfg,

@@ -114,21 +114,78 @@ def test_workflow_multi_reference(tmp_path):
     assert by == {"a1000": ("cA", 1001), "b2000": ("cB", 2001)}
 
 
-def test_workflow_multi_reference_paired_rejected(tmp_path):
-    import pytest
+def test_paired_multi_index_matches_single():
+    """Paired alignment across groups == paired against the combined
+    index (placements, flags, proper pairs); merged scores close."""
+    from isaac_aligner_tpu import dna
+    from isaac_aligner_tpu.align.pairs import TlsStatic
+    from isaac_aligner_tpu.aligner import PairedAligner
+    from isaac_aligner_tpu.parallel.multi_index import MultiIndexPairedAligner
 
+    sa, sb = _seqs(seed=91)
+    combined = genome_from_sequences([("cA", sa), ("cB", sb)])
+    ga = genome_from_sequences([("cA", sa)])
+    gb = genome_from_sequences([("cB", sb)])
+    L = 70
+    tls = TlsStatic(min=200, max=400, mate_min=200, mate_max=400,
+                    best0=1, best1=6)
+
+    r1s, r2s, names = [], [], []
+    for g, s in ((ga, 800), (gb, 1200), (ga, 4000)):
+        r1s.append(g.codes[s:s + L])
+        r2s.append(dna.revcomp(g.codes[s + 300 - L:s + 300]))
+        names.append(f"p{s}")
+    b1 = _batch(r1s, names)
+    b2 = _batch(r2s, names)
+
+    single = PairedAligner.create(build_index(combined, seed_len=32),
+                                  read_len=L, base_quality_cutoff=0)
+    single.tls = tls
+    s_recs = single.align_to_sam(b1, b2)
+
+    multi = MultiIndexPairedAligner.create(
+        [build_index(ga, seed_len=32), build_index(gb, seed_len=32)],
+        read_len=L, base_quality_cutoff=0)
+    multi.tls = tls
+    m_recs = multi.align_to_sam(b1, b2)
+
+    assert len(s_recs) == len(m_recs)
+    for s_rec, m_rec in zip(s_recs, m_recs):
+        assert (s_rec.qname, s_rec.flag, s_rec.rname, s_rec.pos,
+                s_rec.cigar, s_rec.tlen) ==             (m_rec.qname, m_rec.flag, m_rec.rname, m_rec.pos,
+             m_rec.cigar, m_rec.tlen)
+        assert abs(s_rec.mapq - m_rec.mapq) <= 1
+
+
+def test_workflow_multi_reference_paired(tmp_path):
+    from isaac_aligner_tpu import dna
     from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
     sa, sb = _seqs(seed=73)
     (tmp_path / "a.fa").write_text(f">cA\n{sa}\n")
     (tmp_path / "b.fa").write_text(f">cB\n{sb}\n")
-    r = "".join("ACGTN"[c] for c in
-                genome_from_sequences([("cA", sa)]).codes[100:180])
-    for f in ("r1.fq", "r2.fq"):
-        (tmp_path / f).write_text(f"@p\n{r}\n+\n{'I' * 80}\n")
-    wf = AlignWorkflow(WorkflowOptions(
+    ga = genome_from_sequences([("cA", sa)])
+    gb = genome_from_sequences([("cB", sb)])
+    L = 70
+    with open(tmp_path / "r1.fq", "w") as f1, \
+            open(tmp_path / "r2.fq", "w") as f2:
+        for g, s, name in ((ga, 700, "pa"), (gb, 2100, "pb")):
+            r1 = "".join("ACGTN"[c] for c in g.codes[s:s + L])
+            r2 = "".join("ACGTN"[c] for c in
+                         dna.revcomp(g.codes[s + 300 - L:s + 300]))
+            f1.write(f"@{name}\n{r1}\n+\n{'I' * L}\n")
+            f2.write(f"@{name}\n{r2}\n+\n{'I' * L}\n")
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
         reference=f"{tmp_path}/a.fa,{tmp_path}/b.fa",
-        output_dir=str(tmp_path / "out"),
+        output_dir=str(out),
         fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
-        batch_size=8, realign_gaps="no"))
-    with pytest.raises(ValueError, match="single-end"):
-        wf.run()
+        batch_size=8, realign_gaps="no",
+        tls_override="200:300:400:30:30:1:6")).run()
+    from isaac_aligner_tpu.io.bam import read_bam
+    recs = read_bam(out / "sorted.bam")[2]
+    import isaac_aligner_tpu.io.sam as sam
+    by = {(r.qname, bool(r.flag & sam.FLAG_READ1)): (r.rname, r.pos)
+          for r in recs}
+    assert by[("pa", True)] == ("cA", 701)
+    assert by[("pb", True)] == ("cB", 2101)
+    assert all(r.flag & sam.FLAG_PROPER_PAIR for r in recs)
