@@ -77,3 +77,26 @@ def test_binned_with_unaligned(tmp_path):
     # unaligned records present and sorted to the very end
     assert recs[-1][2] == "*" or recs[-1][1] & 0x4
     assert len([t for t in recs if t[0] == "junk"]) == 2
+
+
+def test_resume_through_binned_build(tmp_path):
+    """--stop-at AlignDone then a fresh process --resume must finish the
+    binned Build phase from the on-disk bins (reference checkpoint
+    semantics, AlignWorkflowSerialization.hh)."""
+    _make_inputs(tmp_path)
+    out = tmp_path / "out"
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+    opts = WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
+        batch_size=8, realign_gaps="no", records_per_bin=3)
+    AlignWorkflow(opts).run(stop_at="AlignDone")
+    assert not (out / "sorted.bam").exists()
+    assert list((out / "Temp" / "bins").glob("bin_*.sam"))
+
+    # a brand-new workflow object resumes from the saved state
+    wf2 = AlignWorkflow(opts)
+    wf2.run(resume=True)
+    assert wf2.state == "BamDone"
+    recs = _bam_tuples(out / "sorted.bam")
+    assert len(recs) == 12  # 6 pairs incl. the duplicate
