@@ -85,7 +85,7 @@ class AlignConfig:
     # candidates per read, so scoring the full [B, C] grid wastes >85%
     # of the gathers and VPU work).  Reads whose pairs overflow the
     # queue keep their best scored placement but are forced MAPQ 0.
-    scored_pairs_per_read: int = 4
+    scored_pairs_per_read: int = 3
     # two-pass seed escalation (reference --first-pass-seeds=1 + completion
     # masking, FindMatchesTransition.cpp:90-109,410-425): pass 1 searches
     # only the first `first_pass_seeds` seed offsets (fwd+rc); reads with
