@@ -16,10 +16,21 @@ import sys
 
 
 def _cmd_sort_reference(args) -> int:
-    from .index.build import build_index
+    from .index.build import build_index, build_index_streaming
     from .io.fasta import read_fasta
 
     genome = read_fasta(args.genome_file)
+    if args.streaming:
+        index = build_index_streaming(
+            genome, args.output_directory, seed_len=args.seed_length,
+            repeat_threshold=args.repeat_threshold,
+            annotate_neighbors=not args.dont_annotate,
+            mask_width=args.mask_width, work_dir=args.temp_directory)
+        print(f"sorted reference (streaming, mask-width {args.mask_width}): "
+              f"{index.num_records} records "
+              f"({index.collapsed_kmers} repeat k-mers collapsed) -> "
+              f"{args.output_directory}")
+        return 0
     index = build_index(genome, seed_len=args.seed_length,
                         repeat_threshold=args.repeat_threshold,
                         annotate_neighbors=not args.dont_annotate)
@@ -88,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--dont-annotate", action="store_true",
                     help="skip the <=4-mismatch neighbor annotation "
                          "(reference isaac-sort-reference --dont-annotate)")
+    sr.add_argument("--streaming", action="store_true",
+                    help="bounded-memory external-sort build (per-mask "
+                         "radix shards, reference SortReference.mk DAG)")
+    sr.add_argument("--mask-width", type=int, default=6,
+                    help="k-mer high bits for --streaming shard fan-out "
+                         "(reference isaac-sort-reference -w, default 6)")
+    sr.add_argument("--temp-directory", default=None,
+                    help="scratch dir for --streaming shard files")
     sr.set_defaults(fn=_cmd_sort_reference)
 
     al = sub.add_parser("align", help="align FASTQ reads to a reference")

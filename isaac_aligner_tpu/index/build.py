@@ -29,6 +29,9 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import shutil
+import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -98,8 +101,11 @@ class SeedIndex:
         (d / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
 
     @staticmethod
-    def load(directory: str | Path) -> "SeedIndex":
+    def load(directory: str | Path, mmap: bool = False) -> "SeedIndex":
+        """Load a saved index; ``mmap=True`` memory-maps the record planes
+        (bounded host RAM for human-scale indexes)."""
         d = Path(directory)
+        mode = "r" if mmap else None
         meta = json.loads((d / "sorted-reference.json").read_text())
         contigs = [ContigMeta(**c) for c in meta["contigs"]]
         genome = Genome(codes=np.load(d / "genome.npy"), contigs=contigs)
@@ -107,12 +113,12 @@ class SeedIndex:
             seed_len=meta["seed_len"],
             repeat_threshold=meta["repeat_threshold"],
             genome=genome,
-            key_hi=np.load(d / "key_hi.npy"),
-            key_lo=np.load(d / "key_lo.npy"),
-            pos=np.load(d / "pos.npy"),
+            key_hi=np.load(d / "key_hi.npy", mmap_mode=mode),
+            key_lo=np.load(d / "key_lo.npy", mmap_mode=mode),
+            pos=np.load(d / "pos.npy", mmap_mode=mode),
             total_kmers=meta["total_kmers"],
             collapsed_kmers=meta["collapsed_kmers"],
-            has_neighbors=(np.load(d / "neighbors.npy")
+            has_neighbors=(np.load(d / "neighbors.npy", mmap_mode=mode)
                            if (d / "neighbors.npy").exists() else None),
         )
 
@@ -205,4 +211,194 @@ def build_index(
         from .neighbors import annotate_index
         index.has_neighbors = annotate_index(index.key_hi, index.key_lo,
                                              k=seed_len).astype(np.uint8)
+    return index
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory streaming build (human-scale hosts)
+# ---------------------------------------------------------------------------
+
+def _raw_to_npy(raw_path: Path, npy_path: Path, dtype: np.dtype) -> int:
+    """Wrap a raw little-endian array file into .npy format by prefixing the
+    header and streaming the payload across; returns the element count."""
+    itemsize = np.dtype(dtype).itemsize
+    nbytes = raw_path.stat().st_size
+    assert nbytes % itemsize == 0
+    n = nbytes // itemsize
+    with open(npy_path, "wb") as out:
+        np.lib.format.write_array_header_1_0(
+            out, {"descr": np.lib.format.dtype_to_descr(np.dtype(dtype)),
+                  "fortran_order": False, "shape": (n,)})
+        with open(raw_path, "rb") as src:
+            shutil.copyfileobj(src, out, length=1 << 22)
+    return int(n)
+
+
+def _chunk_windows_arrays(codes: np.ndarray, contigs, seed_len: int,
+                          start: int, stop: int):
+    """(hi, lo, pos) of all valid seed windows with start in [start, stop)."""
+    span = codes[start : stop + seed_len - 1]
+    n_local = stop - start
+    is_n = (span >= dna.NUM_BASES).astype(np.int32)
+    cs = np.concatenate([np.zeros(1, np.int32), np.cumsum(is_n, dtype=np.int32)])
+    valid = (cs[seed_len : seed_len + n_local] - cs[:n_local]) == 0
+    for c in contigs:
+        tail_start = max(c.offset, c.end - seed_len + 1)
+        lo_b, hi_b = max(tail_start, start), min(c.end, stop)
+        if lo_b < hi_b:
+            valid[lo_b - start : hi_b - start] = False
+    local = np.nonzero(valid)[0]
+    pos = (local + start).astype(np.int32)
+    hi = _rolling_kmers_u32(span, 0, 16, n_local)[local]
+    if seed_len == 32:
+        lo = _rolling_kmers_u32(span, 16, 16, n_local)[local]
+    else:
+        lo = np.zeros_like(hi)
+    return hi, lo, pos
+
+
+def build_index_streaming(
+    genome: Genome,
+    out_dir: str | Path,
+    seed_len: int = 32,
+    repeat_threshold: int = 1000,
+    annotate_neighbors: bool = False,
+    mask_width: int = 6,
+    chunk_windows: int = 1 << 24,
+    work_dir: str | Path | None = None,
+) -> SeedIndex:
+    """Bounded-memory index build: external radix sort over k-mer mask bits.
+
+    Reference analog: the per-mask shard build DAG — isaac-sort-reference
+    drives 2^maskWidth independent sortReference runs (default maskWidth=6,
+    src/make/reference/SortReference.mk:54-84; ReferenceSorter filters the
+    genome stream by the k-mer's high mask bits,
+    src/c++/lib/reference/ReferenceSorter.cpp:104-176). Same sharding axis
+    here, recomposed as a two-pass external sort so one process stays within
+    bounded RAM instead of 2^maskWidth genome re-scans:
+
+    1. **Partition pass** — scan the genome in ``chunk_windows`` slabs,
+       pack (hi, lo, pos) records for valid windows, append each record to
+       its mask bucket file (bucket = top ``mask_width`` bits of the k-mer).
+    2. **Per-bucket sort pass** — ascending over buckets: load one bucket
+       (~1/2^mask_width of the genome), lexsort by (hi, lo, pos), collapse
+       k-mers over ``repeat_threshold`` into one TOO_MANY_POS record
+       (identical logic to :func:`build_index`), stream results to the
+       final record planes.
+
+    Because a bucket is a prefix of the sort key, bucket-ascending
+    concatenation IS the global sort order and no k-mer group spans a
+    bucket boundary — output is byte-identical to :func:`build_index`.
+
+    Peak RAM: one genome byte-plane + one chunk (~12B/window) + one sorted
+    bucket (~total/2^mask_width records). The finished index is written to
+    ``out_dir`` in the standard save() layout; the returned SeedIndex holds
+    memory-mapped planes.
+    """
+    if seed_len not in (16, 32):
+        raise ValueError("seed_len must be 16 or 32")
+    codes = genome.codes
+    g = codes.shape[0]
+    if g >= 2**31:
+        raise ValueError("single index shard addresses < 2^31 bases; shard the genome")
+    n_windows = g - seed_len + 1
+    if n_windows <= 0:
+        raise ValueError("genome shorter than seed length")
+    if not (0 < mask_width <= 16):
+        raise ValueError("mask_width must be in (0, 16]")
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    tmp_ctx = tempfile.TemporaryDirectory(dir=str(work_dir) if work_dir else None)
+    tmp = Path(tmp_ctx.name)
+    n_buckets = 1 << mask_width
+    shift = np.uint32(32 - mask_width)
+
+    bucket_paths = [tmp / f"bucket_{m:05d}.bin" for m in range(n_buckets)]
+    bucket_files = [open(p, "wb", buffering=1 << 20) for p in bucket_paths]
+    try:
+        # -- pass 1: chunked scan, radix partition by mask bits ------------
+        for start in range(0, n_windows, chunk_windows):
+            stop = min(start + chunk_windows, n_windows)
+            hi, lo, pos = _chunk_windows_arrays(codes, genome.contigs,
+                                                seed_len, start, stop)
+            if hi.shape[0] == 0:
+                continue
+            bucket = (hi >> shift).astype(np.int64)
+            order = np.argsort(bucket, kind="stable")
+            recs = np.empty((hi.shape[0], 3), dtype=np.uint32)
+            recs[:, 0] = hi[order]
+            recs[:, 1] = lo[order]
+            recs[:, 2] = pos[order].view(np.uint32)
+            bounds = np.searchsorted(bucket[order], np.arange(n_buckets + 1))
+            for m in range(n_buckets):
+                b, e = bounds[m], bounds[m + 1]
+                if e > b:
+                    bucket_files[m].write(recs[b:e].tobytes())
+    finally:
+        for f in bucket_files:
+            f.close()
+
+    # -- pass 2: per-bucket sort + repeat collapse, streamed to raw planes -
+    raw = {name: tmp / f"{name}.raw" for name in ("key_hi", "key_lo", "pos")}
+    total = 0
+    collapsed = 0
+    with open(raw["key_hi"], "wb") as f_hi, \
+         open(raw["key_lo"], "wb") as f_lo, \
+         open(raw["pos"], "wb") as f_pos:
+        for m in range(n_buckets):
+            p = bucket_paths[m]
+            nbytes = p.stat().st_size
+            if nbytes == 0:
+                p.unlink()
+                continue
+            arr = np.fromfile(p, dtype=np.uint32).reshape(-1, 3)
+            p.unlink()
+            hi, lo = arr[:, 0], arr[:, 1]
+            pos = arr[:, 2].view(np.int32)
+            order = np.lexsort((pos, lo, hi))
+            hi, lo, pos = hi[order], lo[order], pos[order]
+            n = hi.shape[0]
+            total += n
+            new_group = np.empty(n, dtype=bool)
+            new_group[0] = True
+            new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+            group_id = np.cumsum(new_group) - 1
+            counts = np.bincount(group_id)
+            too_many = counts > repeat_threshold
+            keep = ~too_many[group_id]
+            sentinel = new_group & too_many[group_id]
+            out_mask = keep | sentinel
+            out_pos = np.where(sentinel[out_mask], TOO_MANY_POS,
+                               pos[out_mask]).astype(np.int32)
+            f_hi.write(bias_u32_to_i32(hi[out_mask]).tobytes())
+            f_lo.write(bias_u32_to_i32(lo[out_mask]).tobytes())
+            f_pos.write(out_pos.tobytes())
+            collapsed += int(too_many.sum())
+
+    for name, rp in raw.items():
+        _raw_to_npy(rp, out / f"{name}.npy", np.int32)
+    np.save(out / "genome.npy", codes)
+    meta = {
+        "format_version": 1,
+        "seed_len": seed_len,
+        "repeat_threshold": repeat_threshold,
+        "total_kmers": total,
+        "collapsed_kmers": collapsed,
+        "contigs": [
+            {"index": c.index, "name": c.name, "offset": c.offset,
+             "length": c.length, "md5": c.md5}
+            for c in genome.contigs
+        ],
+    }
+    (out / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
+    tmp_ctx.cleanup()
+
+    index = SeedIndex.load(out, mmap=True)
+    if annotate_neighbors:
+        from .neighbors import annotate_index
+        index.has_neighbors = annotate_index(np.asarray(index.key_hi),
+                                             np.asarray(index.key_lo),
+                                             k=seed_len).astype(np.uint8)
+        np.save(out / "neighbors.npy", index.has_neighbors)
     return index

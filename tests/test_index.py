@@ -85,3 +85,69 @@ def test_build_index_32mer():
     p = idx.pos[i]
     assert dna.pack_kmer(genome.codes[p : p + 16]) == hi
     assert dna.pack_kmer(genome.codes[p + 16 : p + 32]) == lo
+
+
+# -- streaming (bounded-memory) build --------------------------------------
+
+def _random_genome(rng, contig_lens, n_rate=0.01, repeat_block=None):
+    seqs = []
+    for i, ln in enumerate(contig_lens):
+        codes = rng.integers(0, 4, ln)
+        codes[rng.random(ln) < n_rate] = 4  # N
+        seq = "".join("ACGTN"[c] for c in codes)
+        if repeat_block and i == 0:
+            seq = repeat_block * (ln // len(repeat_block))
+        seqs.append((f"c{i}", seq))
+    return genome_from_sequences(seqs)
+
+
+@pytest.mark.parametrize("seed_len", [16, 32])
+def test_streaming_build_matches_in_ram(tmp_path, seed_len):
+    from isaac_aligner_tpu.index.build import build_index_streaming
+
+    rng = np.random.default_rng(7)
+    genome = _random_genome(rng, [5000, 3000, 120])
+    ram = build_index(genome, seed_len=seed_len, repeat_threshold=1000)
+    st = build_index_streaming(genome, tmp_path / "idx", seed_len=seed_len,
+                               repeat_threshold=1000, mask_width=4,
+                               chunk_windows=777)
+    assert st.total_kmers == ram.total_kmers
+    assert st.collapsed_kmers == ram.collapsed_kmers
+    assert np.array_equal(np.asarray(st.key_hi), ram.key_hi)
+    assert np.array_equal(np.asarray(st.key_lo), ram.key_lo)
+    assert np.array_equal(np.asarray(st.pos), ram.pos)
+    # persisted layout loads like any other index
+    reloaded = SeedIndex.load(tmp_path / "idx")
+    assert np.array_equal(reloaded.pos, ram.pos)
+
+
+def test_streaming_build_repeat_collapse(tmp_path):
+    from isaac_aligner_tpu.index.build import build_index_streaming
+
+    rng = np.random.default_rng(3)
+    # contig 0 is a pure repeat of a 40-mer: its 32-mers exceed threshold
+    genome = _random_genome(rng, [4000, 2000], n_rate=0.0,
+                            repeat_block="ACGTACGGTTCAGATTACAGATTACAGGGCATTACGAATC")
+    ram = build_index(genome, seed_len=32, repeat_threshold=5)
+    st = build_index_streaming(genome, tmp_path / "idx", seed_len=32,
+                               repeat_threshold=5, mask_width=3,
+                               chunk_windows=513)
+    assert st.collapsed_kmers == ram.collapsed_kmers > 0
+    assert np.array_equal(np.asarray(st.pos), ram.pos)
+    assert np.array_equal(np.asarray(st.key_hi), ram.key_hi)
+    # sentinel records present
+    assert np.any(np.asarray(st.pos) == TOO_MANY_POS)
+
+
+def test_streaming_build_cli_annotate(tmp_path):
+    from isaac_aligner_tpu.index.build import build_index_streaming
+
+    rng = np.random.default_rng(11)
+    genome = _random_genome(rng, [2000], n_rate=0.0)
+    ram = build_index(genome, seed_len=32, annotate_neighbors=True)
+    st = build_index_streaming(genome, tmp_path / "idx", seed_len=32,
+                               annotate_neighbors=True, mask_width=2)
+    assert st.has_neighbors is not None
+    assert np.array_equal(np.asarray(st.has_neighbors), ram.has_neighbors)
+    reloaded = SeedIndex.load(tmp_path / "idx", mmap=True)
+    assert np.array_equal(np.asarray(reloaded.has_neighbors), ram.has_neighbors)
