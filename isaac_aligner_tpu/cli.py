@@ -20,6 +20,19 @@ def _cmd_sort_reference(args) -> int:
     from .io.fasta import read_fasta
 
     genome = read_fasta(args.genome_file)
+    if genome.total_length > args.group_limit:
+        from .index.groups import build_grouped_indexes
+        dirs = build_grouped_indexes(
+            genome, args.output_directory, limit=args.group_limit,
+            seed_len=args.seed_length,
+            repeat_threshold=args.repeat_threshold,
+            annotate_neighbors=not args.dont_annotate,
+            streaming=args.streaming, mask_width=args.mask_width,
+            work_dir=args.temp_directory)
+        print(f"sorted reference: {len(dirs)} contig-group indexes "
+              f"(genome {genome.total_length} bp > group limit "
+              f"{args.group_limit}) -> {args.output_directory}")
+        return 0
     if args.streaming:
         index = build_index_streaming(
             genome, args.output_directory, seed_len=args.seed_length,
@@ -107,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(reference isaac-sort-reference -w, default 6)")
     sr.add_argument("--temp-directory", default=None,
                     help="scratch dir for --streaming shard files")
+    sr.add_argument("--group-limit", type=int, default=2**31 - 1,
+                    help="per-index address-space limit; larger genomes "
+                         "build contig-group indexes + manifest "
+                         "(multi-reference.json) automatically")
     sr.set_defaults(fn=_cmd_sort_reference)
 
     al = sub.add_parser("align", help="align FASTQ reads to a reference")

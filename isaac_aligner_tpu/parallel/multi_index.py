@@ -36,22 +36,9 @@ from ..io import sam
 from ..io.fastq import ReadBatch
 
 
-def split_genome_groups(contigs, limit: int = 2**31 - 1) -> list[list[str]]:
-    """Greedy partition of contig names into groups under `limit` bases."""
-    groups: list[list[str]] = []
-    cur: list[str] = []
-    cur_len = 0
-    for c in contigs:
-        if c.length > limit:
-            raise ValueError(f"contig {c.name} alone exceeds {limit} bases")
-        if cur and cur_len + c.length > limit:
-            groups.append(cur)
-            cur, cur_len = [], 0
-        cur.append(c.name)
-        cur_len += c.length
-    if cur:
-        groups.append(cur)
-    return groups
+# host-only helper lives with the index builders; re-exported here for the
+# aligner-facing surface
+from ..index.groups import split_genome_groups  # noqa: F401
 
 
 @dataclasses.dataclass

@@ -157,10 +157,13 @@ class AlignWorkflow:
         indexes for genomes beyond one index's 2^31-base address space:
         parallel/multi_index.py)."""
         if self._index is None:
+            from ..index.groups import is_grouped_reference, load_grouped_indexes
             indexes = []
             for part in str(self.opts.reference).split(","):
                 ref = Path(part)
-                if ref.is_dir():
+                if ref.is_dir() and is_grouped_reference(ref):
+                    indexes.extend(load_grouped_indexes(ref))
+                elif ref.is_dir():
                     indexes.append(SeedIndex.load(ref))
                 else:
                     genome = read_fasta(ref)
