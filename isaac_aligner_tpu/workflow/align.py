@@ -67,6 +67,9 @@ class WorkflowOptions:
     pf_only: bool = True                # BCL: drop non-pass-filter clusters
     use_bases_mask: str | None = None   # BCL: y/n/i per-cycle mask grammar
     seed_len: int = 32
+    # per-index address-space cap; FASTA references over this split into
+    # contig-group indexes automatically (index/groups.py)
+    group_limit: int = 2**31 - 1
     batch_size: int = 4096
     # reference --neighborhood-size-threshold (0 = off, AlignOptions.cpp:96)
     neighborhood_size_threshold: int = 0
@@ -167,9 +170,19 @@ class AlignWorkflow:
                     indexes.append(SeedIndex.load(ref))
                 else:
                     genome = read_fasta(ref)
+                    from ..index.groups import (split_genome_groups,
+                                                subset_genome)
+                    groups = split_genome_groups(genome.contigs,
+                                                 limit=self.opts.group_limit)
                     # 64-mer seeds search a 32-mer index + extension verify
-                    indexes.append(build_index(
-                        genome, seed_len=min(self.opts.seed_len, 32)))
+                    sl = min(self.opts.seed_len, 32)
+                    if len(groups) == 1:
+                        indexes.append(build_index(genome, seed_len=sl))
+                    else:
+                        indexes.extend(
+                            build_index(subset_genome(genome, names),
+                                        seed_len=sl)
+                            for names in groups)
             self._index = indexes
         return self._index
 

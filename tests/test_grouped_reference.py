@@ -104,3 +104,30 @@ def test_workflow_grouped_reference(tmp_path):
     recs2 = read_bam(out2 / "sorted.bam")[2]
     assert [(r.qname, r.rname, r.pos, r.mapq) for r in recs2] == \
         [(r.qname, r.rname, r.pos, r.mapq) for r in recs]
+
+
+def test_workflow_fasta_autogroup(tmp_path):
+    """align -r over-limit.fa auto-splits into contig-group indexes."""
+    from isaac_aligner_tpu.io.bam import read_bam
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    g = _genome(seed=17)
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as f:
+        for c in g.contigs:
+            seq = "".join("ACGTN"[x] for x in g.codes[c.offset:c.end])
+            f.write(f">{c.name}\n{seq}\n")
+    L = 80
+    reads = {"a0700": "".join("ACGTN"[c] for c in g.codes[700:700 + L]),
+             "c0300": "".join("ACGTN"[c] for c in g.codes[7800:7800 + L])}
+    (tmp_path / "r.fq").write_text("".join(
+        f"@{n}\n{r}\n+\n{'I' * L}\n" for n, r in reads.items()))
+
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(fa), output_dir=str(out),
+        fastq1=str(tmp_path / "r.fq"), batch_size=8,
+        group_limit=6000, realign_gaps="no")).run()
+    recs = read_bam(out / "sorted.bam")[2]
+    by = {r.qname: (r.rname, r.pos) for r in recs}
+    assert by == {"a0700": ("cA", 701), "c0300": ("cC", 301)}
