@@ -52,7 +52,7 @@ BWA_SCORES = (0.0, -3.0, -11.0, -4.0)       # match, mismatch, open, extend
 ELAND_SCORES = (2.0, -1.0, -15.0, -3.0)
 
 
-def _sw_body(scores, w_ref, gfin_ref, tb_ref):
+def _sw_body(scores, unroll, w_ref, gfin_ref, tb_ref):
     """DP over precomputed substitution weights.
 
     w_ref: [L*BAND, P] f32 — W(q_i, db_{i+d}) at row i*BAND+d, computed
@@ -131,13 +131,17 @@ def _sw_body(scores, w_ref, gfin_ref, tb_ref):
     g0 = jnp.zeros((BAND, p), jnp.float32)
     e0 = jnp.full((BAND, p), NEG, jnp.float32)
     f0 = jnp.full((BAND, p), NEG, jnp.float32)
-    g, e, f = jax.lax.fori_loop(0, l, row, (g0, e0, f0))
+    # full unroll lets Mosaic software-pipeline the per-row tb stores
+    # (+10% on v5e); Mosaic supports only unroll=1 or =num_steps, and
+    # interpret mode must stay rolled (unrolled tracing is ~100x slower)
+    g, e, f = jax.lax.fori_loop(0, l, row, (g0, e0, f0),
+                                unroll=l if unroll else 1)
     gfin_ref[:, :] = g
 
 
 def banded_sw(query: jax.Array, db: jax.Array,
               scores: tuple[float, float, float, float] = BWA_SCORES,
-              interpret: bool | None = None):
+              interpret: bool | None = None, block: int = 128):
     """Score a batch of banded alignments.
 
     Args:
@@ -159,7 +163,6 @@ def banded_sw(query: jax.Array, db: jax.Array,
         interpret = jax.default_backend() not in ("tpu", "axon")
     match_s, mismatch_s = scores[0], scores[1]
 
-    block = 128
     n_pad = -(-n // block) * block
     qT = jnp.zeros((l, n_pad), jnp.int32).at[:, :n].set(query.T.astype(jnp.int32))
     # pad db with sentinel 5 (never matches)
@@ -176,7 +179,7 @@ def banded_sw(query: jax.Array, db: jax.Array,
     grid = (n_pad // block,)
 
     gfin, tb = pl.pallas_call(
-        functools.partial(_sw_body, scores),
+        functools.partial(_sw_body, scores, not interpret),
         out_shape=(
             jax.ShapeDtypeStruct((BAND, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((l * BAND, n_pad), jnp.int32),
@@ -197,12 +200,13 @@ def banded_sw(query: jax.Array, db: jax.Array,
     return gfin.T[:n], jnp.transpose(tb3, (2, 0, 1))[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("scores", "interpret"))
-def banded_sw_jit(query, db, scores=BWA_SCORES, interpret=None):
+@functools.partial(jax.jit, static_argnames=("scores", "interpret", "block"))
+def banded_sw_jit(query, db, scores=BWA_SCORES, interpret=None, block=128):
     """Jitted banded_sw — ALWAYS prefer this entry point: the padding and
     layout transposes around the kernel otherwise dispatch as eager ops,
     which is pathologically slow on the tunneled TPU backend."""
-    return banded_sw(query, db, scores=scores, interpret=interpret)
+    return banded_sw(query, db, scores=scores, interpret=interpret,
+                     block=block)
 
 
 # ---------------------------------------------------------------------------
