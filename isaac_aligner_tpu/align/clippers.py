@@ -228,9 +228,9 @@ def clip_overlapping(res: dict, b1, b2, genome_codes: np.ndarray) -> None:
             continue
         # compare summed qualities of the overlapping ends
         left_q = int(lq[ll - overlap :].sum())     # left read 3' tail
-        right_q = int(rq[: 0] .sum()) if False else int(
-            rq[rl - overlap :].sum())  # right read's genome-left bases are
-        # its 3' tail in read coordinates (right is the reverse read)
+        # right read's genome-left bases are its 3' tail in read
+        # coordinates (right is the reverse read)
+        right_q = int(rq[rl - overlap :].sum())
         key = "cigar" + (right if left_q >= right_q else left)
         idx_sfx = right if left_q >= right_q else left
         if "cigar" + idx_sfx not in res:

@@ -574,6 +574,12 @@ def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases):
     n_inc = jnp.sum(incomplete.astype(jnp.int32))
     diag1["pass2_reads"] = n_inc
     diag1["pass2_dropped"] = jnp.maximum(n_inc - b2, 0)
+    # per-read mask of reads whose pass-2 escalation was dropped by the
+    # sub-batch capacity: their candidate sets are incomplete, so they are
+    # forced through the dodgy (MAPQ-0) path instead of silently keeping
+    # an overconfident pass-1-only score
+    diag1["pass2_dropped_mask"] = incomplete & \
+        (jnp.cumsum(incomplete.astype(jnp.int32)) > b2)
     return start_f, orient_f, valid_f, clean_f, diag1
 
 
@@ -739,9 +745,10 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
     cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
     return {
         "score_dropped": dropped,
-        # untrackable repeat mass: force dodgy handling in the pair
-        # resolver exactly like finalize_single_end does
-        "dodgy": diag["scored_overflow"] | dropped,
+        # untrackable repeat mass (or a dropped pass-2 escalation): force
+        # dodgy handling in the pair resolver like finalize_single_end does
+        "dodgy": diag["scored_overflow"] | dropped |
+                 diag.get("pass2_dropped_mask", jnp.zeros_like(dropped)),
         "start": cand_start,
         "orient": cand_orient,
         "valid": cand_valid,
@@ -808,6 +815,9 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     if diag.get("scored_overflow") is not None:
         # more distinct placements than the scoring cap: dodgy repeat
         dodgy = dodgy | diag["scored_overflow"]
+    if diag.get("pass2_dropped_mask") is not None:
+        # dropped pass-2 escalation: candidate set incomplete
+        dodgy = dodgy | diag["pass2_dropped_mask"]
     mapq = jnp.where(dodgy, jnp.int32(cfg.dodgy_mapq), mapq)
     if cfg.dodgy_unaligned:
         aligned = aligned & ~dodgy

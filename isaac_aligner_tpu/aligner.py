@@ -345,6 +345,18 @@ class PairedAligner:
         TemplateBuilder::rescueShadow)."""
         window = self._rescue_window()
         if window > self.max_rescue_window:
+            # NOT silent: an over-wide TLS window disables rescue for the
+            # whole batch — log once and count the skipped shadows so the
+            # degradation shows up in MatchFinderStats
+            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum())
+            if n_skip:
+                if not self.finder_stats.get("rescue_skipped"):
+                    tracing.log(
+                        f"shadow rescue DISABLED: TLS window {window} exceeds "
+                        f"max_rescue_window {self.max_rescue_window}; "
+                        f"orphaned mates stay unaligned", force=True)
+                self.finder_stats["rescue_skipped"] = \
+                    self.finder_stats.get("rescue_skipped", 0) + n_skip
             return
         read_lengths = (b1.read_len, b2.read_len)
         for shadow_end, orphan_end in ((1, 2), (2, 1)):

@@ -82,14 +82,20 @@ def mark_duplicates(records: list[sam.SamRecord], keep: bool = True
         if not mapped:
             continue
         anchors = sorted(_anchor(r) for r in mapped)
+        # library component: templates from different libraries are never
+        # duplicates of each other (reference keys on (anchor, mate anchor,
+        # library) unless all samples share one library,
+        # include/build/DuplicateFragmentIndexFiltering.hh:43-180); the RG
+        # tag carries our sample/library identity
+        lib = str(recs[0].tags.get("RG", ("Z", ""))[1])
         if len(mapped) == 1 and len(recs) > 1:
             # half-mapped pair: anchor on the mapped end only, flagged so
             # it does not collide with fully-mapped pairs
-            key = ("half", tuple(anchors))
+            key = ("half", lib, tuple(anchors))
         elif len(mapped) == 1:
-            key = ("se", tuple(anchors))
+            key = ("se", lib, tuple(anchors))
         else:
-            key = ("pe", tuple(anchors))
+            key = ("pe", lib, tuple(anchors))
         groups.setdefault(key, []).append((_rank(recs), recs))
 
     for _key, members in groups.items():

@@ -21,7 +21,14 @@ def _cmd_sort_reference(args) -> int:
 
     genome = read_fasta(args.genome_file)
     if genome.total_length > args.group_limit:
-        from .index.groups import build_grouped_indexes
+        from .index.groups import build_grouped_indexes, split_genome_groups
+        try:
+            split_genome_groups(genome.contigs, limit=args.group_limit)
+        except ValueError as e:
+            # e.g. one contig alone exceeds the per-index address space
+            print(f"sort-reference: {e} (try a larger --group-limit)",
+                  file=sys.stderr)
+            return 2
         dirs = build_grouped_indexes(
             genome, args.output_directory, limit=args.group_limit,
             seed_len=args.seed_length,

@@ -51,8 +51,9 @@ def resolve_barcodes(observed: np.ndarray, specs: list[BarcodeSpec],
     for ci, cl in enumerate(comp_lens):
         seg = obs[:, off : off + cl]
         exp = np.stack([dna.encode(s.components[ci]) for s in indexed])  # [N, cl]
+        # an N base already differs from every expected code, so the plain
+        # inequality count covers the reference's N-penalty rule
         mm = (seg[:, None, :] != exp[None, :, :]).sum(axis=2)
-        mm += (seg[:, None, :] >= dna.NUM_BASES).sum(axis=2) * 0  # N already differs
         ok &= mm <= mismatches_per_component
         off += cl
     n_ok = ok.sum(axis=1)

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -309,15 +308,17 @@ def build_index_streaming(
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    tmp_ctx = tempfile.TemporaryDirectory(dir=str(work_dir) if work_dir else None)
-    tmp = Path(tmp_ctx.name)
     n_buckets = 1 << mask_width
     shift = np.uint32(32 - mask_width)
 
-    bucket_paths = [tmp / f"bucket_{m:05d}.bin" for m in range(n_buckets)]
-    bucket_files = [open(p, "wb", buffering=1 << 20) for p in bucket_paths]
-    try:
+    with tempfile.TemporaryDirectory(
+            dir=str(work_dir) if work_dir else None) as tmp_name:
+        tmp = Path(tmp_name)
+        bucket_paths = [tmp / f"bucket_{m:05d}.bin" for m in range(n_buckets)]
         # -- pass 1: chunked scan, radix partition by mask bits ------------
+        # bucket files open in append mode per chunk (not held across the
+        # whole pass): at mask_width 16 the 65536 simultaneous handles +
+        # stdio buffers would blow both ulimit -n and the memory bound
         for start in range(0, n_windows, chunk_windows):
             stop = min(start + chunk_windows, n_windows)
             hi, lo, pos = _chunk_windows_arrays(codes, genome.contigs,
@@ -334,50 +335,46 @@ def build_index_streaming(
             for m in range(n_buckets):
                 b, e = bounds[m], bounds[m + 1]
                 if e > b:
-                    bucket_files[m].write(recs[b:e].tobytes())
-    finally:
-        for f in bucket_files:
-            f.close()
+                    with open(bucket_paths[m], "ab") as f:
+                        f.write(recs[b:e].tobytes())
 
-    # -- pass 2: per-bucket sort + repeat collapse, streamed to raw planes -
-    raw = {name: tmp / f"{name}.raw" for name in ("key_hi", "key_lo", "pos")}
-    total = 0
-    collapsed = 0
-    with open(raw["key_hi"], "wb") as f_hi, \
-         open(raw["key_lo"], "wb") as f_lo, \
-         open(raw["pos"], "wb") as f_pos:
-        for m in range(n_buckets):
-            p = bucket_paths[m]
-            nbytes = p.stat().st_size
-            if nbytes == 0:
+        # -- pass 2: per-bucket sort + repeat collapse -> raw planes -------
+        raw = {name: tmp / f"{name}.raw" for name in ("key_hi", "key_lo", "pos")}
+        total = 0
+        collapsed = 0
+        with open(raw["key_hi"], "wb") as f_hi, \
+             open(raw["key_lo"], "wb") as f_lo, \
+             open(raw["pos"], "wb") as f_pos:
+            for m in range(n_buckets):
+                p = bucket_paths[m]
+                if not p.exists() or p.stat().st_size == 0:
+                    continue
+                arr = np.fromfile(p, dtype=np.uint32).reshape(-1, 3)
                 p.unlink()
-                continue
-            arr = np.fromfile(p, dtype=np.uint32).reshape(-1, 3)
-            p.unlink()
-            hi, lo = arr[:, 0], arr[:, 1]
-            pos = arr[:, 2].view(np.int32)
-            order = np.lexsort((pos, lo, hi))
-            hi, lo, pos = hi[order], lo[order], pos[order]
-            n = hi.shape[0]
-            total += n
-            new_group = np.empty(n, dtype=bool)
-            new_group[0] = True
-            new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-            group_id = np.cumsum(new_group) - 1
-            counts = np.bincount(group_id)
-            too_many = counts > repeat_threshold
-            keep = ~too_many[group_id]
-            sentinel = new_group & too_many[group_id]
-            out_mask = keep | sentinel
-            out_pos = np.where(sentinel[out_mask], TOO_MANY_POS,
-                               pos[out_mask]).astype(np.int32)
-            f_hi.write(bias_u32_to_i32(hi[out_mask]).tobytes())
-            f_lo.write(bias_u32_to_i32(lo[out_mask]).tobytes())
-            f_pos.write(out_pos.tobytes())
-            collapsed += int(too_many.sum())
+                hi, lo = arr[:, 0], arr[:, 1]
+                pos = arr[:, 2].view(np.int32)
+                order = np.lexsort((pos, lo, hi))
+                hi, lo, pos = hi[order], lo[order], pos[order]
+                n = hi.shape[0]
+                total += n
+                new_group = np.empty(n, dtype=bool)
+                new_group[0] = True
+                new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                group_id = np.cumsum(new_group) - 1
+                counts = np.bincount(group_id)
+                too_many = counts > repeat_threshold
+                keep = ~too_many[group_id]
+                sentinel = new_group & too_many[group_id]
+                out_mask = keep | sentinel
+                out_pos = np.where(sentinel[out_mask], TOO_MANY_POS,
+                                   pos[out_mask]).astype(np.int32)
+                f_hi.write(bias_u32_to_i32(hi[out_mask]).tobytes())
+                f_lo.write(bias_u32_to_i32(lo[out_mask]).tobytes())
+                f_pos.write(out_pos.tobytes())
+                collapsed += int(too_many.sum())
 
-    for name, rp in raw.items():
-        _raw_to_npy(rp, out / f"{name}.npy", np.int32)
+        for name, rp in raw.items():
+            _raw_to_npy(rp, out / f"{name}.npy", np.int32)
     np.save(out / "genome.npy", codes)
     meta = {
         "format_version": 1,
@@ -392,13 +389,19 @@ def build_index_streaming(
         ],
     }
     (out / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
-    tmp_ctx.cleanup()
 
     index = SeedIndex.load(out, mmap=True)
     if annotate_neighbors:
-        from .neighbors import annotate_index
-        index.has_neighbors = annotate_index(np.asarray(index.key_hi),
-                                             np.asarray(index.key_lo),
-                                             k=seed_len).astype(np.uint8)
-        np.save(out / "neighbors.npy", index.has_neighbors)
+        from ..utils import tracing
+        from .neighbors import annotate_index_chunked
+        tracing.log("streaming build: neighbor annotation runs per prefix "
+                    "partition (bounded RAM); pass --dont-annotate to skip")
+        bits = annotate_index_chunked(
+            index.key_hi, index.key_lo, k=seed_len,
+            out_path=out / "neighbors.npy", work_dir=work_dir)
+        if isinstance(bits, np.memmap):
+            bits.flush()        # already written straight to neighbors.npy
+        else:
+            np.save(out / "neighbors.npy", bits)
+        index.has_neighbors = bits
     return index

@@ -117,3 +117,35 @@ def test_unique_read_unaffected_by_annotation():
     batch = batch_from_reads(["u"], [seq[500:564]])
     rec = Aligner.create(idx, read_len=64).align_to_sam(batch)[0]
     assert rec.is_mapped and rec.mapq >= 40
+
+
+def test_annotate_index_chunked_matches_in_ram(tmp_path):
+    """Chunked (bounded-RAM) annotation == plain annotate_index, both for
+    the in-RAM small path and the disk-partitioned big path."""
+    import numpy as np
+    from isaac_aligner_tpu.index import neighbors as nb
+    from isaac_aligner_tpu.index.build import build_index
+    from isaac_aligner_tpu.io.fasta import genome_from_sequences
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    # inject a near-duplicate segment (2 mismatches) so neighbor bits fire
+    seg = list(seq[100:164])
+    seg[10] = "T" if seg[10] != "T" else "A"
+    seg[40] = "C" if seg[40] != "C" else "G"
+    seq = seq + "".join(seg)
+    genome = genome_from_sequences([("chrN", seq)])
+    idx = build_index(genome, seed_len=32)
+
+    ref_bits = nb.annotate_index(idx.key_hi, idx.key_lo, k=32).astype(np.uint8)
+    assert ref_bits.any(), "fixture must produce some neighbor bits"
+
+    small = nb.annotate_index_chunked(idx.key_hi, idx.key_lo, k=32,
+                                      chunk=257, work_dir=tmp_path)
+    np.testing.assert_array_equal(np.asarray(small), ref_bits)
+
+    big = nb.annotate_index_chunked(idx.key_hi, idx.key_lo, k=32,
+                                    chunk=257, mem_records=64, part_bits=3,
+                                    out_path=tmp_path / "nb.npy",
+                                    work_dir=tmp_path)
+    np.testing.assert_array_equal(np.asarray(big), ref_bits)
