@@ -1,0 +1,326 @@
+"""Vectorized fragment storage: device results -> columnar records -> bins.
+
+Reference analog: the MatchSelector output path —
+lib/alignment/matchSelector/BinningFragmentStorage.cpp (pack each
+BamTemplate into fragment records and route them to genomic bins chosen
+by BinIndexMap, include/alignment/matchSelector/BinIndexMap.hh:44-96) and
+FragmentCollector.hh.  Here each aligned batch converts to a
+`FragmentBatch` with pure numpy column math (no per-read Python) and
+appends to per-bin chunk files, so the whole-run record set never lives
+in RAM at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from ..io import sam
+from . import records as R
+from .records import FragmentBatch
+
+_ABSENT = R._ABSENT
+
+
+def _name_matrix(names: list[str], idx: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.array(names, dtype="S")[idx]
+    w = max(1, arr.dtype.itemsize)
+    mat = arr.view(np.uint8).reshape(len(arr), w)
+    lens = np.char.str_len(arr).astype(np.int32)
+    return mat, lens
+
+
+def _orient_output(bases: np.ndarray, quals: np.ndarray, lengths: np.ndarray,
+                   rev: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row reverse-complement of the first `length` columns where rev."""
+    n, L = bases.shape
+    ar = np.arange(L)[None, :]
+    ridx = np.where(rev[:, None], np.maximum(lengths[:, None] - 1 - ar, 0), ar)
+    seq = np.take_along_axis(bases, ridx, axis=1)
+    q = np.take_along_axis(quals, ridx, axis=1)
+    comp = np.where(seq < 4, 3 - seq, seq).astype(np.uint8)
+    seq = np.where(rev[:, None], comp, seq)
+    return seq.astype(np.uint8), q.astype(np.uint8)
+
+
+def _subset_cigars(cigars, idx: np.ndarray):
+    if cigars is None:
+        return None
+    return np.array(list(cigars) + [None], dtype=object)[:-1][idx]
+
+
+def _locate(contig_offsets: np.ndarray, gpos: np.ndarray
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """Global positions -> (contig id, contig-local position), vectorized."""
+    rid = (np.searchsorted(contig_offsets, gpos, side="right") - 1).astype(np.int32)
+    rid = np.maximum(rid, 0)
+    return rid, (gpos - contig_offsets[rid]).astype(np.int32)
+
+
+@dataclasses.dataclass
+class AuxColumns:
+    """Optional per-read columns threaded into the records (RG/BC/ZX/ZY)."""
+    rg: np.ndarray | None = None        # int32 per read, -1 absent
+    rg_names: tuple[str, ...] = ()
+    bc: np.ndarray | None = None        # uint8 [N, W] barcode ascii
+    zx: np.ndarray | None = None        # int32 cluster X
+    zy: np.ndarray | None = None        # int32 cluster Y
+
+    def take(self, idx: np.ndarray) -> "AuxColumns":
+        pick = lambda v: v[idx] if v is not None else None
+        return AuxColumns(rg=pick(self.rg), rg_names=self.rg_names,
+                          bc=pick(self.bc), zx=pick(self.zx), zy=pick(self.zy))
+
+
+def _apply_aux(fb: FragmentBatch, aux: AuxColumns | None) -> None:
+    if aux is None:
+        return
+    n = len(fb)
+    rep = 2 if (fb.flag & sam.FLAG_PAIRED).any() else 1
+
+    def spread(v):
+        return np.repeat(v, rep, axis=0) if rep == 2 else v
+    if aux.rg is not None:
+        fb.rg = spread(aux.rg).astype(np.int32)
+        fb.rg_names = tuple(aux.rg_names)
+    if aux.bc is not None:
+        fb.bc = spread(aux.bc)
+    if aux.zx is not None:
+        fb.zx = spread(aux.zx).astype(np.int32)
+    if aux.zy is not None:
+        fb.zy = spread(aux.zy).astype(np.int32)
+    assert len(fb.flag) == n
+
+
+def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
+                       aux: AuxColumns | None = None) -> FragmentBatch:
+    """Vectorized single-end result -> FragmentBatch
+    (aligner.Aligner._records_from_res semantics)."""
+    names = batch.names
+    valid = ~np.array([n.startswith("__pad") for n in names], bool)
+    idx = np.nonzero(valid)[0]
+    n = idx.size
+    lengths = batch.lengths[idx].astype(np.int32)
+    aligned = np.asarray(res["aligned"])[idx].astype(bool)
+    rev = aligned & np.asarray(res["reverse"])[idx].astype(bool)
+    start = np.asarray(res["start"])[idx].astype(np.int64)
+
+    ops, n_ops = R.cigars_to_ops(_subset_cigars(res.get("cigar"), idx), lengths)
+    n_ops = np.where(aligned, n_ops, 0).astype(np.int16)
+
+    offs = genome.contig_offsets
+    rid, local = _locate(offs, np.maximum(start, 0))
+    seq, qual = _orient_output(batch.bases[idx], batch.quals[idx], lengths, rev)
+
+    fb = FragmentBatch.empty(n, batch.bases.shape[1],
+                             name_w=1, max_cigar=ops.shape[1])
+    fb.name_bytes, fb.name_len = _name_matrix(names, idx)
+    fb.flag = (np.where(aligned, 0, sam.FLAG_UNMAPPED)
+               | np.where(rev, sam.FLAG_REVERSE, 0)).astype(np.uint16)
+    fb.ref_id = np.where(aligned, rid, -1).astype(np.int32)
+    fb.pos = np.where(aligned, local, -1).astype(np.int32)
+    mapq = np.asarray(res["mapq"])[idx].astype(np.int64)
+    fb.mapq = np.where(aligned, np.minimum(mapq, 255), 0).astype(np.uint8)
+    fb.cigar_ops = ops
+    fb.n_cigar = n_ops
+    fb.seq, fb.qual, fb.length = seq, qual, lengths
+    nm = np.asarray(res["edit_distance"])[idx].astype(np.int32)
+    fb.nm = np.where(aligned, nm, _ABSENT).astype(np.int32)
+    fb.sm = np.where(aligned, np.minimum(mapq, 255), _ABSENT).astype(np.int32)
+    _apply_aux(fb, aux.take(idx) if aux is not None else None)
+    return fb
+
+
+def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
+                       aux: AuxColumns | None = None) -> FragmentBatch:
+    """Vectorized paired result -> FragmentBatch, rows interleaved
+    (R1_0, R2_0, R1_1, R2_1, ...).  Field mapping matches
+    aligner._pair_records (FragmentAccessorBamAdapter analog) exactly.
+    """
+    from ..align import tls as tls_mod
+    names = b1.names
+    valid = ~np.array([nm.startswith("__pad") for nm in names], bool)
+    idx = np.nonzero(valid)[0]
+    n = idx.size
+    offs = genome.contig_offsets
+
+    end = {}
+    for e, batch in ((1, b1), (2, b2)):
+        lengths = batch.lengths[idx].astype(np.int32)
+        aligned = np.asarray(res[f"aligned_{e}"])[idx].astype(bool)
+        rev = aligned & np.asarray(res[f"reverse_{e}"])[idx].astype(bool)
+        start = np.asarray(res[f"start_{e}"])[idx].astype(np.int64)
+        frag = np.where(aligned,
+                        np.asarray(res[f"frag_score_{e}"])[idx], 0).astype(np.int64)
+        nm = np.where(aligned,
+                      np.asarray(res[f"edit_distance_{e}"])[idx], 0).astype(np.int32)
+        ops, n_ops = R.cigars_to_ops(
+            _subset_cigars(res.get(f"cigar_{e}"), idx), lengths)
+        obs = R.ref_span(ops, n_ops.astype(np.int64)).astype(np.int64)
+        obs = np.where(aligned, obs, lengths)
+        rid, local = _locate(offs, np.maximum(start, 0))
+        seq, qual = _orient_output(batch.bases[idx], batch.quals[idx],
+                                   lengths, rev)
+        end[e] = dict(lengths=lengths, aligned=aligned, rev=rev, start=start,
+                      frag=frag, nm=nm, ops=ops,
+                      n_ops=np.where(aligned, n_ops, 0).astype(np.int16),
+                      obs=obs, rid=rid, local=local, seq=seq, qual=qual)
+
+    a1, a2 = end[1]["aligned"], end[2]["aligned"]
+    proper = np.asarray(res["proper_pair"])[idx].astype(bool) & a1 & a2
+    tscore = np.asarray(res["template_score"])[idx].astype(np.int64)
+    both = a1 & a2
+    same_ref = both & (end[1]["rid"] == end[2]["rid"])
+    tlen_mag = np.where(
+        same_ref,
+        tls_mod.template_length(end[1]["start"], end[1]["obs"],
+                                end[2]["start"], end[2]["obs"]), 0)
+
+    def end_mapq(e):
+        me = end[e]
+        base = np.minimum(me["frag"], mapq_cap)
+        boosted = np.minimum(np.maximum(me["frag"], tscore), mapq_cap)
+        return np.where(me["aligned"],
+                        np.where(proper & (tscore >= 0), boosted, base), 0)
+
+    mapq = {1: end_mapq(1), 2: end_mapq(2)}
+
+    parts = []
+    for e in (1, 2):
+        me, mate = end[e], end[3 - e]
+        m_al, o_al = me["aligned"], mate["aligned"]
+        flag = np.full(n, sam.FLAG_PAIRED
+                       | (sam.FLAG_READ1 if e == 1 else sam.FLAG_READ2),
+                       np.uint16)
+        flag |= np.where(proper, sam.FLAG_PROPER_PAIR, 0).astype(np.uint16)
+        flag |= np.where(~m_al, sam.FLAG_UNMAPPED, 0).astype(np.uint16)
+        flag |= np.where(~o_al, sam.FLAG_MATE_UNMAPPED, 0).astype(np.uint16)
+        flag |= np.where(me["rev"], sam.FLAG_REVERSE, 0).astype(np.uint16)
+        flag |= np.where(mate["rev"], sam.FLAG_MATE_REVERSE, 0).astype(np.uint16)
+
+        # placement: unmapped rows sit at the mate's coordinates
+        ref_id = np.where(m_al, me["rid"], np.where(o_al, mate["rid"], -1))
+        pos = np.where(m_al, me["local"], np.where(o_al, mate["local"], -1))
+        mate_ref = np.where(o_al, mate["rid"], np.where(m_al, me["rid"], -1))
+        mate_pos = np.where(o_al, mate["local"], np.where(m_al, pos, -1))
+
+        lower = (me["start"] < mate["start"]) | \
+            ((me["start"] == mate["start"]) & (e == 1))
+        tlen = np.where(both & (tlen_mag != 0),
+                        np.where(lower, tlen_mag, -tlen_mag), 0)
+
+        fb = FragmentBatch.empty(n, me["seq"].shape[1], name_w=1,
+                                 max_cigar=max(end[1]["ops"].shape[1],
+                                               end[2]["ops"].shape[1]))
+        fb.name_bytes, fb.name_len = _name_matrix(names, idx)
+        fb.flag = flag
+        fb.ref_id = ref_id.astype(np.int32)
+        fb.pos = pos.astype(np.int32)
+        fb.mapq = np.minimum(mapq[e], 255).astype(np.uint8)
+        fb.cigar_ops[:, : me["ops"].shape[1]] = me["ops"]
+        fb.n_cigar = me["n_ops"]
+        fb.seq, fb.qual = me["seq"], me["qual"]
+        fb.length = me["lengths"]
+        fb.mate_ref_id = mate_ref.astype(np.int32)
+        fb.mate_pos = mate_pos.astype(np.int32)
+        fb.tlen = tlen.astype(np.int32)
+        fb.nm = np.where(m_al, me["nm"], _ABSENT).astype(np.int32)
+        fb.sm = np.where(m_al, me["frag"], _ABSENT).astype(np.int32)
+        fb.as_ = np.where(m_al & proper & (tscore >= 0), tscore,
+                          _ABSENT).astype(np.int32)
+        fb.mq = np.where(o_al, mapq[3 - e], _ABSENT).astype(np.int32)
+        fb.mc_ops[:, : mate["ops"].shape[1]] = mate["ops"]
+        fb.n_mc = np.where(o_al, mate["n_ops"], 0).astype(np.int16)
+        parts.append(fb)
+
+    # interleave rows: template i -> rows 2i (R1), 2i+1 (R2)
+    order = np.empty(2 * n, np.int64)
+    order[0::2] = np.arange(n)
+    order[1::2] = n + np.arange(n)
+    fb1, fb2 = parts
+    cat = R.concat([fb1, fb2])
+    out = cat.take(order)
+    _apply_aux(out, aux.take(idx) if aux is not None else None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Genomic binning store (BinIndexMap / BinningFragmentStorage analog)
+# ---------------------------------------------------------------------------
+
+def unclipped_5prime_global(fb: FragmentBatch, contig_offsets: np.ndarray
+                            ) -> np.ndarray:
+    """Global unclipped-5' anchor position per row (dedup/binning key;
+    reference FragmentIndexAnchor).  -1 for unmapped rows."""
+    mapped = (~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)) & (fb.ref_id >= 0)
+    gpos = np.where(mapped,
+                    contig_offsets[np.maximum(fb.ref_id, 0)] + fb.pos, -1)
+    lead, tail = R.clip_spans(fb.cigar_ops, fb.n_cigar)
+    span = R.ref_span(fb.cigar_ops, fb.n_cigar.astype(np.int64)).astype(np.int64)
+    rev = (fb.flag & sam.FLAG_REVERSE).astype(bool)
+    fwd_anchor = gpos - lead
+    rev_anchor = gpos + span - 1 + tail
+    return np.where(mapped, np.where(rev, rev_anchor, fwd_anchor), -1)
+
+
+def template_bin_ids(fb: FragmentBatch, contig_offsets: np.ndarray,
+                     bin_bp: int, n_bins: int) -> np.ndarray:
+    """Per-row genomic bin: whole templates route to the bin of their
+    smallest mapped unclipped-5' anchor; all-unmapped templates get bin
+    n_bins (the trailing unaligned bin)."""
+    anchor = unclipped_5prime_global(fb, contig_offsets)
+    paired = (fb.flag & sam.FLAG_PAIRED).astype(bool)
+    big = np.iinfo(np.int64).max
+    a = np.where(anchor >= 0, anchor, big)
+    tmin = a.copy()
+    if paired.any():
+        # rows interleave R1,R2 per template
+        pair_min = np.minimum(a[0::2], a[1::2])
+        tmin = np.repeat(pair_min, 2)
+    bin_id = np.minimum(np.maximum(tmin, 0) // bin_bp, n_bins - 1)
+    return np.where(tmin == big, n_bins, bin_id).astype(np.int64)
+
+
+class BinnedFragmentStore:
+    """Append-only per-bin chunk files of FragmentBatch columns.
+
+    The out-of-core half of BinningFragmentStorage: each add() routes a
+    batch's rows to genomic bins and appends one .npz chunk per touched
+    bin, so peak RAM is one batch regardless of run size.
+    """
+
+    def __init__(self, bins_dir: str | Path, contig_offsets: np.ndarray,
+                 genome_bp: int, n_bins: int):
+        self.dir = Path(bins_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.offsets = contig_offsets
+        self.n_bins = max(1, n_bins)
+        self.bin_bp = max(1, -(-genome_bp // self.n_bins))
+        self._chunk = 0
+        self.records = 0
+
+    def add(self, fb: FragmentBatch) -> None:
+        if len(fb) == 0:
+            return
+        bins = template_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins)
+        self.records += len(fb)
+        for b in np.unique(bins):
+            rows = np.nonzero(bins == b)[0]
+            sub = fb.take(rows)
+            name = "unaligned" if b == self.n_bins else f"bin_{int(b):05d}"
+            d = self.dir / name
+            d.mkdir(exist_ok=True)
+            sub.save(d / f"chunk_{self._chunk:06d}.npz")
+        self._chunk += 1
+
+    def bin_dirs(self) -> list[Path]:
+        return sorted(p for p in self.dir.iterdir()
+                      if p.is_dir() and p.name.startswith("bin_"))
+
+    @staticmethod
+    def load_bin(bin_dir: Path) -> FragmentBatch:
+        chunks = sorted(bin_dir.glob("chunk_*.npz"))
+        return R.concat([FragmentBatch.load(c) for c in chunks])

@@ -107,47 +107,73 @@ def header_bytes(contigs, header_text: str | None = None,
     return out
 
 
-class _BaiBuilder:
-    """Accumulates (bin -> chunks) + 16kb linear index per reference
-    (reference BamIndexer.hh builds the same inline)."""
+def bai_bytes(n_refs: int, ref, pos, end, v0, v1) -> bytes:
+    """Vectorized .bai construction from per-record span columns.
 
-    def __init__(self, n_refs: int):
-        self.bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_refs)]
-        self.linear: list[dict[int, int]] = [dict() for _ in range(n_refs)]
-        self.unmapped = 0
+    Reference analog: include/bam/BamIndexer.hh (built inline with
+    serialization).  Callers pass records in file order; adjacent records
+    in the same (ref, bin) merge into one chunk, and the 16kb linear
+    index takes the min start voff per window with gap forward-fill.
+    """
+    import numpy as np
 
-    def add(self, ref_id, pos, end, bin_, voff_start, voff_end):
-        if ref_id < 0 or pos < 0:
-            self.unmapped += 1
-            return
-        chunks = self.bins[ref_id].setdefault(bin_, [])
-        if chunks and chunks[-1][1] == voff_start:
-            chunks[-1][1] = voff_end
+    mapped = (ref >= 0) & (pos >= 0)
+    r, p, e = ref[mapped], pos[mapped], end[mapped]
+    s0, s1 = v0[mapped], v1[mapped]
+    from ..build.records import reg2bin_vec
+    bins = reg2bin_vec(p, e) if len(p) else np.zeros(0, np.int64)
+
+    # chunk merging: stable sort by (ref, bin) keeping file order
+    order = np.lexsort((np.arange(len(r)), bins, r))
+    rs, bsrt, c0, c1 = r[order], bins[order], s0[order], s1[order]
+    if len(rs):
+        new_grp = np.empty(len(rs), bool)
+        new_grp[0] = True
+        new_grp[1:] = (rs[1:] != rs[:-1]) | (bsrt[1:] != bsrt[:-1])
+        new_chunk = new_grp | np.concatenate([[True], c0[1:] != c1[:-1]])
+        ci = np.nonzero(new_chunk)[0]
+        chunk_ref = rs[ci]
+        chunk_bin = bsrt[ci]
+        chunk_beg = c0[ci]
+        chunk_end = c1[np.concatenate([ci[1:], [len(rs)]]) - 1]
+    else:
+        chunk_ref = chunk_bin = chunk_beg = chunk_end = np.zeros(0, np.int64)
+
+    # linear index: min voff per 16kb window touched
+    out = [b"BAI\x01" + struct.pack("<i", n_refs)]
+    w0 = p >> 14
+    w1 = np.maximum(e - 1, p) >> 14
+    max_d = int((w1 - w0).max()) if len(p) else 0
+    for rid in range(n_refs):
+        rm = r == rid
+        cm = chunk_ref == rid
+        ub = np.unique(chunk_bin[cm])
+        out.append(struct.pack("<i", len(ub)))
+        for b in ub:
+            sel = cm & (chunk_bin == b)
+            n_ch = int(sel.sum())
+            out.append(struct.pack("<Ii", int(b), n_ch))
+            pair = np.empty((n_ch, 2), "<u8")
+            pair[:, 0] = chunk_beg[sel]
+            pair[:, 1] = chunk_end[sel]
+            out.append(pair.tobytes())
+        if rm.any():
+            n_intv = int(w1[rm].max()) + 1
+            lin = np.full(n_intv, np.iinfo(np.int64).max, np.int64)
+            for d in range(max_d + 1):
+                m = rm & (w0 + d <= w1)
+                if m.any():
+                    np.minimum.at(lin, (w0[m] + d), s0[m])
+            # forward-fill gaps with the previous value (0 before first)
+            has = lin != np.iinfo(np.int64).max
+            idx = np.where(has, np.arange(n_intv), -1)
+            idx = np.maximum.accumulate(idx)
+            lin = np.where(idx >= 0, lin[np.maximum(idx, 0)], 0)
+            out.append(struct.pack("<i", n_intv))
+            out.append(lin.astype("<u8").tobytes())
         else:
-            chunks.append([voff_start, voff_end])
-        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
-            cur = self.linear[ref_id].get(w)
-            if cur is None or voff_start < cur:
-                self.linear[ref_id][w] = voff_start
-
-    def serialize(self) -> bytes:
-        out = b"BAI\x01" + struct.pack("<i", len(self.bins))
-        for ref_bins, ref_lin in zip(self.bins, self.linear):
-            out += struct.pack("<i", len(ref_bins))
-            for bin_id in sorted(ref_bins):
-                chunks = ref_bins[bin_id]
-                out += struct.pack("<Ii", bin_id, len(chunks))
-                for beg, end in chunks:
-                    out += struct.pack("<QQ", beg, end)
-            n_intv = (max(ref_lin) + 1) if ref_lin else 0
-            out += struct.pack("<i", n_intv)
-            last = 0
-            for w in range(n_intv):
-                v = ref_lin.get(w)
-                if v is not None:
-                    last = v
-                out += struct.pack("<Q", last)
-        return out
+            out.append(struct.pack("<i", 0))
+    return b"".join(out)
 
 
 class BamWriter:
@@ -157,7 +183,9 @@ class BamWriter:
     (lib/build/Build.cpp:509-903 serializes bin by bin into per-sample
     BGZF streams): callers feed coordinate-ordered record batches; full
     BGZF blocks compress and hit disk as they fill, .bai virtual offsets
-    and the md5 accumulate along the way.
+    and the md5 accumulate along the way.  The hot path is
+    `write_fragment_batch` (columnar, fully vectorized); the SamRecord
+    `write` path remains for tests/small outputs.
     """
 
     def __init__(self, path: str | Path, contigs, write_index: bool = True,
@@ -174,12 +202,15 @@ class BamWriter:
         self._u_base = 0                    # uncompressed offset of pending[0]
         self._comp_starts: list[int] = []   # compressed start per BGZF block
         self._c_off = 0
-        self._spans: list[tuple[int, int, int, int, int]] = []
+        # span columns: (ref_id, pos, end, u0, u1) as parallel arrays
+        self._spans: list[tuple] = []
         self._f = open(self.path, "wb")
         self._md5 = hashlib.md5()
         self._closed = False
 
     def write(self, records: list[sam.SamRecord]) -> None:
+        import numpy as np
+        cols = ([], [], [], [], [])
         for rec in records:
             u0 = self._u_base + len(self._pending)
             self._pending += record_bytes(rec, self.ref_ids)
@@ -188,8 +219,28 @@ class BamWriter:
                 pos = rec.pos - 1
                 cig = parse_cigar(rec.cigar) if rec.cigar != "*" else []
                 end = pos + max(1, _ref_len_from_cigar(cig))
-                self._spans.append((ref_id, pos, end, u0,
-                                    self._u_base + len(self._pending)))
+                for c, v in zip(cols, (ref_id, pos, end, u0,
+                                       self._u_base + len(self._pending))):
+                    c.append(v)
+        if self.write_index and cols[0]:
+            self._spans.append(tuple(np.asarray(c, np.int64) for c in cols))
+        self._flush_full_blocks()
+
+    def write_fragment_batch(self, fb) -> None:
+        """Vectorized columnar write (build/records.to_bam_bytes)."""
+        import numpy as np
+
+        from ..build.records import to_bam_bytes
+        data, u0, u1, ref_end = to_bam_bytes(fb)
+        if not data:
+            return
+        base = self._u_base + len(self._pending)
+        self._pending += data
+        if self.write_index:
+            pos = np.where(fb.ref_id >= 0, fb.pos, -1).astype(np.int64)
+            self._spans.append((fb.ref_id.astype(np.int64), pos,
+                                ref_end.astype(np.int64),
+                                u0 + base, u1 + base))
         self._flush_full_blocks()
 
     def _flush_full_blocks(self) -> None:
@@ -228,18 +279,26 @@ class BamWriter:
             Path(str(self.path) + ".md5").write_text(
                 f"{self._md5.hexdigest()}  {self.path.name}\n")
         if self.write_index:
+            import numpy as np
+            if self._spans:
+                ref, pos, end, u0, u1 = (
+                    np.concatenate([s[i] for s in self._spans])
+                    for i in range(5))
+            else:
+                ref = pos = end = u0 = u1 = np.zeros(0, np.int64)
             bs = bgzf.BLOCK_SIZE
+            comp = np.asarray(self._comp_starts or [0], np.int64)
 
-            def voff(u: int) -> int:
+            def voff(u: np.ndarray) -> np.ndarray:
                 b = u // bs
-                if b >= len(self._comp_starts):   # exactly at stream end
-                    return self._c_off << 16
-                return (self._comp_starts[b] << 16) | (u - b * bs)
+                over = b >= len(self._comp_starts)
+                starts = comp[np.minimum(b, len(comp) - 1)]
+                return np.where(over, self._c_off << 16,
+                                (starts << 16) | (u - b * bs))
 
-            bai = _BaiBuilder(len(self.contigs))
-            for ref_id, pos, end, u0, u1 in self._spans:
-                bai.add(ref_id, pos, end, reg2bin(pos, end), voff(u0), voff(u1))
-            Path(str(self.path) + ".bai").write_bytes(bai.serialize())
+            data = bai_bytes(len(self.contigs), ref, pos, end,
+                             voff(u0), voff(u1))
+            Path(str(self.path) + ".bai").write_bytes(data)
 
     def __enter__(self) -> "BamWriter":
         return self

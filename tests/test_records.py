@@ -1,0 +1,264 @@
+"""Columnar FragmentBatch path vs the legacy per-record path.
+
+The vectorized output pipeline (build/records.py + build/storage.py) must
+produce byte-identical BAM records and line-identical SAM to the original
+SamRecord-based code for every alignment outcome class (proper pair,
+shadow, half-mapped, disjoined, unmapped, clipped, gapped)."""
+
+import numpy as np
+import pytest
+
+from isaac_aligner_tpu import dna
+from isaac_aligner_tpu.aligner import Aligner, PairedAligner, _pair_records
+from isaac_aligner_tpu.build import records as R
+from isaac_aligner_tpu.build import storage as S
+from isaac_aligner_tpu.build.records import FragmentBatch
+from isaac_aligner_tpu.index.build import build_index
+from isaac_aligner_tpu.io import sam
+from isaac_aligner_tpu.io.bam import BamWriter, record_bytes, reg2bin
+from isaac_aligner_tpu.io.fasta import genome_from_sequences
+from isaac_aligner_tpu.io.fastq import batch_from_reads
+
+READ_LEN = 64
+GENOME_LEN = 20000
+
+
+@pytest.fixture(scope="module")
+def ref():
+    rng = np.random.default_rng(21)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, GENOME_LEN))
+    genome = genome_from_sequences([("chrR", seq[:12000]),
+                                    ("chrS", seq[12000:])])
+    index = build_index(genome, seed_len=32)
+    return genome, seq, index
+
+
+def _mixed_pairs(seq, rng, n=24):
+    names, r1s, r2s = [], [], []
+    for i in range(n):
+        p = int(rng.integers(0, 10000))
+        tlen = int(rng.integers(200, 400))
+        frag = seq[p : p + tlen]
+        r1 = frag[:READ_LEN]
+        r2 = dna.decode(dna.revcomp(dna.encode(frag[-READ_LEN:])))
+        if i % 6 == 3:      # scramble r1 -> shadow/rescue path
+            r1 = "".join("A" if j % 9 == 4 and c != "A" else c
+                         for j, c in enumerate(r1))
+        if i % 6 == 5:      # junk r1 -> half-mapped
+            r1 = "GC" * (READ_LEN // 2)
+        names.append(f"q{i}")
+        r1s.append(r1)
+        r2s.append(r2)
+    return batch_from_reads(names, r1s), batch_from_reads(names, r2s)
+
+
+@pytest.fixture(scope="module")
+def paired_case(ref):
+    genome, seq, index = ref
+    aligner = PairedAligner.create(index, read_len=READ_LEN)
+    rng = np.random.default_rng(3)
+    t1, t2 = _mixed_pairs(seq, rng, 256)
+    aligner.learn_tls([(t1, t2)])
+    b1, b2 = _mixed_pairs(seq, np.random.default_rng(5))
+    res = aligner.align_batch_arrays(b1, b2)
+    legacy = aligner._records_from_res(b1, b2, res)
+    fb = S.from_paired_result(genome, b1, b2, res,
+                              mapq_cap=aligner.cfg.mapq_cap)
+    return genome, legacy, fb
+
+
+@pytest.fixture(scope="module")
+def single_case(ref):
+    genome, seq, index = ref
+    aligner = Aligner.create(index, read_len=READ_LEN)
+    rng = np.random.default_rng(11)
+    names, reads = [], []
+    for i in range(16):
+        p = int(rng.integers(0, 10000))
+        r = seq[p : p + READ_LEN]
+        if i % 5 == 4:
+            r = "TG" * (READ_LEN // 2)   # unmapped
+        if i % 2:
+            r = dna.decode(dna.revcomp(dna.encode(r)))
+        names.append(f"s{i}")
+        reads.append(r)
+    batch = batch_from_reads(names, reads)
+    res = aligner.align_batch_arrays(batch)
+    legacy = aligner._records_from_res(batch, res)
+    fb = S.from_single_result(genome, batch, res)
+    return genome, legacy, fb
+
+
+def test_paired_sam_identical(paired_case):
+    genome, legacy, fb = paired_case
+    ours = R.to_sam_records(fb, genome.contigs)
+    assert len(ours) == len(legacy)
+    for o, l in zip(ours, legacy):
+        assert o.to_line() == l.to_line()
+
+
+def test_single_sam_identical(single_case):
+    genome, legacy, fb = single_case
+    ours = R.to_sam_records(fb, genome.contigs)
+    assert [o.to_line() for o in ours] == [l.to_line() for l in legacy]
+
+
+def test_paired_bam_bytes_identical(paired_case):
+    genome, legacy, fb = paired_case
+    ref_ids = {c.name: c.index for c in genome.contigs}
+    want = b"".join(record_bytes(r, ref_ids) for r in legacy)
+    got, u0, u1, _ = R.to_bam_bytes(fb)
+    assert got == want
+    assert u0[0] == 0 and u1[-1] == len(got)
+    assert (u0[1:] == u1[:-1]).all()
+
+
+def test_single_bam_bytes_identical(single_case):
+    genome, legacy, fb = single_case
+    ref_ids = {c.name: c.index for c in genome.contigs}
+    want = b"".join(record_bytes(r, ref_ids) for r in legacy)
+    got, _, _, _ = R.to_bam_bytes(fb)
+    assert got == want
+
+
+def test_bam_writer_columnar_identical(paired_case, tmp_path):
+    genome, legacy, fb = paired_case
+    with BamWriter(tmp_path / "a.bam", genome.contigs, write_md5=False) as w:
+        w.write(legacy)
+    with BamWriter(tmp_path / "b.bam", genome.contigs, write_md5=False) as w:
+        w.write_fragment_batch(fb)
+    assert (tmp_path / "a.bam").read_bytes() == (tmp_path / "b.bam").read_bytes()
+    assert (tmp_path / "a.bam.bai").read_bytes() == \
+        (tmp_path / "b.bam.bai").read_bytes()
+
+
+def test_reg2bin_vec_matches_scalar():
+    rng = np.random.default_rng(0)
+    beg = rng.integers(0, 1 << 28, 500)
+    end = beg + rng.integers(1, 40000, 500)
+    vec = R.reg2bin_vec(beg, end)
+    for b, e, v in zip(beg, end, vec):
+        assert reg2bin(int(b), int(e)) == v
+
+
+def test_save_load_roundtrip(paired_case, tmp_path):
+    genome, _, fb = paired_case
+    fb.save(tmp_path / "x.npz")
+    back = FragmentBatch.load(tmp_path / "x.npz")
+    a = R.to_bam_bytes(fb)[0]
+    b = R.to_bam_bytes(back)[0]
+    assert a == b
+    assert back.rg_names == fb.rg_names
+
+
+def test_concat_take_roundtrip(paired_case):
+    genome, _, fb = paired_case
+    half = len(fb) // 2
+    a = fb.take(np.arange(half))
+    b = fb.take(np.arange(half, len(fb)))
+    cat = R.concat([a, b])
+    assert R.to_bam_bytes(cat)[0] == R.to_bam_bytes(fb)[0]
+
+
+def test_binned_store_partition(paired_case, tmp_path):
+    genome, _, fb = paired_case
+    store = S.BinnedFragmentStore(tmp_path / "bins", genome.contig_offsets,
+                                  genome.total_length, n_bins=4)
+    store.add(fb)
+    total = 0
+    seen_names = set()
+    for d in store.bin_dirs():
+        sub = S.BinnedFragmentStore.load_bin(d)
+        total += len(sub)
+        # templates must be whole within a bin (pairs stay together)
+        names = sub.names()
+        assert len(names) % 2 == 0
+        seen_names.update(names)
+        for i in range(0, len(names), 2):
+            assert names[i] == names[i + 1]
+    unal = tmp_path / "bins" / "unaligned"
+    if unal.is_dir():
+        sub = S.BinnedFragmentStore.load_bin(unal)
+        total += len(sub)
+    assert total == len(fb)
+
+
+def _dup_pairs(seq, rng):
+    """Pairs where several templates are exact-position duplicates with
+    distinct quality sums (deterministic dedup winners)."""
+    names, r1s, r2s, q1s, q2s = [], [], [], [], []
+    k = 0
+    for grp in range(6):
+        p = int(rng.integers(0, 8000))
+        tlen = 300
+        frag = seq[p : p + tlen]
+        n_copies = 1 + grp % 3
+        for c in range(n_copies):
+            r1 = frag[:READ_LEN]
+            r2 = dna.decode(dna.revcomp(dna.encode(frag[-READ_LEN:])))
+            q = chr(33 + 40 - 3 * c) * READ_LEN
+            names.append(f"d{k:03d}")
+            r1s.append(r1)
+            r2s.append(r2)
+            q1s.append(q)
+            q2s.append(q)
+            k += 1
+    return (batch_from_reads(names, r1s, q1s),
+            batch_from_reads(names, r2s, q2s))
+
+
+@pytest.fixture(scope="module")
+def dup_case(ref):
+    genome, seq, index = ref
+    aligner = PairedAligner.create(index, read_len=READ_LEN)
+    rng = np.random.default_rng(3)
+    t1, t2 = _mixed_pairs(seq, rng, 256)
+    aligner.learn_tls([(t1, t2)])
+    b1, b2 = _dup_pairs(seq, np.random.default_rng(17))
+    res = aligner.align_batch_arrays(b1, b2)
+    legacy = aligner._records_from_res(b1, b2, res)
+    fb = S.from_paired_result(genome, b1, b2, res,
+                              mapq_cap=aligner.cfg.mapq_cap)
+    return genome, legacy, fb
+
+
+def test_mark_duplicates_batch_matches_legacy(dup_case):
+    from isaac_aligner_tpu.build.dedup import (mark_duplicates,
+                                               mark_duplicates_batch)
+    genome, legacy, fb = dup_case
+    legacy = mark_duplicates([sam.SamRecord.from_line(r.to_line())
+                              for r in legacy])
+    fb = mark_duplicates_batch(fb, genome.contig_offsets)
+    want = {(r.qname, r.flag & sam.FLAG_READ2): bool(r.flag & sam.FLAG_DUPLICATE)
+            for r in legacy}
+    names = fb.names()
+    n_dups = 0
+    for i in range(len(fb)):
+        k = (names[i], int(fb.flag[i]) & sam.FLAG_READ2)
+        got = bool(fb.flag[i] & sam.FLAG_DUPLICATE)
+        assert got == want[k], (k, got)
+        n_dups += got
+    assert n_dups > 0  # the fixture must actually contain duplicates
+
+
+def test_coordinate_sort_order_matches_legacy(paired_case):
+    from isaac_aligner_tpu.build.dedup import (coordinate_sort,
+                                               coordinate_sort_order)
+    genome, legacy, fb = paired_case
+    legacy_sorted = coordinate_sort(list(legacy), genome.contigs)
+    order = coordinate_sort_order(fb)
+    ours = R.to_sam_records(fb.take(order), genome.contigs)
+    assert [r.to_line() for r in ours] == [r.to_line() for r in legacy_sorted]
+
+
+def test_unclipped_5prime_matches_record_version(paired_case):
+    genome, legacy, fb = paired_case
+    from isaac_aligner_tpu.build.dedup import unclipped_five_prime
+    got = S.unclipped_5prime_global(fb, genome.contig_offsets)
+    offs = {c.name: c.offset for c in genome.contigs}
+    for i, rec in enumerate(legacy):
+        if rec.is_mapped:
+            want = offs[rec.rname] + unclipped_five_prime(rec) - 1  # 1-based
+            assert got[i] == want, (i, rec.to_line())
+        else:
+            assert got[i] == -1
