@@ -115,22 +115,25 @@ class Aligner:
         """Run the device pipeline; returns host numpy result arrays."""
         return self._finish(self._dispatch(batch), gapped=gapped)
 
-    def align_to_sam_many(self, batches, phred_offset: int = 33):
+    def align_results_many(self, batches, gapped: bool = True):
         """Pipelined multi-batch alignment: batch i+1 is dispatched to the
         device BEFORE batch i's results are fetched and host-polished —
         the TPU version of the reference's load/compute/flush slot overlap
-        (SelectMatchesTransition.cpp:295-357).  Yields per-batch record
-        lists in order."""
+        (SelectMatchesTransition.cpp:295-357).  Yields (batch, result
+        arrays) in order."""
         pending = None
         for batch in batches:
             nxt = self._dispatch(batch)
             if pending is not None:
-                res = self._finish(pending)
-                yield self._records_from_res(pending[4], res, phred_offset)
+                yield pending[4], self._finish(pending, gapped=gapped)
             pending = nxt
         if pending is not None:
-            res = self._finish(pending)
-            yield self._records_from_res(pending[4], res, phred_offset)
+            yield pending[4], self._finish(pending, gapped=gapped)
+
+    def align_to_sam_many(self, batches, phred_offset: int = 33):
+        """Pipelined alignment yielding per-batch SamRecord lists."""
+        for batch, res in self.align_results_many(batches):
+            yield self._records_from_res(batch, res, phred_offset)
 
     def align_to_sam(self, batch: ReadBatch, phred_offset: int = 33) -> list[sam.SamRecord]:
         res = self.align_batch_arrays(batch)
@@ -289,22 +292,24 @@ class PairedAligner:
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
         return self._finish(self._dispatch(b1, b2))
 
-    def align_to_sam_many(self, batches, phred_offset: int = 33):
+    def align_results_many(self, batches):
         """Pipelined paired alignment over (b1, b2) batches — dispatch of
         batch i+1 overlaps batch i's fetch + host polish (the reference's
-        3-slot tile pipeline, SelectMatchesTransition.cpp:295-357)."""
+        3-slot tile pipeline, SelectMatchesTransition.cpp:295-357).
+        Yields ((b1, b2), result arrays) in order."""
         pending = None
         for b1, b2 in batches:
             nxt = self._dispatch(b1, b2)
             if pending is not None:
-                res = self._finish(pending)
-                p1, p2 = pending[4]
-                yield self._records_from_res(p1, p2, res, phred_offset)
+                yield pending[4], self._finish(pending)
             pending = nxt
         if pending is not None:
-            res = self._finish(pending)
-            p1, p2 = pending[4]
-            yield self._records_from_res(p1, p2, res, phred_offset)
+            yield pending[4], self._finish(pending)
+
+    def align_to_sam_many(self, batches, phred_offset: int = 33):
+        """Pipelined paired alignment yielding per-batch SamRecord lists."""
+        for (b1, b2), res in self.align_results_many(batches):
+            yield self._records_from_res(b1, b2, res, phred_offset)
 
     def _finish(self, pending) -> dict[str, np.ndarray]:
         out, m1, m2, trims, (b1, b2) = pending

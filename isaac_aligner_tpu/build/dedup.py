@@ -129,90 +129,53 @@ def coordinate_sort_order(fb) -> "np.ndarray":
 
 
 def mark_duplicates_batch(fb, contig_offsets, keep: bool = True):
-    """Vectorized duplicate marking on a FragmentBatch.
+    """Vectorized per-bin duplicate marking on a FragmentBatch.
 
-    Same grouping/ranking as mark_duplicates: templates keyed by
-    (class, library, canonical anchor pair); the highest
-    (qual sum, len-edit, score) rank wins, the rest get FLAG_DUPLICATE.
-    Returns the batch (rows dropped when keep=False).
+    Reference semantics (DuplicateFragmentIndexFiltering.hh:43-180):
+    each RECORD groups by (class, library, own anchor, mate anchor) using
+    the dedup columns precomputed at conversion time
+    (storage.finalize_dup_columns); the highest template-level
+    duplicateClusterRank wins its group, every other record gets
+    FLAG_DUPLICATE.  Because both ends of a template carry the same rank
+    and mirrored anchors, per-bin decisions agree across bins even when
+    a pair's two records land in different bins.  Returns the batch
+    (rows dropped when keep=False).
     """
     import numpy as np
 
-    from .storage import unclipped_5prime_global
     n = len(fb)
     if n == 0:
         return fb
-    tid = fb.template_ids()
-    order = np.argsort(tid, kind="stable")
-    ts = tid[order]
-    starts = np.concatenate([[0], 1 + np.nonzero(ts[1:] != ts[:-1])[0]])
-    n_tpl = len(starts)
+    paired = (fb.flag & sam.FLAG_PAIRED).astype(bool)
+    self_mapped = ~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)
+    mate_mapped = ~(fb.flag & sam.FLAG_MATE_UNMAPPED).astype(bool)
+    # 0=pe, 1=half (mapped end, shadow mate), 2=shadow, 3=se, -1=skip
+    cls = np.full(n, -1, np.int64)
+    cls[paired & self_mapped & mate_mapped] = 0
+    cls[paired & self_mapped & ~mate_mapped] = 1
+    cls[paired & ~self_mapped & mate_mapped] = 2
+    cls[~paired & self_mapped] = 3
 
-    mapped = (~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)) & (fb.ref_id >= 0)
-    anchor = unclipped_5prime_global(fb, contig_offsets)
-    rev = (fb.flag & sam.FLAG_REVERSE).astype(bool)
-    # composite per-row anchor key (contig, local anchor, strand); local
-    # (not global) anchors so clip-extended anchors past a contig boundary
-    # never collide with a neighboring contig's positions
-    local = anchor - contig_offsets[np.maximum(fb.ref_id, 0)]
-    akey = np.where(mapped,
-                    (fb.ref_id.astype(np.int64) << 36)
-                    | ((local + (1 << 20)) << 1) | rev,
-                    np.iinfo(np.int64).max)
-
-    # per-row rank components
-    L = fb.qual.shape[1]
-    in_read = np.arange(L)[None, :] < fb.length[:, None]
-    qsum = (fb.qual.astype(np.int64) * in_read).sum(axis=1)
-    edit = np.maximum(fb.nm, 0).astype(np.int64)
-    score = fb.mapq.astype(np.int64)
-    tlen_ = fb.length.astype(np.int64)
-
-    # per-template reductions (templates have 1..2 rows)
-    def seg_sum(v):
-        return np.add.reduceat(v[order], starts)
-
-    t_qsum = seg_sum(qsum)
-    t_len = seg_sum(tlen_)
-    t_edit = seg_sum(edit)
-    t_score = seg_sum(score)
-    t_mapped = seg_sum(mapped.astype(np.int64))
-    t_paired = (fb.flag[order[starts]] & sam.FLAG_PAIRED).astype(bool)
-    t_lib = fb.rg[order[starts]].astype(np.int64)
-    rank = ((t_qsum << 32)
-            | (np.maximum(t_len - t_edit, 0) << 16)
-            | np.minimum(t_score, 0xFFFF))
-
-    # canonical anchor pair per template (1-row templates: hi = sentinel)
-    counts = np.diff(np.concatenate([starts, [n]]))
-    first = akey[order[starts]]
-    nxt = akey[order[np.minimum(starts + 1, n - 1)]]
-    second = np.where(counts == 2, nxt, np.iinfo(np.int64).max)
-    a_lo = np.minimum(first, second)
-    a_hi = np.maximum(first, second)
-
-    # class codes: 0=pe (2 mapped), 1=half (paired, 1 mapped), 2=se
-    cls = np.where(t_mapped == 2, 0, np.where(t_paired, 1, 2))
-
-    dup_tpl = np.zeros(n_tpl, bool)
-    consider = t_mapped > 0
-    ci = np.nonzero(consider)[0]
+    lib = fb.rg.astype(np.int64)
+    dup = np.zeros(n, bool)
+    ci = np.nonzero(cls >= 0)[0]
     if ci.size:
-        g_order = ci[np.lexsort((-rank[ci], a_hi[ci], a_lo[ci],
-                                 t_lib[ci], cls[ci]))]
+        g_order = ci[np.lexsort((-fb.dup_tie[ci], -fb.dup_rank[ci],
+                                 fb.anchor_mate[ci], fb.anchor_self[ci],
+                                 lib[ci], cls[ci]))]
         same = np.zeros(len(g_order), bool)
         if len(g_order) > 1:
             p, q = g_order[1:], g_order[:-1]
-            same[1:] = ((cls[p] == cls[q]) & (t_lib[p] == t_lib[q])
-                        & (a_lo[p] == a_lo[q]) & (a_hi[p] == a_hi[q]))
-        dup_tpl[g_order[same]] = True
+            same[1:] = ((cls[p] == cls[q]) & (lib[p] == lib[q])
+                        & (fb.anchor_self[p] == fb.anchor_self[q])
+                        & (fb.anchor_mate[p] == fb.anchor_mate[q]))
+        dup[g_order[same]] = True
 
-    row_dup = dup_tpl[np.searchsorted(ts[starts], tid)]
-    fb.flag = np.where(row_dup, fb.flag | sam.FLAG_DUPLICATE,
+    fb.flag = np.where(dup, fb.flag | sam.FLAG_DUPLICATE,
                        fb.flag).astype(np.uint16)
     if keep:
         return fb
-    return fb.take(np.nonzero(~row_dup)[0])
+    return fb.take(np.nonzero(~dup)[0])
 
 
 def coordinate_sort(records: list[sam.SamRecord], contigs) -> list[sam.SamRecord]:

@@ -261,3 +261,70 @@ def _patch_mates(records: list[sam.SamRecord]) -> None:
         left, right = (a, b) if a.pos <= b.pos else (b, a)
         span = (right.pos - 1 + _ref_len(right.cigar)) - (left.pos - 1)
         left.tlen, right.tlen = span, -span
+
+
+# ---------------------------------------------------------------------------
+# Columnar bridge (production path): realign only the sparse candidate set
+# ---------------------------------------------------------------------------
+
+def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None
+                  ) -> int:
+    """Gap-realign a FragmentBatch in place.
+
+    Vectorized pre-filter picks the sparse work set — gap donor rows
+    (CIGARs containing I/D) and rows whose reference span overlaps a
+    known gap — and only those templates cross the SamRecord bridge into
+    `realign_records`.  `scope_rows` restricts gap sharing (per-sample /
+    per-project --realign-gaps scopes).  Returns #records changed.
+    """
+    from ..io import sam as sam_mod
+    from . import records as R
+    from .records import to_sam_records, update_from_sam_records
+
+    n = len(fb)
+    if n == 0:
+        return 0
+    rows = np.arange(n) if scope_rows is None else np.asarray(scope_rows)
+    sub_mask = np.zeros(n, bool)
+    sub_mask[rows] = True
+    mapped = sub_mask & (~(fb.flag & sam_mod.FLAG_UNMAPPED).astype(bool)) \
+        & (fb.ref_id >= 0) & (fb.n_cigar > 0)
+
+    # donor rows: any I/D op inside the cigar
+    c = fb.cigar_ops.shape[1]
+    valid = np.arange(c)[None, :] < fb.n_cigar[:, None]
+    opc = (fb.cigar_ops & 0xF).astype(np.int32)
+    has_gap = (((opc == 1) | (opc == 2)) & valid).any(axis=1) & mapped
+    if not has_gap.any():
+        return 0
+    donor_rows = np.nonzero(has_gap)[0]
+    gaps = collect_gaps(to_sam_records(fb.take(donor_rows), genome.contigs))
+    if not gaps:
+        return 0
+
+    # candidate rows: a known gap strictly inside (start, start+ref_span)
+    span = R.ref_span(fb.cigar_ops, fb.n_cigar.astype(np.int64))
+    cand = np.zeros(n, bool)
+    for ci, contig in enumerate(genome.contigs):
+        if contig.name not in gaps:
+            continue
+        gp = np.array([g.pos for g in gaps[contig.name]], np.int64)
+        on = mapped & (fb.ref_id == ci)
+        if not on.any():
+            continue
+        start = fb.pos[on].astype(np.int64)
+        lo = np.searchsorted(gp, start, side="right")
+        hi = np.searchsorted(gp, start + span[on], side="left")
+        cand[np.nonzero(on)[0][hi > lo]] = True
+    if not cand.any():
+        return 0
+
+    # pull whole templates (mates needed for PNEXT/TLEN patching)
+    tid = fb.template_ids()
+    cand_tids = np.unique(tid[cand])
+    take = np.nonzero(np.isin(tid, cand_tids) & sub_mask)[0]
+    recs = to_sam_records(fb.take(take), genome.contigs)
+    changed = realign_records(recs, genome, gaps)
+    if changed:
+        update_from_sam_records(fb, take, recs, genome.contigs)
+    return changed

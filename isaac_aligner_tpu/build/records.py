@@ -72,6 +72,16 @@ class FragmentBatch:
     # mate cigar (MC tag); n_mc == 0 -> absent
     mc_ops: np.ndarray       # uint32 [N, C]
     n_mc: np.ndarray         # int16 [N]
+    # duplicate-index columns, precomputed at conversion time (reference
+    # stores them in the packed fragment record: FragmentIndex.hh:36-186
+    # anchors + io/Fragment.hh:398 duplicateClusterRank) so per-bin dedup
+    # never needs the mate record:
+    #   anchor_self/mate: (unclipped-5' global pos << 1 | strand), or the
+    #   bases-hash pseudo anchor (bit 62 set) for unmapped ends; -1 = none
+    anchor_self: np.ndarray = None   # int64 [N]
+    anchor_mate: np.ndarray = None   # int64 [N]
+    dup_rank: np.ndarray = None      # int64 [N] template-level rank
+    dup_tie: np.ndarray = None       # int64 [N] deterministic tiebreak
     # rare/ragged extras
     bc: np.ndarray | None = None   # uint8 [N, BW] barcode ascii, 0-padded
     oc: np.ndarray | None = None   # object [N] original-cigar strings
@@ -103,6 +113,9 @@ class FragmentBatch:
             zx=np.full(n, _ABSENT, np.int32), zy=np.full(n, _ABSENT, np.int32),
             rg=np.full(n, _ABSENT, np.int32),
             mc_ops=z(np.uint32, n, max_cigar), n_mc=z(np.int16),
+            anchor_self=np.full(n, -1, np.int64),
+            anchor_mate=np.full(n, -1, np.int64),
+            dup_rank=z(np.int64), dup_tie=z(np.int64),
             rg_names=tuple(rg_names))
 
     def take(self, idx: np.ndarray) -> "FragmentBatch":
@@ -153,7 +166,7 @@ def concat(batches: list[FragmentBatch]) -> FragmentBatch:
     if len(batches) == 1:
         return batches[0]
     nw = max(b.name_bytes.shape[1] for b in batches)
-    cw = max(b.cigar_ops.shape[1] for b in batches)
+    cw = max(max(b.cigar_ops.shape[1], b.mc_ops.shape[1]) for b in batches)
     lw = max(b.seq.shape[1] for b in batches)
     bw = max((b.bc.shape[1] for b in batches if b.bc is not None), default=0)
     rg_names: list[str] = []
@@ -501,6 +514,23 @@ def to_bam_bytes(fb: FragmentBatch) -> tuple[bytes, np.ndarray, np.ndarray,
     off = put_int(b"ZY", fb.zy, has_zy, off)
 
     return out.tobytes(), u_start, u_start + rec, ref_end
+
+
+def apply_tag_exclusions(fb: FragmentBatch, tags) -> FragmentBatch:
+    """Blank excluded optional tags (reference --bam-exclude-tags,
+    manual.md:274).  Mutates and returns fb."""
+    for tag, col in (("AS", fb.as_), ("NM", fb.nm), ("SM", fb.sm),
+                     ("MQ", fb.mq), ("ZX", fb.zx), ("ZY", fb.zy)):
+        if tag in tags:
+            col[:] = _ABSENT
+    if "BC" in tags:
+        fb.bc = None
+    if "OC" in tags:
+        fb.oc = None
+    if "RG" in tags:
+        fb.rg_names = ()
+        fb.rg[:] = _ABSENT
+    return fb
 
 
 # ---------------------------------------------------------------------------

@@ -131,6 +131,7 @@ def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
     fb.nm = np.where(aligned, nm, _ABSENT).astype(np.int32)
     fb.sm = np.where(aligned, np.minimum(mapq, 255), _ABSENT).astype(np.int32)
     _apply_aux(fb, aux.take(idx) if aux is not None else None)
+    finalize_dup_columns(fb, genome.contig_offsets)
     return fb
 
 
@@ -244,12 +245,152 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
     cat = R.concat([fb1, fb2])
     out = cat.take(order)
     _apply_aux(out, aux.take(idx) if aux is not None else None)
+    finalize_dup_columns(out, genome.contig_offsets)
     return out
+
+
+def from_sam_records(recs: list[sam.SamRecord], contigs,
+                     rg_names: tuple[str, ...] = ()) -> FragmentBatch:
+    """SamRecord list -> FragmentBatch (compatibility path: multi-index
+    merging still produces record objects; everything downstream is
+    columnar)."""
+    from .. import dna
+    n = len(recs)
+    cid = {c.name: c.index for c in contigs}
+    read_len = max((len(r.seq) for r in recs if r.seq != "*"), default=1)
+    cigars = [r.cigar if r.cigar != "*" else None for r in recs]
+    lengths = np.array([len(r.seq) if r.seq != "*" else 0 for r in recs],
+                       np.int32)
+    ops, n_ops = R.cigars_to_ops(cigars, lengths)
+    fb = FragmentBatch.empty(n, read_len, max_cigar=ops.shape[1],
+                             rg_names=rg_names)
+    names = np.array([r.qname for r in recs], dtype="S")
+    fb.name_bytes = names.view(np.uint8).reshape(n, max(1, names.dtype.itemsize))
+    fb.name_len = np.char.str_len(names).astype(np.int32)
+    fb.cigar_ops, fb.length = ops, lengths
+    rg_lut = {nm_: i for i, nm_ in enumerate(rg_names)}
+    mcs = []
+    for i, r in enumerate(recs):
+        fb.flag[i] = r.flag
+        fb.ref_id[i] = cid.get(r.rname, -1)
+        fb.pos[i] = r.pos - 1 if r.rname != "*" else -1
+        fb.mapq[i] = r.mapq
+        fb.n_cigar[i] = n_ops[i] if (fb.ref_id[i] >= 0 and r.cigar != "*"
+                                     and not (r.flag & sam.FLAG_UNMAPPED)) else 0
+        if r.seq != "*":
+            fb.seq[i, : lengths[i]] = dna.encode(r.seq)
+            fb.qual[i, : lengths[i]] = \
+                np.frombuffer(r.qual.encode("ascii"), np.uint8) - 33
+        if r.rnext == "=":
+            fb.mate_ref_id[i] = fb.ref_id[i]
+        else:
+            fb.mate_ref_id[i] = cid.get(r.rnext, -1)
+        fb.mate_pos[i] = r.pnext - 1 if r.pnext else -1
+        fb.tlen[i] = r.tlen
+        for tag, col in (("NM", fb.nm), ("SM", fb.sm), ("AS", fb.as_),
+                         ("MQ", fb.mq), ("ZX", fb.zx), ("ZY", fb.zy)):
+            if tag in r.tags:
+                col[i] = int(r.tags[tag][1])
+        if "RG" in r.tags:
+            fb.rg[i] = rg_lut.get(str(r.tags["RG"][1]), -1)
+        mcs.append(str(r.tags["MC"][1]) if "MC" in r.tags else None)
+        if "OC" in r.tags:
+            if fb.oc is None:
+                fb.oc = np.full(n, None, dtype=object)
+            fb.oc[i] = str(r.tags["OC"][1])
+    mc_ops, n_mc = R.cigars_to_ops(mcs, np.zeros(n, np.int32))
+    fb.mc_ops = np.zeros((n, max(fb.cigar_ops.shape[1], mc_ops.shape[1])),
+                         np.uint32)
+    fb.mc_ops[:, : mc_ops.shape[1]] = mc_ops
+    fb.n_mc = np.where([m is not None for m in mcs], n_mc, 0).astype(np.int16)
+    offs = np.array([c.offset for c in contigs], np.int64)
+    finalize_dup_columns(fb, offs)
+    return fb
 
 
 # ---------------------------------------------------------------------------
 # Genomic binning store (BinIndexMap / BinningFragmentStorage analog)
 # ---------------------------------------------------------------------------
+
+_HASH_MASK = (1 << 61) - 1
+_HASH_FLAG = 1 << 62   # marks bases-hash pseudo anchors (unmapped ends)
+
+
+def _bases_hash(seq: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized polynomial hash of each row's first `length` codes
+    (reference FragmentIndexAnchor hashes shadow bases,
+    include/build/FragmentIndex.hh:36-90)."""
+    n, L = seq.shape
+    in_read = np.arange(L)[None, :] < lengths[:, None]
+    pows = np.empty(L, np.uint64)
+    p = np.uint64(1099511628211)
+    pows[0] = 1
+    with np.errstate(over="ignore"):       # uint64 wraparound is the point
+        for j in range(1, L):
+            pows[j] = pows[j - 1] * p
+    vals = (seq.astype(np.uint64) + 1) * in_read
+    h = (vals * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return (h & np.uint64(_HASH_MASK)).astype(np.int64)
+
+
+def _name_hash(name_bytes: np.ndarray, name_len: np.ndarray) -> np.ndarray:
+    """Deterministic per-template tiebreak from the read name."""
+    n, W = name_bytes.shape
+    used = np.arange(W)[None, :] < name_len[:, None]
+    pows = np.empty(W, np.uint64)
+    p = np.uint64(131)
+    pows[0] = 1
+    with np.errstate(over="ignore"):
+        for j in range(1, W):
+            pows[j] = pows[j - 1] * p
+    vals = (name_bytes.astype(np.uint64) + 1) * used
+    h = (vals * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return (h & np.uint64(_HASH_MASK)).astype(np.int64)
+
+
+def finalize_dup_columns(fb: FragmentBatch, contig_offsets: np.ndarray
+                         ) -> None:
+    """Precompute duplicate-index columns on a conversion-time batch
+    (rows still interleaved R1,R2 per template for paired data).
+
+    Reference analog: MatchSelector writes FragmentIndex records (own +
+    mate anchors) and a template-level duplicateClusterRank next to each
+    fragment (FragmentIndex.hh:36-186, io/Fragment.hh:398) so the Build
+    phase dedups each bin without ever consulting the mate's bin."""
+    n = len(fb)
+    if n == 0:
+        fb.anchor_self = np.zeros(0, np.int64)
+        fb.anchor_mate = np.zeros(0, np.int64)
+        fb.dup_rank = np.zeros(0, np.int64)
+        fb.dup_tie = np.zeros(0, np.int64)
+        return
+    paired = bool((fb.flag & sam.FLAG_PAIRED).any())
+    mapped = (~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)) & (fb.ref_id >= 0)
+    anchor = unclipped_5prime_global(fb, contig_offsets)
+    rev = (fb.flag & sam.FLAG_REVERSE).astype(bool)
+    pos_anchor = anchor * 2 + rev
+    fb.anchor_self = np.where(mapped, pos_anchor,
+                              _bases_hash(fb.seq, fb.length) | _HASH_FLAG)
+    if paired:
+        fb.anchor_mate = fb.anchor_self.reshape(-1, 2)[:, ::-1].reshape(-1)
+    else:
+        fb.anchor_mate = np.full(n, -1, np.int64)
+
+    # template-level rank (qual sum, length - edit, score), legacy _rank
+    L = fb.qual.shape[1]
+    in_read = np.arange(L)[None, :] < fb.length[:, None]
+    qsum = (fb.qual.astype(np.int64) * in_read).sum(axis=1)
+    edit = np.maximum(fb.nm, 0).astype(np.int64)
+    score = fb.mapq.astype(np.int64)
+    tlen_ = fb.length.astype(np.int64)
+    if paired:
+        def tsum(v):
+            return np.repeat(v.reshape(-1, 2).sum(axis=1), 2)
+        qsum, edit, score, tlen_ = map(tsum, (qsum, edit, score, tlen_))
+    fb.dup_rank = ((qsum << 32) | (np.maximum(tlen_ - edit, 0) << 16)
+                   | np.minimum(score, 0xFFFF))
+    fb.dup_tie = _name_hash(fb.name_bytes, fb.name_len)
+
 
 def unclipped_5prime_global(fb: FragmentBatch, contig_offsets: np.ndarray
                             ) -> np.ndarray:
@@ -266,22 +407,21 @@ def unclipped_5prime_global(fb: FragmentBatch, contig_offsets: np.ndarray
     return np.where(mapped, np.where(rev, rev_anchor, fwd_anchor), -1)
 
 
-def template_bin_ids(fb: FragmentBatch, contig_offsets: np.ndarray,
-                     bin_bp: int, n_bins: int) -> np.ndarray:
-    """Per-row genomic bin: whole templates route to the bin of their
-    smallest mapped unclipped-5' anchor; all-unmapped templates get bin
-    n_bins (the trailing unaligned bin)."""
-    anchor = unclipped_5prime_global(fb, contig_offsets)
-    paired = (fb.flag & sam.FLAG_PAIRED).astype(bool)
-    big = np.iinfo(np.int64).max
-    a = np.where(anchor >= 0, anchor, big)
-    tmin = a.copy()
-    if paired.any():
-        # rows interleave R1,R2 per template
-        pair_min = np.minimum(a[0::2], a[1::2])
-        tmin = np.repeat(pair_min, 2)
-    bin_id = np.minimum(np.maximum(tmin, 0) // bin_bp, n_bins - 1)
-    return np.where(tmin == big, n_bins, bin_id).astype(np.int64)
+def record_bin_ids(fb: FragmentBatch, contig_offsets: np.ndarray,
+                   bin_bp: int, n_bins: int) -> np.ndarray:
+    """Per-record genomic bin from the record's BAM placement position
+    (reference BinIndexMap: each fragment routes independently; shadows
+    ride their placement next to the mate).  Records without any position
+    get bin n_bins (the trailing unaligned bin).  Binning by placement —
+    not by unclipped anchor — keeps the concatenated per-bin outputs in
+    exact global coordinate order; the dedup columns each record carries
+    (anchor_self/mate + dup_rank) make per-bin duplicate marking exact
+    without the mate's bin."""
+    placed = fb.ref_id >= 0
+    gpos = np.where(placed,
+                    contig_offsets[np.maximum(fb.ref_id, 0)] + fb.pos, -1)
+    bin_id = np.minimum(np.maximum(gpos, 0) // bin_bp, n_bins - 1)
+    return np.where(placed, bin_id, n_bins).astype(np.int64)
 
 
 class BinnedFragmentStore:
@@ -305,7 +445,7 @@ class BinnedFragmentStore:
     def add(self, fb: FragmentBatch) -> None:
         if len(fb) == 0:
             return
-        bins = template_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins)
+        bins = record_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins)
         self.records += len(fb)
         for b in np.unique(bins):
             rows = np.nonzero(bins == b)[0]

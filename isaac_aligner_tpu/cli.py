@@ -96,6 +96,9 @@ def _cmd_align(args) -> int:
         repeat_threshold=args.repeat_threshold,
         first_pass_seeds=args.first_pass_seeds,
         dodgy_alignment_score=args.dodgy_alignment_score,
+        bam_exclude_tags=args.bam_exclude_tags,
+        records_per_bin=args.records_per_bin,
+        memory_limit=args.memory_limit,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -184,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--tls", default=None,
                     help="force template-length stats: "
                          "min:median:max:lowStdDev:highStdDev:M0:M1")
+    al.add_argument("--bam-exclude-tags", default="ZX,ZY",
+                    help="comma list of tags to drop from output BAMs "
+                         "(all,none,AS,BC,NM,OC,RG,SM,ZX,ZY; manual.md:274)")
+    al.add_argument("--memory-limit", type=float, default=0.0,
+                    help="GB budget for the Build phase: genomic bins are "
+                         "sized so one bin fits (reference --memory-limit)")
+    al.add_argument("--records-per-bin", type=int, default=1_000_000,
+                    help="genomic-bin size for the bounded-memory Build "
+                         "phase (reference BinIndexMap sizing)")
     al.add_argument("--realign-gaps", default="sample",
                     choices=("no", "sample", "project", "all"),
                     help="realign reads against indels seen in other reads"

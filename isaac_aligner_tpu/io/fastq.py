@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import io
+import itertools
 from pathlib import Path
 
 import numpy as np
@@ -95,6 +96,112 @@ def batch_from_reads(
         else:
             q[i, : len(s)] = default_q
     return ReadBatch(names=names, bases=bases, quals=q, lengths=lengths)
+
+
+def iter_fastq_records(path: str | Path):
+    """Stream (name, seq, qual) byte tuples — bounded memory."""
+    with _open_maybe_gzip(path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                return
+            header = header.strip()
+            if not header:
+                continue
+            if not header.startswith(b"@"):
+                raise ValueError(f"{path}: malformed FASTQ header {header!r}")
+            seq = f.readline().strip()
+            plus = f.readline().strip()
+            qual = f.readline().strip()
+            if not plus.startswith(b"+"):
+                raise ValueError(f"{path}: malformed FASTQ separator {plus!r}")
+            if len(seq) != len(qual):
+                raise ValueError(f"{path}: seq/qual length mismatch for {header!r}")
+            yield header[1:].split()[0].decode("ascii"), seq, qual
+
+
+def iter_fastq_batches(path1: str | Path, path2: str | Path | None,
+                       batch_size: int, phred_offset: int = 33,
+                       barcode_path: str | Path | None = None):
+    """Stream synchronized, padded ReadBatch tuples from FASTQ file(s).
+
+    The out-of-core analog of the reference's FastqSeedSource tile
+    synthesis (FastqDataSource.hh:41-118): yields
+    (b1, b2 | None, barcode_bases | None) with every batch padded to
+    `batch_size`, holding only one batch in RAM at a time.
+    """
+    it1 = iter_fastq_records(path1)
+    it2 = iter_fastq_records(path2) if path2 else None
+    itb = iter_fastq_records(barcode_path) if barcode_path else None
+    widths = [None, None, None]   # stable per-stream read_len (XLA shapes)
+
+    def _mk(chunks, slot: int, pad_rows: bool) -> ReadBatch:
+        b = batch_from_reads([c[0] for c in chunks], [c[1] for c in chunks],
+                             [c[2] for c in chunks],
+                             phred_offset=phred_offset)
+        if widths[slot] is None:
+            widths[slot] = b.read_len
+        b = _widen(b, widths[slot])
+        return pad_batch(b, batch_size) if pad_rows else b
+
+    while True:
+        chunk1 = list(itertools.islice(it1, batch_size))
+        if not chunk1:
+            if it2 is not None and next(it2, None) is not None:
+                raise ValueError("fastq1/fastq2 read counts differ")
+            return
+        b1 = _mk(chunk1, 0, True)
+        b2 = bc = None
+        if it2 is not None:
+            chunk2 = list(itertools.islice(it2, len(chunk1)))
+            if len(chunk2) != len(chunk1):
+                raise ValueError("fastq1/fastq2 read counts differ")
+            b2 = _mk(chunk2, 1, True)
+        if itb is not None:
+            chunkb = list(itertools.islice(itb, len(chunk1)))
+            if len(chunkb) != len(chunk1):
+                raise ValueError("barcode FASTQ read count differs")
+            bc = _mk(chunkb, 2, False).bases
+        yield b1, b2, bc
+
+
+def _widen(batch: ReadBatch, read_len: int) -> ReadBatch:
+    """Pad a batch's read dimension with N / q0 out to `read_len`."""
+    if batch.read_len == read_len:
+        return batch
+    if batch.read_len > read_len:
+        raise ValueError(
+            f"read length {batch.read_len} exceeds the stream's first-batch "
+            f"read length {read_len} — mixed-length FASTQ streams must not "
+            f"grow")
+    bases = np.full((batch.count, read_len), dna.N, np.uint8)
+    quals = np.zeros((batch.count, read_len), np.uint8)
+    bases[:, : batch.read_len] = batch.bases
+    quals[:, : batch.read_len] = batch.quals
+    return ReadBatch(names=batch.names, bases=bases, quals=quals,
+                     lengths=batch.lengths)
+
+
+def estimate_fastq_reads(path: str | Path, gz_ratio: float = 4.0) -> int:
+    """Cheap read-count estimate for bin sizing: average record size over
+    the first 1000 records extrapolated by file size (gz inputs assume
+    `gz_ratio` compression).  Only bin granularity depends on this —
+    correctness never does."""
+    path = Path(path)
+    n = 0
+    seen = 0
+    for name, seq, qual in iter_fastq_records(path):
+        seen += len(name) + len(seq) + len(qual) + 7
+        n += 1
+        if n >= 1000:
+            break
+    if n == 0:
+        return 0
+    size = path.stat().st_size
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            size = int(size * gz_ratio)
+    return max(n, int(size / max(1, seen / n)))
 
 
 def pad_batch(batch: ReadBatch, to_count: int) -> ReadBatch:

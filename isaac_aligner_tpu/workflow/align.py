@@ -30,13 +30,29 @@ import numpy as np
 from ..align.pairs import TlsStatic
 from ..align.pipeline import AlignConfig, default_seed_offsets
 from ..aligner import Aligner, PairedAligner
-from ..build.dedup import coordinate_sort, mark_duplicates
 from ..index.build import SeedIndex, build_index
 from ..io import sam
 from ..io.fasta import read_fasta
 from ..io.fastq import ReadBatch, pad_batch, read_fastq
 
 STATES = ("Start", "TlsDone", "AlignDone", "ReportsDone", "BamDone")
+
+
+def _coords_from_names(names: list[str]):
+    """Cluster X/Y from Illumina read names
+    '<inst>:<run>:<fc>:<lane>:<tile>:<x>:<y>' -> int32 arrays (ZX/ZY
+    tags, reference FragmentAccessorBamAdapter.hh).  Returns (None, None)
+    when names don't carry coordinates."""
+    arr = np.asarray(names, dtype="U")
+    p1 = np.char.rpartition(arr, ":")
+    y, rest = p1[:, 2], p1[:, 0]
+    p2 = np.char.rpartition(rest, ":")
+    x = p2[:, 2]
+    try:
+        return (x.astype(np.int64).astype(np.int32),
+                y.astype(np.int64).astype(np.int32))
+    except ValueError:
+        return None, None
 
 
 def parse_tls_override(spec: str) -> TlsStatic:
@@ -110,6 +126,29 @@ class WorkflowOptions:
     # into position bins processed in bounded memory during the Build
     # phase (reference BinIndexMap + Build::sortBinParallel)
     records_per_bin: int = 1_000_000
+    # reference --bam-exclude-tags (default ZX,ZY; 'all'/'none' allowed;
+    # excludable: AS,BC,NM,OC,RG,SM,ZX,ZY — manual.md:274-275)
+    bam_exclude_tags: str = "ZX,ZY"
+    # reference --memory-limit (GB, 0 = unlimited): caps the genomic bin
+    # size so every Build-phase bin fits the budget (the reference
+    # enforces it via ulimit -v + bin admission, bin/isaac-align.cpp:44-50
+    # + include/build/Build.hh:163-183; here bins are sized to fit)
+    memory_limit: float = 0.0
+
+    def excluded_tags(self) -> frozenset[str]:
+        spec = (self.bam_exclude_tags or "none").strip()
+        allowed = {"AS", "BC", "NM", "OC", "RG", "SM", "ZX", "ZY"}
+        if spec.lower() == "all":
+            return frozenset(allowed)
+        if spec.lower() == "none":
+            return frozenset()
+        tags = {t.strip().upper() for t in spec.split(",") if t.strip()}
+        bad = tags - allowed
+        if bad:
+            raise ValueError(
+                f"--bam-exclude-tags: unknown tag(s) {sorted(bad)}; "
+                f"allowed: all,none,{','.join(sorted(allowed))}")
+        return frozenset(tags)
 
 
 class AlignWorkflow:
@@ -266,28 +305,19 @@ class AlignWorkflow:
             self._stats["tls"] = dataclasses.asdict(self.tls)
             return
         # learn on the largest contig group (TLS is a library property)
+        import itertools
         index = max(self._load_indexes(),
                     key=lambda ix: ix.genome.total_length)
-        batches = self._read_batches()
-        aligner = PairedAligner.create(index, read_len=batches[0][0].read_len)
-        learn = [(b1, b2) for b1, b2 in batches[: self.opts.tls_batches]]
+        learn = [(b1, b2) for b1, b2, _ in
+                 itertools.islice(self._batch_stream(),
+                                  self.opts.tls_batches)]
+        aligner = PairedAligner.create(index,
+                                       read_len=learn[0][0].read_len)
         self.tls = aligner.learn_tls(learn)
         self._stats["tls"] = dataclasses.asdict(self.tls)
 
-    def _phase_align(self) -> None:
-        index = self._load_index()
-        batches = self._read_batches()
-        read_len = batches[0][0].read_len
-        records: list[sam.SamRecord] = []
-        stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
-                 "proper_pairs": 0, "mapq_hist": [0] * 61}
-        t0 = time.time()
+    def _align_config(self, read_len: int, index: SeedIndex) -> AlignConfig:
         o = self.opts
-        from ..align.gapped import GapScoring
-        clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
-                       clip_semialigned=o.clip_semialigned,
-                       adapters=tuple(o.adapters),
-                       gap_scoring=GapScoring.parse(o.gap_scoring))
         seed_len = max(o.seed_len, index.seed_len)
         if seed_len > 32 and index.seed_len != 32:
             raise ValueError("64-mer seeds need a 32-mer index")
@@ -297,7 +327,7 @@ class AlignWorkflow:
             first = o.seeds.split(",")[0]
             offsets = tuple(int(x) for x in first.split(":"))
         dodgy = o.dodgy_alignment_score
-        cfg = AlignConfig(
+        return AlignConfig(
             seed_len=seed_len,
             seed_offsets=offsets,
             repeat_threshold=o.repeat_threshold,
@@ -306,152 +336,270 @@ class AlignWorkflow:
             dodgy_mapq=0 if dodgy == "Unaligned" else int(dodgy),
             dodgy_unaligned=dodgy == "Unaligned",
             neighborhood_size_threshold=o.neighborhood_size_threshold)
-        barcode_of = self._resolve_barcodes()
+
+    def _phase_align(self) -> None:
+        """Align all batches and stream columnar records to genomic bins.
+
+        Replaces the reference's MatchFinder+MatchSelector disk handoff
+        with a fused device pipeline; the output side reproduces
+        BinningFragmentStorage (each batch's records convert to numpy
+        columns and append to per-bin chunk files — bounded RAM, no
+        per-read Python)."""
+        import itertools
+        import shutil
+
+        import numpy as np
+
+        from ..build import storage as fstore
+        index = self._load_index()
+        t0 = time.time()
+        o = self.opts
+        paired = self._paired
+        stream = self._batch_stream()
+        first = next(stream, None)
+        if first is None:
+            raise ValueError("input contains no reads")
+        stream = itertools.chain([first], stream)
+        read_len = first[0].read_len
+        from ..align.gapped import GapScoring
+        clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
+                       clip_semialigned=o.clip_semialigned,
+                       adapters=tuple(o.adapters),
+                       gap_scoring=GapScoring.parse(o.gap_scoring))
+        cfg = self._align_config(read_len, index)
+        genome = self._genome()
         indexes = self._load_indexes()
+
+        rg_names = self._demux_names()
+        n_records = self._estimate_total_reads() * (2 if paired else 1)
+        records_per_bin = o.records_per_bin
+        if o.memory_limit:
+            # per-record footprint through the Build phase: seq+qual bytes,
+            # name, packed cigars ×2 (own + mate), ~30 int columns, plus
+            # sort/dedup scratch of the same order -> budget a quarter of
+            # the limit for one resident bin
+            rec_bytes = 2 * read_len + 64 + 8 * 16 * 2 + 128
+            fit = int(o.memory_limit * 1e9 * 0.25 / rec_bytes)
+            if fit < records_per_bin:
+                records_per_bin = max(fit, 10_000)
+                from ..utils import tracing
+                tracing.log(f"--memory-limit {o.memory_limit}G: "
+                            f"records_per_bin -> {records_per_bin}")
+        n_bins = max(1, -(-n_records // records_per_bin))
+        bins_dir = self.temp / "bins"
+        if bins_dir.exists():
+            shutil.rmtree(bins_dir)
+        store = fstore.BinnedFragmentStore(
+            bins_dir, genome.contig_offsets, genome.total_length, n_bins)
+
+        stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
+                 "proper_pairs": 0, "mapq_hist": np.zeros(61, np.int64)}
+        per_tile: dict[tuple[str, str], dict] = {}
+        demux_counts = np.zeros(len(rg_names) or 1, np.int64)
+
+        def emit(fb, read_names: list[str]) -> None:
+            mapped = (fb.flag & sam.FLAG_UNMAPPED) == 0
+            stats["total_reads"] += len(fb)
+            stats["aligned"] += int(mapped.sum())
+            if mapped.any():
+                stats["mapq_hist"] += np.bincount(
+                    np.minimum(fb.mapq[mapped], 60), minlength=61)
+                stats["perfect"] += int((mapped & (fb.nm == 0)).sum())
+            first = (fb.flag & sam.FLAG_READ2) == 0
+            stats["proper_pairs"] += int(
+                (((fb.flag & sam.FLAG_PROPER_PAIR) != 0)
+                 & ((fb.flag & sam.FLAG_READ1) != 0)).sum())
+            if rg_names:
+                np.add.at(demux_counts,
+                          np.maximum(fb.rg[first], 0), 1)
+            if o.run_folder:
+                rec_names = np.repeat(np.asarray(read_names, dtype="U"),
+                                      len(fb) // max(len(read_names), 1))
+                self._tile_agg(rec_names, mapped, per_tile)
+            store.add(fb)
+
+        # the barcode/name sidecar rides a queue so the pipelined aligner
+        # generator stays a plain (b1[, b2]) iterator
+        from collections import deque
+        sidecar: deque = deque()
+
+        def feed():
+            for b1, b2, bc in stream:
+                valid = [nm for nm in b1.names if not nm.startswith("__pad")]
+                sidecar.append((bc, valid))
+                yield (b1, b2) if paired else b1
+
+        def aux_for(bc_bases, valid_names):
+            zx = zy = None
+            rg = bc = None
+            if rg_names:
+                rg, bc = self._resolve_rg(bc_bases, len(valid_names))
+            if o.run_folder and not {"ZX", "ZY"} <= o.excluded_tags():
+                zx, zy = _coords_from_names(valid_names)
+            if rg is None and zx is None:
+                return None
+            from ..build.storage import AuxColumns
+            return AuxColumns(rg=rg, rg_names=rg_names, bc=bc, zx=zx, zy=zy)
+
         if len(indexes) > 1:
             from ..parallel.multi_index import (MultiIndexAligner,
                                                 MultiIndexPairedAligner)
-            if self._paired:
+            if paired:
                 aligner = MultiIndexPairedAligner.create(
                     indexes, read_len=read_len, cfg=cfg,
                     clip_overlapping=o.clip_overlapping, **clip_kw)
                 if self.tls is not None:
                     aligner.tls = self.tls
-                for b1, b2 in batches:
-                    records.extend(aligner.align_to_sam(b1, b2))
             else:
                 aligner = MultiIndexAligner.create(indexes, read_len=read_len,
                                                    cfg=cfg, **clip_kw)
-                for b1, _ in batches:
-                    records.extend(aligner.align_to_sam(b1))
-        elif self._paired:
-            aligner = PairedAligner.create(
-                index, read_len=read_len, cfg=cfg,
-                clip_overlapping=o.clip_overlapping, **clip_kw)
-            if self.tls is not None:
-                aligner.tls = self.tls
-            for recs in aligner.align_to_sam_many(batches):
-                records.extend(recs)
+            for inputs in feed():
+                recs = (aligner.align_to_sam(*inputs) if paired
+                        else aligner.align_to_sam(inputs))
+                fb = fstore.from_sam_records(recs, genome.contigs, rg_names)
+                bc_bases, valid = sidecar.popleft()
+                aux = aux_for(bc_bases, valid)
+                if aux is not None:
+                    fstore._apply_aux(fb, aux)
+                emit(fb, valid)
         else:
-            aligner = Aligner.create(index, read_len=read_len, cfg=cfg, **clip_kw)
-            for recs in aligner.align_to_sam_many(b1 for b1, _ in batches):
-                records.extend(recs)
-        if barcode_of is not None:
-            from ..demultiplexing.samplesheet import UNKNOWN_SAMPLE
-            specs = {sp.index: sp for sp in self._sample_specs()}
-            demux_counts: dict[str, int] = {}
-            for r in records:
-                bi = barcode_of.get(r.qname, -1)
-                sample = specs[bi].sample if bi >= 0 else UNKNOWN_SAMPLE
-                r.set_tag("RG", "Z", sample)
-                if not (r.flag & sam.FLAG_READ2):
-                    demux_counts[sample] = demux_counts.get(sample, 0) + 1
-            self._stats["demultiplexing"] = demux_counts
+            if paired:
+                aligner = PairedAligner.create(
+                    index, read_len=read_len, cfg=cfg,
+                    clip_overlapping=o.clip_overlapping, **clip_kw)
+                if self.tls is not None:
+                    aligner.tls = self.tls
+            else:
+                aligner = Aligner.create(index, read_len=read_len, cfg=cfg,
+                                         **clip_kw)
+            for inputs, res in aligner.align_results_many(feed()):
+                bc_bases, valid = sidecar.popleft()
+                aux = aux_for(bc_bases, valid)
+                if paired:
+                    fb = fstore.from_paired_result(
+                        genome, inputs[0], inputs[1], res,
+                        mapq_cap=aligner.cfg.mapq_cap, aux=aux)
+                else:
+                    fb = fstore.from_single_result(
+                        genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
+                        aux=aux)
+                emit(fb, valid)
+
+        if rg_names:
+            counts = {nm: int(c) for nm, c in zip(rg_names, demux_counts) if c}
+            self._stats["demultiplexing"] = counts
             (self.stats_dir / "DemultiplexingStats.json").write_text(
-                json.dumps(demux_counts, indent=2))
-        per_tile: dict[tuple[str, str], dict] = {}
-        for r in records:
-            stats["total_reads"] += 1
-            if r.is_mapped:
-                stats["aligned"] += 1
-                stats["mapq_hist"][min(r.mapq, 60)] += 1
-                if r.tags.get("NM", ("i", 1))[1] == 0:
-                    stats["perfect"] += 1
-            if r.flag & sam.FLAG_PROPER_PAIR and r.flag & sam.FLAG_READ1:
-                stats["proper_pairs"] += 1
-            if self.opts.run_folder:
-                # Illumina names <inst>:<run>:<fc>:<lane>:<tile>:<x>:<y>
-                parts = r.qname.split(":")
-                if len(parts) >= 7:
-                    t = per_tile.setdefault((parts[3], parts[4]),
-                                            {"total": 0, "aligned": 0})
-                    t["total"] += 1
-                    t["aligned"] += int(r.is_mapped)
+                json.dumps(counts, indent=2))
         if per_tile:
             stats["tiles"] = [
                 {"lane": lane, "tile": tile, **agg}
                 for (lane, tile), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
+        stats["mapq_hist"] = [int(x) for x in stats["mapq_hist"]]
+        for k in ("total_reads", "aligned", "perfect", "proper_pairs"):
+            stats[k] = int(stats[k])
         self._stats["match_selector"] = stats
         if getattr(aligner, "finder_stats", None):
             self._stats["match_finder"] = dict(aligner.finder_stats)
-        genome = self._genome()
-        n_bins = max(1, -(-len(records) // self.opts.records_per_bin))
-        if n_bins > 1:
-            self._write_bins(records, genome, n_bins)
-        else:
-            # drop any stale bin files from a previous (binned) run: the
-            # Build phase prefers Temp/bins when present
-            import shutil
-            if (self.temp / "bins").exists():
-                shutil.rmtree(self.temp / "bins")
-            sam.write_sam(self.temp / "aligned.sam", records, genome.contigs,
-                          sample=self.opts.sample)
 
-    def _write_bins(self, records, genome, n_bins: int) -> None:
-        """Genomic binning (reference BinIndexMap,
-        include/alignment/matchSelector/BinIndexMap.hh:44-96): whole
-        templates route to the bin of their smallest mapped unclipped-5'
-        anchor, so every copy of a duplicate template lands in ONE bin and
-        per-bin dedup stays exact; unmapped-only templates go to the
-        trailing unaligned bin.  Each bin then sorts/dedups/realigns in
-        bounded memory in the Build phase."""
-        import shutil
-
-        from ..build.dedup import unclipped_five_prime
-        bins_dir = self.temp / "bins"
-        if bins_dir.exists():
-            shutil.rmtree(bins_dir)
-        bins_dir.mkdir(parents=True)
-        g_len = sum(c.length for c in genome.contigs)
-        bin_bp = max(1, -(-g_len // n_bins))
-        offs = {c.name: c.offset for c in genome.contigs}
-        by_name: dict[str, list[sam.SamRecord]] = {}
-        for r in records:
-            by_name.setdefault(r.qname, []).append(r)
-        files: dict[str, object] = {}
-        try:
-            for recs in by_name.values():
-                poss = [offs[r.rname] + unclipped_five_prime(r)
-                        for r in recs if r.is_mapped and r.rname in offs]
-                if not poss:
-                    key = "unaligned"
-                else:
-                    key = f"bin_{min(max(min(poss), 0) // bin_bp, n_bins - 1):05d}"
-                f = files.get(key)
-                if f is None:
-                    f = open(bins_dir / f"{key}.sam", "w")
-                    files[key] = f
-                for r in recs:
-                    f.write(r.to_line() + "\n")
-        finally:
-            for f in files.values():
-                f.close()
+    @staticmethod
+    def _tile_agg(names, mapped, per_tile: dict) -> None:
+        """Per-(lane,tile) yield aggregation from Illumina read names
+        (vectorized prefix grouping; MatchSelectorStats TileStats analog).
+        `names` is one entry per RECORD (repeated per end for pairs)."""
+        import numpy as np
+        names = np.asarray(names, dtype="U")
+        pre = np.char.rpartition(
+            np.char.rpartition(names, ":")[:, 0], ":")[:, 0]
+        uniq, inv = np.unique(pre, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(uniq))
+        alg = np.bincount(inv, weights=mapped.astype(np.float64),
+                          minlength=len(uniq))
+        for u, t, a in zip(uniq, tot, alg):
+            parts = str(u).split(":")
+            if len(parts) >= 5:
+                agg = per_tile.setdefault((parts[3], parts[4]),
+                                          {"total": 0, "aligned": 0})
+                agg["total"] += int(t)
+                agg["aligned"] += int(a)
 
     def _sample_specs(self):
         from ..demultiplexing.samplesheet import parse_sample_sheet
         return parse_sample_sheet(self.opts.sample_sheet)
 
-    def _resolve_barcodes(self) -> dict[str, int] | None:
-        """Read-name -> barcode index map from the I1 FASTQ (reference
-        BarcodeResolver over BCL barcode cycles)."""
-        if not self.opts.sample_sheet:
-            return None
+    def _demux_setup(self):
+        """(specs, spec_index -> sample-name index, unknown idx, rg names);
+        cached.  Reference analog: BarcodeBamMapping construction."""
+        if getattr(self, "_demux_cache", None) is None:
+            if not self.opts.sample_sheet:
+                self._demux_cache = (None, None, 0, ())
+            else:
+                from ..demultiplexing.samplesheet import UNKNOWN_SAMPLE
+                specs = self._sample_specs()
+                sample_names: list[str] = []
+                for sp in specs:
+                    if sp.sample not in sample_names:
+                        sample_names.append(sp.sample)
+                unknown = len(sample_names)
+                rg_names = tuple(sample_names) + (UNKNOWN_SAMPLE,)
+                spec_to_name = np.full(max(sp.index for sp in specs) + 1,
+                                       unknown, np.int32)
+                for sp in specs:
+                    spec_to_name[sp.index] = sample_names.index(sp.sample)
+                self._demux_cache = (specs, spec_to_name, unknown, rg_names)
+        return self._demux_cache
+
+    def _demux_names(self) -> tuple[str, ...]:
+        return self._demux_setup()[3]
+
+    def _resolve_rg(self, bc_bases, n: int):
+        """Per-batch barcode resolution -> (rg column, BC ascii or None)."""
+        from .. import dna
         from ..demultiplexing.resolver import resolve_barcodes
-        specs = self._sample_specs()
-        if self.opts.run_folder:
-            # BCL path: barcode cycles came straight off the index reads
-            b1, _ = self._load_all_reads()
-            idx = resolve_barcodes(self._bcl_barcodes, specs,
-                                   self.opts.barcode_mismatches)
-            return {n: int(i) for n, i in zip(b1.names, idx)}
-        if self.opts.barcode_fastq:
-            i1 = read_fastq(self.opts.barcode_fastq)
-            idx = resolve_barcodes(i1.bases, specs,
-                                   self.opts.barcode_mismatches)
-            return {n: int(i) for n, i in zip(i1.names, idx)}
-        # no index read: single no-index sample takes everything
-        return {}
+        specs, spec_to_name, unknown, _ = self._demux_setup()
+        if specs is None:
+            return None, None
+        if bc_bases is None:
+            # no index read: everything lands on the unknown sample
+            return np.full(n, unknown, np.int32), None
+        bidx = resolve_barcodes(bc_bases, specs, self.opts.barcode_mismatches)
+        rg = np.where(bidx >= 0, spec_to_name[np.maximum(bidx, 0)],
+                      unknown).astype(np.int32)
+        bc = None
+        if "BC" not in self.opts.excluded_tags():
+            bc = dna.CODE_TO_BASE[np.minimum(bc_bases, 4)]
+        return rg, bc
+
+    def _estimate_total_reads(self) -> int:
+        """Read count for bin sizing: exact for in-RAM sources, file-size
+        estimate for streamed FASTQ (only bin granularity depends on it)."""
+        o = self.opts
+        if o.fastq1 and not (o.bam_input or o.run_folder):
+            from ..io.fastq import estimate_fastq_reads
+            return estimate_fastq_reads(o.fastq1)
+        return self._load_all_reads()[0].count
+
+    def _batch_stream(self):
+        """Yield (b1, b2 | None, barcode_bases | None) padded batches.
+        FASTQ inputs stream with bounded memory (SeedMemoryManager
+        analog); BCL/BAM sources slice their in-RAM read sets."""
+        o = self.opts
+        if o.fastq1 and not (o.bam_input or o.run_folder):
+            from ..io.fastq import iter_fastq_batches
+            yield from iter_fastq_batches(
+                o.fastq1, o.fastq2, o.batch_size,
+                barcode_path=o.barcode_fastq if o.sample_sheet else None)
+            return
+        bcl_bc = None
+        if o.run_folder and o.sample_sheet:
+            self._load_all_reads()
+            bcl_bc = getattr(self, "_bcl_barcodes", None)
+        lo = 0
+        for b1, b2 in self._read_batches():
+            n_valid = sum(1 for nm in b1.names if not nm.startswith("__pad"))
+            bc = bcl_bc[lo : lo + n_valid] if bcl_bc is not None else None
+            lo += n_valid
+            yield b1, b2, bc
 
     def _phase_reports(self) -> None:
         """MatchSelectorStats / AlignmentReportGenerator analog: JSON +
@@ -475,41 +623,37 @@ class AlignWorkflow:
         reports.write_html_report(self._stats,
                                   self.stats_dir / "AlignmentReport.html")
 
-    def _process_bin(self, records: list[sam.SamRecord], genome
-                     ) -> tuple[list[sam.SamRecord], int]:
-        """Sort + dedup + realign one bin's records (BinSorter::process)."""
-        records = coordinate_sort(records, genome.contigs)
+    def _process_bin_fb(self, fb, genome):
+        """Sort + dedup + realign one bin, columnar (BinSorter::process)."""
+        import numpy as np
+
+        from ..build.dedup import coordinate_sort_order, mark_duplicates_batch
+        fb = fb.take(coordinate_sort_order(fb))
         if self.opts.mark_duplicates:
-            records = mark_duplicates(records, keep=self.opts.keep_duplicates)
+            fb = mark_duplicates_batch(fb, genome.contig_offsets,
+                                       keep=self.opts.keep_duplicates)
         realigned = 0
         if self.opts.realign_gaps != "no":
-            from ..build.realign import collect_gaps, realign_records
+            from ..build.realign import realign_batch
             if self.opts.realign_gaps == "all" or not self.opts.sample_sheet:
-                groups = [records]
+                scopes = [None]
             else:
-                # per-sample (or per-project) gap scope: group on the RG tag
-                by_scope: dict[str, list[sam.SamRecord]] = {}
-                for r in records:
-                    rg = str(r.tags.get("RG", ("Z", "default"))[1])
-                    by_scope.setdefault(rg, []).append(r)
-                groups = list(by_scope.values())
-            for grp in groups:
-                realigned += realign_records(grp, genome, collect_gaps(grp))
-            records = coordinate_sort(records, genome.contigs)
-        return records, realigned
+                # per-sample (or per-project) gap scope: group on RG
+                scopes = [np.nonzero(fb.rg == v)[0]
+                          for v in np.unique(fb.rg)]
+            for rows in scopes:
+                realigned += realign_batch(fb, genome, rows)
+        return fb, realigned
 
-    def _emit_bam(self, stream, contigs) -> None:
-        """Route a coordinate-ordered record stream into the output BAM
+    def _emit_fb(self, fb, writers: dict, contigs) -> None:
+        """Route a coordinate-ordered columnar batch into the output BAM
         writer(s) — one per sample when demultiplexing (BarcodeBamMapping),
         one flat file otherwise."""
-        from ..io.bam import BamWriter
-        writers: dict[str | None, BamWriter] = {}
+        import numpy as np
 
-        def writer_for(rec: sam.SamRecord) -> BamWriter:
-            if not self.opts.sample_sheet:
-                key = None
-            else:
-                key = str(rec.tags.get("RG", ("Z", "unknown"))[1])
+        from ..io.bam import BamWriter
+
+        def writer_for(key: str | None) -> "BamWriter":
             w = writers.get(key)
             if w is None:
                 if key is None:
@@ -526,79 +670,61 @@ class AlignWorkflow:
                 writers[key] = w
             return w
 
-        buf: dict[str | None, list[sam.SamRecord]] = {}
-        for rec in stream:
-            w = writer_for(rec)
-            key = None if not self.opts.sample_sheet else \
-                str(rec.tags.get("RG", ("Z", "unknown"))[1])
-            buf.setdefault(key, []).append(rec)
-            if len(buf[key]) >= 4096:
-                w.write(buf[key])
-                buf[key] = []
-        for key, recs in buf.items():
-            if recs:
-                writers[key].write(recs)
-        for w in writers.values():
-            w.close()
+        from ..build.records import apply_tag_exclusions
+        excl = self.opts.excluded_tags()
+        if not self.opts.sample_sheet:
+            writer_for(None).write_fragment_batch(
+                apply_tag_exclusions(fb, excl))
+            return
+        for v in np.unique(fb.rg):
+            rows = np.nonzero(fb.rg == v)[0]
+            key = fb.rg_names[v] if 0 <= v < len(fb.rg_names) else "unknown"
+            writer_for(key).write_fragment_batch(
+                apply_tag_exclusions(fb.take(rows), excl))
 
     def _phase_bam(self) -> None:
-        import heapq
-        import itertools
+        """Per-bin sort/dedup/realign + streaming BAM serialization
+        (reference Build::sortBinParallel, lib/build/Build.cpp:509-903).
+        Bins are processed in genome order so the concatenated output is
+        globally coordinate-sorted; every step is columnar numpy."""
+        from ..build.storage import BinnedFragmentStore
 
         genome = self._genome()
         bins_dir = self.temp / "bins"
-        bin_paths = sorted(bins_dir.glob("bin_*.sam")) if bins_dir.is_dir() else []
+        bin_dirs = sorted(
+            d for d in bins_dir.iterdir()
+            if d.is_dir() and d.name.startswith("bin_")
+        ) if bins_dir.is_dir() else []
+        unal = bins_dir / "unaligned"
 
-        if not bin_paths:
-            # single-bin path: everything fits in memory at once
-            _, records = sam.read_sam(self.temp / "aligned.sam")
-            records, realigned = self._process_bin(records, genome)
-            dup = sum(1 for r in records if r.flag & sam.FLAG_DUPLICATE)
-            n_records = len(records)
-            stream = iter(records)
-        else:
-            # bin-parallel path (reference Build::sortBinParallel): each
-            # genomic bin sorts/dedups/realigns independently in bounded
-            # memory, then the sorted bin streams k-way-merge into the BAM
-            realigned = 0
-            dup = 0
-            n_records = 0
-            sorted_paths = []
-            for bp in bin_paths:
-                recs = list(sam.iter_sam(bp))
-                recs, r_cnt = self._process_bin(recs, genome)
+        writers: dict = {}
+        realigned = dup = n_records = 0
+        for d in bin_dirs + ([unal] if unal.is_dir() else []):
+            fb = BinnedFragmentStore.load_bin(d)
+            if d.name == "unaligned":
+                from ..build.dedup import coordinate_sort_order
+                fb = fb.take(coordinate_sort_order(fb))
+            else:
+                fb, r_cnt = self._process_bin_fb(fb, genome)
                 realigned += r_cnt
-                dup += sum(1 for r in recs if r.flag & sam.FLAG_DUPLICATE)
-                n_records += len(recs)
-                sp = bins_dir / ("sorted_" + bp.name[4:])
-                with open(sp, "w") as f:
-                    for r in recs:
-                        f.write(r.to_line() + "\n")
-                sorted_paths.append(sp)
-            order = {c.name: c.index for c in genome.contigs}
-
-            def coord_key(r: sam.SamRecord):
-                if r.rname == "*":
-                    return (len(order), 0, r.qname)
-                return (order[r.rname], r.pos, r.qname)
-
-            stream = heapq.merge(*(sam.iter_sam(p) for p in sorted_paths),
-                                 key=coord_key)
-            unal = bins_dir / "unaligned.sam"
-            if unal.exists():
-                extra = sam.iter_sam(unal)
-                n_records += sum(1 for _ in sam.iter_sam(unal))
-                stream = itertools.chain(stream, extra)
+            dup += int(((fb.flag & sam.FLAG_DUPLICATE) != 0).sum())
+            n_records += len(fb)
+            self._emit_fb(fb, writers, genome.contigs)
+        if not writers and not self.opts.sample_sheet:
+            # no records at all: still emit a valid empty BAM
+            from ..build.records import FragmentBatch
+            self._emit_fb(FragmentBatch.empty(0, 1), writers, genome.contigs)
+        for w in writers.values():
+            w.close()
 
         self._stats["build"] = {"records": n_records, "duplicates": dup,
                                 "realigned": realigned,
-                                "bins": max(1, len(bin_paths))}
+                                "bins": max(1, len(bin_dirs))}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
         from . import reports
         reports.write_build_stats_xml(self._stats["build"],
                                       self.stats_dir / "BuildStats.xml")
-        self._emit_bam(stream, genome.contigs)
 
     # -- driver -------------------------------------------------------------
 

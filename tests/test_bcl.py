@@ -8,6 +8,7 @@ import pytest
 
 from isaac_aligner_tpu import dna
 from isaac_aligner_tpu.io import bcl
+from isaac_aligner_tpu.io.bam import read_bam
 
 
 def _codes(s: str) -> np.ndarray:
@@ -205,7 +206,7 @@ def test_workflow_from_run_folder(tmp_path):
     assert (out / "sorted.bam").exists()
 
     from isaac_aligner_tpu.io import sam
-    _, records = sam.read_sam(out / "Temp" / "aligned.sam")
+    records = read_bam(out / "sorted.bam")[2]
     mapped = [r for r in records if not (r.flag & sam.FLAG_UNMAPPED)]
     assert len(mapped) == 4
     assert sorted(r.pos for r in mapped) == [s + 1 for s in starts]
@@ -311,3 +312,45 @@ def test_bcl_demux_to_per_sample_bams(tmp_path):
     counts = {e.get("name"): int(e.findtext("ClusterCount"))
               for e in root.findall(".//Barcode")}
     assert counts["sampleA"] == 2 and counts["sampleB"] == 1
+
+
+def test_bcl_tags_bc_zx_zy(tmp_path):
+    """BC carries the barcode sequence; ZX/ZY (cluster coordinates) are
+    excluded by default and appear with --bam-exclude-tags none
+    (reference FragmentAccessorBamAdapter + manual.md:241-275)."""
+    from isaac_aligner_tpu.io.bam import read_bam
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(23)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    (tmp_path / "samples.csv").write_text("barcode,sample\nACACACAC,sampleA\n")
+    reads = [seq[100:164], seq[2000:2064]]
+    q = np.full((2, 64), 30, np.uint8)
+    qi = np.full((2, 8), 30, np.uint8)
+    info = _make_info(read_cycles=(64,), index_cycles=(8,))
+    bcl.write_run_folder(
+        tmp_path / "run", info, lane=1, tile=1101,
+        segments=[(np.stack([_codes(r) for r in reads]), q),
+                  (np.stack([_codes("ACACACAC")] * 2), qi)])
+
+    for name, excl, want_zx in (("out_dflt", "ZX,ZY", False),
+                                ("out_all", "none", True)):
+        out = tmp_path / name
+        AlignWorkflow(WorkflowOptions(
+            reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+            run_folder=str(tmp_path / "run"), batch_size=8,
+            sample_sheet=str(tmp_path / "samples.csv"),
+            bam_exclude_tags=excl, realign_gaps="no")).run()
+        recs = read_bam(out / "sampleA" / "sorted.bam")[2]
+        assert len(recs) == 2
+        for r in recs:
+            assert r.tags["BC"] == ("Z", "ACACACAC")
+            assert r.tags["RG"] == ("Z", "sampleA")
+            assert ("ZX" in r.tags) == want_zx
+            assert ("ZY" in r.tags) == want_zx
+            if want_zx:
+                # names are <inst>:<run>:<fc>:<lane>:<tile>:<x>:<y>
+                x, y = r.qname.split(":")[-2:]
+                assert r.tags["ZX"] == ("i", int(x))
+                assert r.tags["ZY"] == ("i", int(y))

@@ -52,7 +52,7 @@ def test_binned_equals_single(tmp_path):
     single = _run(tmp_path, "out_single", records_per_bin=10**9)
     binned = _run(tmp_path, "out_binned", records_per_bin=3)
     # several bins actually materialized
-    bins = list((binned / "Temp" / "bins").glob("bin_*.sam"))
+    bins = [d for d in (binned / "Temp" / "bins").glob("bin_*") if d.is_dir()]
     assert len(bins) >= 2, [p.name for p in bins]
     a = _bam_tuples(single / "sorted.bam")
     b = _bam_tuples(binned / "sorted.bam")
@@ -92,7 +92,7 @@ def test_resume_through_binned_build(tmp_path):
         batch_size=8, realign_gaps="no", records_per_bin=3)
     AlignWorkflow(opts).run(stop_at="AlignDone")
     assert not (out / "sorted.bam").exists()
-    assert list((out / "Temp" / "bins").glob("bin_*.sam"))
+    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.npz"))
 
     # a brand-new workflow object resumes from the saved state
     wf2 = AlignWorkflow(opts)

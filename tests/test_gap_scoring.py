@@ -4,6 +4,7 @@ AlignOptions.cpp:409,693 gap-scoring grammar; manual.md:572 --tls)."""
 import pytest
 
 from isaac_aligner_tpu.align.gapped import BWA, ELAND, GapScoring
+from isaac_aligner_tpu.io.bam import read_bam
 from isaac_aligner_tpu.workflow.align import parse_tls_override
 
 
@@ -70,7 +71,7 @@ def test_workflow_tls_override(tmp_path):
     wf.run()
     assert wf._stats["tls"]["min"] == 200
     from isaac_aligner_tpu.io import sam
-    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    recs = read_bam(out / "sorted.bam")[2]
     proper = [r for r in recs if r.flag & sam.FLAG_PROPER_PAIR]
     assert len(proper) == 8  # all 4 pairs proper under the forced model
 
@@ -97,7 +98,7 @@ def test_seeds_and_dodgy_flags(tmp_path):
         reference=str(tmp_path / "ref.fa"), output_dir=str(out),
         fastq1=str(tmp_path / "r.fq"), batch_size=8, realign_gaps="no",
         seeds="0:32", dodgy_alignment_score="Unaligned")).run()
-    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    recs = read_bam(out / "sorted.bam")[2]
     by_name = {r.qname: r for r in recs}
     # the repeat read is dodgy -> marked unaligned under "Unaligned"
     assert by_name["rep"].flag & sam.FLAG_UNMAPPED
@@ -129,7 +130,7 @@ def test_paired_dodgy_repeat_mapq_zero(tmp_path):
         fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
         batch_size=8, realign_gaps="no", seeds="0:32",
         tls_override="100:300:2200:50:50:1:6")).run()
-    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    recs = read_bam(out / "sorted.bam")[2]
     r1 = next(r for r in recs if r.flag & sam.FLAG_READ1)
     assert r1.is_mapped
     assert r1.mapq == 0, f"repeat end must be dodgy, got MAPQ {r1.mapq}"
@@ -156,7 +157,7 @@ def test_mq_tag_matches_mate_mapq(tmp_path):
         fastq1=str(tmp_path / "r1.fq"), fastq2=str(tmp_path / "r2.fq"),
         batch_size=8, realign_gaps="no",
         tls_override="200:300:400:30:30:1:6")).run()
-    _, recs = sam.read_sam(out / "Temp" / "aligned.sam")
+    recs = read_bam(out / "sorted.bam")[2]
     by_end = {1 if r.flag & sam.FLAG_READ1 else 2: r for r in recs}
     assert by_end[1].tags["MQ"][1] == by_end[2].mapq
     assert by_end[2].tags["MQ"][1] == by_end[1].mapq

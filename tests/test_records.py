@@ -161,26 +161,60 @@ def test_concat_take_roundtrip(paired_case):
 
 
 def test_binned_store_partition(paired_case, tmp_path):
+    """Per-record binning (reference BinIndexMap): every record lands in
+    the bin of its own placement position, so the concatenation of
+    sorted bins is globally coordinate-sorted; records without any
+    placement go to the trailing unaligned bin."""
     genome, _, fb = paired_case
     store = S.BinnedFragmentStore(tmp_path / "bins", genome.contig_offsets,
                                   genome.total_length, n_bins=4)
     store.add(fb)
     total = 0
-    seen_names = set()
+    prev_max = -1
     for d in store.bin_dirs():
         sub = S.BinnedFragmentStore.load_bin(d)
         total += len(sub)
-        # templates must be whole within a bin (pairs stay together)
-        names = sub.names()
-        assert len(names) % 2 == 0
-        seen_names.update(names)
-        for i in range(0, len(names), 2):
-            assert names[i] == names[i + 1]
+        assert (sub.ref_id >= 0).all()
+        gpos = genome.contig_offsets[sub.ref_id] + sub.pos
+        assert gpos.min() > prev_max - store.bin_bp  # within own bin span
+        assert gpos.min() >= prev_max - 0  # bins are disjoint position ranges
+        prev_max = gpos.max()
     unal = tmp_path / "bins" / "unaligned"
     if unal.is_dir():
         sub = S.BinnedFragmentStore.load_bin(unal)
+        assert (sub.ref_id < 0).all()
         total += len(sub)
     assert total == len(fb)
+
+
+def test_binned_dedup_consistent_across_bin_counts(dup_case, tmp_path):
+    """Duplicate decisions must not depend on binning: per-record dedup
+    columns make 1-bin and many-bin marking identical (the reference's
+    FragmentIndex design)."""
+    from isaac_aligner_tpu.build.dedup import (coordinate_sort_order,
+                                               mark_duplicates_batch)
+    genome, _, fb = dup_case
+    flags = {}
+    for n_bins in (1, 7):
+        store = S.BinnedFragmentStore(tmp_path / f"b{n_bins}",
+                                      genome.contig_offsets,
+                                      genome.total_length, n_bins=n_bins)
+        store.add(fb)
+        got = {}
+        dirs = store.bin_dirs()
+        unal = tmp_path / f"b{n_bins}" / "unaligned"
+        if unal.is_dir():
+            dirs.append(unal)
+        for d in dirs:
+            sub = S.BinnedFragmentStore.load_bin(d)
+            sub = sub.take(coordinate_sort_order(sub))
+            sub = mark_duplicates_batch(sub, genome.contig_offsets)
+            for name, flag in zip(sub.names(), sub.flag):
+                got[(name, int(flag) & sam.FLAG_READ2)] = \
+                    bool(int(flag) & sam.FLAG_DUPLICATE)
+        flags[n_bins] = got
+    assert flags[1] == flags[7]
+    assert any(flags[1].values())  # fixture contains real duplicates
 
 
 def _dup_pairs(seq, rng):

@@ -49,7 +49,7 @@ def test_full_workflow_and_resume(run_dir):
         batch_size=128))
     wf.run(stop_at="AlignDone")
     assert wf.state == "AlignDone"
-    assert (out / "Temp" / "aligned.sam").exists()
+    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.npz"))
     state = json.loads((out / "Temp" / "AlignerState.json").read_text())
     assert state["state"] == "AlignDone"
 
@@ -95,3 +95,35 @@ def test_cli_single_end(run_dir, tmp_path):
     _, _, records = read_bam(tmp_path / "se_out" / "sorted.bam")
     assert len(records) == n
     assert sum(r.is_mapped for r in records) >= 0.98 * n
+
+
+def test_fastq_input_streams(run_dir, tmp_path):
+    """FASTQ inputs must flow through the workflow WITHOUT the whole-run
+    in-RAM read cache (the out-of-core pipeline, reference
+    SeedMemoryManager/BufferingFragmentStorage analog)."""
+    d, seq, n = run_dir
+    out = tmp_path / "stream_out"
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(d / "ref.fa"), output_dir=str(out),
+        fastq1=str(d / "r1.fq"), fastq2=str(d / "r2.fq"),
+        batch_size=64, memory_limit=8.0))
+    wf.run()
+    assert wf._reads_cache is None, "streaming path must not load all reads"
+    _, _, records = read_bam(out / "sorted.bam")
+    assert len(records) == 2 * n
+
+
+def test_streaming_output_matches_batchsize_variation(run_dir, tmp_path):
+    """Record content must not depend on batch size (pure streaming)."""
+    d, seq, n = run_dir
+    outs = []
+    for bs in (64, 256):
+        out = tmp_path / f"bs{bs}"
+        AlignWorkflow(WorkflowOptions(
+            reference=str(d / "ref.fa"), output_dir=str(out),
+            fastq1=str(d / "r1.fq"), fastq2=str(d / "r2.fq"),
+            batch_size=bs)).run()
+        _, _, recs = read_bam(out / "sorted.bam")
+        outs.append([(r.qname, r.flag, r.rname, r.pos, r.mapq, r.cigar,
+                      r.tlen) for r in recs])
+    assert outs[0] == outs[1]
