@@ -233,7 +233,7 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
             sw.banded_sw_jit(q_arr, db_arr, gs.sw_scores()))
         for k, (r, win_start, left) in enumerate(metas[chunk]):
             exit_d = int(np.argmax(gfin[k]))
-            ops, first_db = sw.traceback(tb[k], exit_d)
+            ops, first_db = sw.traceback(tb[k], exit_d, read_len)
             cigar = sw.ops_to_cigar(ops)
             if all(op == "M" for _, op in cigar):
                 continue  # no gap found; keep ungapped

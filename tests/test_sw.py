@@ -17,7 +17,7 @@ def _align_one(query, db, scores=sw.BWA_SCORES):
     g = np.asarray(g)[0]
     tb = np.asarray(tb)[0]
     exit_d = int(np.argmax(g))
-    ops, first_db = sw.traceback(tb, exit_d)
+    ops, first_db = sw.traceback(tb, exit_d, len(query))
     return float(g[exit_d]), sw.ops_to_cigar(ops), first_db
 
 
