@@ -46,23 +46,28 @@ def quality_trim_batch(bases: np.ndarray, quals: np.ndarray,
     trims = np.zeros(b, np.int32)
     if cutoff <= 0 or l < MASK_READ_LENGTH_MIN:
         return trims
-    for i in range(b):
-        qs = 0
-        peak = 0
-        trim = 0
-        start_j = l - 1 - (int(tail_masked[i]) if tail_masked is not None else 0)
-        # walk from the (unmasked) read end toward the front, >= 35 bases kept
-        for j in range(start_j, MASK_READ_LENGTH_MIN - 1, -1):
-            qs += cutoff - int(quals[i, j])
-            if qs < 0:
-                break
-            if qs > peak:
-                peak = qs
-                trim = start_j + 1 - j
-        if trim:
-            trims[i] = trim
-            bases[i, start_j + 1 - trim :] = dna.N
-            quals[i, start_j + 1 - trim :] = 0
+    start_j = np.full(b, l - 1, np.int64)
+    if tail_masked is not None:
+        start_j -= tail_masked.astype(np.int64)
+    # vectorized walk: t steps leftward from start_j; running sum of
+    # (cutoff - q), stop at first negative, trim to the FIRST peak > 0
+    t = np.arange(l, dtype=np.int64)[None, :]
+    j = start_j[:, None] - t                                   # [B, L]
+    in_walk = j >= MASK_READ_LENGTH_MIN   # legacy walk stops at j == 35
+    qv = np.take_along_axis(quals, np.maximum(j, 0), axis=1).astype(np.int64)
+    qs = np.cumsum(np.where(in_walk, cutoff - qv, 0), axis=1)
+    stopped = (qs < 0) | ~in_walk
+    alive = np.cumsum(stopped, axis=1) == 0                    # t before stop
+    qs_m = np.where(alive, qs, np.iinfo(np.int64).min)
+    peak = qs_m.max(axis=1)
+    t_peak = np.argmax(qs_m, axis=1)                           # first max
+    trims = np.where(peak > 0, t_peak + 1, 0).astype(np.int32)
+    if trims.any():
+        cut_from = start_j + 1 - trims
+        mask = (np.arange(l)[None, :] >= cut_from[:, None]) & \
+            (np.arange(l)[None, :] <= start_j[:, None]) & (trims[:, None] > 0)
+        bases[mask] = dna.N
+        quals[mask] = 0
     return trims
 
 
@@ -127,73 +132,161 @@ def apply_masked_tail_cigar(res: dict, suffix: str, trims: np.ndarray,
             0, int(res["edit_distance" + suffix][i]) - t)
 
 
+def clip_contig_ends(res: dict, suffix: str, genome, read_len: int) -> None:
+    """Soft-clip alignments overhanging their contig's edges.
+
+    Reference analog: AlignerBase::updateFragmentCigar clips positions
+    outside the contig (lib/alignment/AlignerBase.cpp:121-231).  The
+    device scorer already excluded overhanging positions from mismatch/
+    edit counts and probability mass (pipeline._score_ungapped in_contig
+    mask); this host pass writes the matching lead/tail S CIGAR and moves
+    the start to the first in-contig base.
+    """
+    s = suffix
+    aligned = np.asarray(res["aligned" + s]).astype(bool)
+    if not aligned.any():
+        return
+    starts = np.asarray(res["start" + s]).astype(np.int64)
+    offs = genome.contig_offsets
+    ends = offs + np.array([c.length for c in genome.contigs], np.int64)
+    mid = starts + read_len // 2
+    cid = np.clip(np.searchsorted(offs, mid, side="right") - 1,
+                  0, len(offs) - 1)
+    lead = np.maximum(offs[cid] - starts, 0)
+    tail = np.maximum(starts + read_len - ends[cid], 0)
+    rows = np.nonzero(aligned & ((lead > 0) | (tail > 0)))[0]
+    if rows.size == 0:
+        return
+    key = "cigar" + s
+    if key not in res:
+        res[key] = [None] * aligned.shape[0]
+    for i in rows:
+        if res[key][i] is not None:
+            continue   # rows with masked-tail CIGARs keep them
+        lo, hi = int(lead[i]), int(tail[i])
+        body = read_len - lo - hi
+        parts = ([f"{lo}S"] if lo else []) + [f"{body}M"] + \
+            ([f"{hi}S"] if hi else [])
+        res[key][i] = "".join(parts)
+        res["start" + s][i] += lo
+
+
 def _oriented_read(bases_row: np.ndarray, reverse: bool) -> np.ndarray:
     if reverse:
         return dna.revcomp(bases_row)
     return bases_row
 
 
+def _first_run_start(ok: np.ndarray, k: int) -> np.ndarray:
+    """Per row: start index of the first run of k consecutive Trues in
+    `ok` (0 when none, matching the legacy scan's no-clip fallback)."""
+    n, l = ok.shape
+    idx = np.arange(l, dtype=np.int64)[None, :]
+    last_false = np.maximum.accumulate(np.where(~ok, idx, -1), axis=1)
+    runlen = idx - last_false
+    hit = runlen >= k
+    any_hit = hit.any(axis=1)
+    j = np.argmax(hit, axis=1)             # first index with run >= k
+    return np.where(any_hit, j - (k - 1), 0)
+
+
 def clip_semialigned(res: dict, suffix: str, genome_codes: np.ndarray,
                      bases: np.ndarray) -> None:
-    """Soft-clip poorly aligned read ends (5-consecutive-match rule)."""
-    aligned = res["aligned" + suffix]
+    """Soft-clip poorly aligned read ends (5-consecutive-match rule),
+    vectorized across the batch (the reference walks per-cluster,
+    SemialignedEndsClipper.cpp; a per-read Python walk dominated the
+    host half of the pipeline)."""
+    aligned = np.asarray(res["aligned" + suffix]).astype(bool)
     key = "cigar" + suffix
+    n_rows, l = bases.shape
     if key not in res:
-        res[key] = [None] * aligned.shape[0]
-    for i in np.nonzero(aligned)[0]:
-        cigar_str = res[key][i]
-        if cigar_str is not None and any(op in cigar_str for op in "ID"):
-            continue  # gapped alignments: reference skips realigned ends too
-        start = int(res["start" + suffix][i])
-        seq = _oriented_read(bases[i], bool(res["reverse" + suffix][i]))
-        l = seq.shape[0]
-        # existing soft clips from masking
-        lead_s = 0
-        tail_s = 0
-        if cigar_str:
-            parsed = parse_cigar(cigar_str)
-            if parsed[0][1] == "S":
-                lead_s = parsed[0][0]
-            if parsed[-1][1] == "S":
-                tail_s = parsed[-1][0]
-        core = slice(lead_s, l - tail_s)
-        ref = genome_codes[start : start + (core.stop - core.start)]
-        s = seq[core]
-        match = (s == dna.N) | ((s == ref) & (ref != dna.N))
+        res[key] = [None] * n_rows
+    if not aligned.any():
+        return
+    cigars = res[key]
 
-        # left side: advance until CONSECUTIVE_MATCHES_MIN matches in a row
-        def scan(m):
-            run = 0
-            for j, ok in enumerate(m):
-                run = run + 1 if ok else 0
-                if run == CONSECUTIVE_MATCHES_MIN:
-                    return j - CONSECUTIVE_MATCHES_MIN + 1
-            return 0
-        left_clip = scan(match)
-        right_clip = scan(match[::-1])
-        if left_clip == 0 and right_clip == 0:
-            continue
-        n = core.stop - core.start
-        if left_clip + right_clip + CONSECUTIVE_MATCHES_MIN >= n:
-            continue  # would clip everything; leave as-is
-        # removed mismatches no longer count toward NM
-        removed_mm = int((~match[:left_clip]).sum() +
-                         (~match[n - right_clip :]).sum())
-        new_lead = lead_s + left_clip
-        new_tail = tail_s + right_clip
+    # rows eligible: aligned, cigar absent or pure S/M (gapped alignments
+    # keep their realigned ends, like the reference)
+    from ..build.records import cigars_to_ops, clip_spans
+    lengths = np.full(n_rows, l, np.int32)
+    ops, n_ops = cigars_to_ops(list(cigars), lengths)
+    opc = ops & 0xF
+    valid_col = np.arange(ops.shape[1])[None, :] < n_ops[:, None]
+    has_indel = (((opc == 1) | (opc == 2) | (opc == 3)) & valid_col).any(axis=1)
+    lead_s, tail_s = clip_spans(ops, n_ops)
+    rows_m = aligned & ~has_indel
+    if not rows_m.any():
+        return
+    rows = np.nonzero(rows_m)[0]
+
+    start = np.asarray(res["start" + suffix])[rows].astype(np.int64)
+    rev = np.asarray(res["reverse" + suffix])[rows].astype(bool)
+    lead = lead_s[rows].astype(np.int64)
+    tail = tail_s[rows].astype(np.int64)
+
+    # oriented read sequences (vectorized revcomp)
+    sub = bases[rows]
+    rc = sub[:, ::-1]
+    rc = np.where(rc < 4, 3 - rc, rc)
+    seq = np.where(rev[:, None], rc, sub)
+
+    # per-position match against the reference window; position j of the
+    # oriented read sits at genome (start - lead + j)
+    g = genome_codes.shape[0]
+    col = np.arange(l, dtype=np.int64)[None, :]
+    gpos = start[:, None] - lead[:, None] + col
+    ref = genome_codes[np.clip(gpos, 0, g - 1)]
+    core = (col >= lead[:, None]) & (col < l - tail[:, None]) & \
+        (gpos >= 0) & (gpos < g)
+    match = (seq == dna.N) | ((seq == ref) & (ref != dna.N))
+    ok = match & core
+    # positions outside the core must not join runs nor count as mismatch
+    mism = ~match & core
+
+    core_len = (l - tail - lead).astype(np.int64)
+    # left scan over the core: shift so core starts at column 0
+    left = _first_run_start(ok, CONSECUTIVE_MATCHES_MIN) - lead
+    left = np.maximum(left, 0)
+    # right scan: reverse each row's core; easiest as a flipped array
+    right = _first_run_start(ok[:, ::-1], CONSECUTIVE_MATCHES_MIN) - tail
+    right = np.maximum(right, 0)
+
+    clip_any = (left > 0) | (right > 0)
+    fits = left + right + CONSECUTIVE_MATCHES_MIN < core_len
+    do = clip_any & fits
+    if not do.any():
+        return
+
+    # removed mismatches via prefix sums over the core
+    mism_cum = np.cumsum(mism, axis=1)
+    last = np.maximum(lead + left - 1, 0)
+    left_mm = np.where(left > 0,
+                       np.take_along_axis(mism_cum, last[:, None], 1)[:, 0]
+                       - np.where(lead > 0,
+                                  np.take_along_axis(
+                                      mism_cum,
+                                      np.maximum(lead - 1, 0)[:, None],
+                                      1)[:, 0], 0), 0)
+    total_mm = np.take_along_axis(mism_cum, np.full_like(last, l - 1)[:, None],
+                                  1)[:, 0]
+    upto_keep = np.take_along_axis(
+        mism_cum, np.maximum(l - tail - right - 1, 0)[:, None], 1)[:, 0]
+    right_mm = total_mm - upto_keep
+    removed = np.where(do, left_mm + right_mm, 0)
+
+    for k2 in np.nonzero(do)[0]:
+        i = rows[k2]
+        new_lead = int(lead[k2] + left[k2])
+        new_tail = int(tail[k2] + right[k2])
         body = l - new_lead - new_tail
-        parts = []
-        if new_lead:
-            parts.append(f"{new_lead}S")
-        parts.append(f"{body}M")
-        if new_tail:
-            parts.append(f"{new_tail}S")
+        parts = ([f"{new_lead}S"] if new_lead else []) + [f"{body}M"] + \
+            ([f"{new_tail}S"] if new_tail else [])
         res[key][i] = "".join(parts)
-        res["start" + suffix][i] = start + left_clip
+        res["start" + suffix][i] = int(start[k2]) + int(left[k2])
         res["edit_distance" + suffix][i] = max(
-            0, int(res["edit_distance" + suffix][i]) - removed_mm)
+            0, int(res["edit_distance" + suffix][i]) - int(removed[k2]))
         res["mismatches" + suffix][i] = max(
-            0, int(res["mismatches" + suffix][i]) - removed_mm)
+            0, int(res["mismatches" + suffix][i]) - int(removed[k2]))
 
 
 def clip_overlapping(res: dict, b1, b2, genome_codes: np.ndarray) -> None:

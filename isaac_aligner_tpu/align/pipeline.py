@@ -35,6 +35,14 @@ from . import quality
 
 BUCKET_WIDTH = 16
 
+# head/tail padding of the packed genome planes, in WORDS: 256 bases of
+# out-of-genome sentinel each side so candidates overhanging a contig (or
+# the genome) edge can still gather aligned windows; overhanging lanes are
+# masked out of scoring by the per-position in-contig mask
+GP_PAD_WORDS = 16     # 2-bit plane: 16 bases/word -> 256 bases
+GN_PAD_WORDS = 8      # N-bit plane: 32 bases/word -> 256 bases
+GENOME_PAD = GP_PAD_WORDS * 16
+
 
 class IndexArrays(NamedTuple):
     """Device-resident index planes (a pytree — jit-traceable)."""
@@ -132,8 +140,11 @@ def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Word w holds bases [16w, 16w+16) big-endian (base 16w in the top two
     bits) so lexicographic base order matches word order; N packs as code
     0 with its bit set in the 1-bit-per-base plane (32 bases per word,
-    base 32w in bit 31).  One zero word of tail padding lets the aligner
-    funnel-shift across word boundaries without bounds checks.
+    base 32w in bit 31).  GENOME_PAD bases of out-of-genome sentinel
+    (N-bit set) pad BOTH ends: consumers add GP_PAD_WORDS/GN_PAD_WORDS to
+    their word indexes, and candidates overhanging contig/genome edges
+    gather correctly (the per-position in-contig mask excludes the
+    overhang from scoring — reference AlignerBase contig-end clipping).
     """
     g = codes.shape[0]
     n16 = -(-g // 16)
@@ -143,15 +154,19 @@ def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lanes = padded.reshape(n16, 16)
     shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
     packed = (lanes << shifts[None, :]).astype(np.uint32).sum(axis=1, dtype=np.uint32)
-    packed = np.concatenate([packed, np.zeros(1, np.uint32)])
+    zpad = np.zeros(GP_PAD_WORDS, np.uint32)
+    packed = np.concatenate([zpad, packed, zpad])
 
     n32 = -(-g // 32)
     nb = np.zeros(n32 * 32, np.uint32)
     nb[:g] = (codes >= 4).astype(np.uint32)
+    # genome tail inside the last real word is out-of-genome: N
+    nb[g:] = 1
     nlanes = nb.reshape(n32, 32)
     nshifts = (31 - np.arange(32)).astype(np.uint32)
     nbits = (nlanes << nshifts[None, :]).astype(np.uint32).sum(axis=1, dtype=np.uint32)
-    nbits = np.concatenate([nbits, np.zeros(1, np.uint32)])
+    npad = np.full(GN_PAD_WORDS, 0xFFFFFFFF, np.uint32)
+    nbits = np.concatenate([npad, nbits, npad])
     return packed, nbits
 
 
@@ -374,14 +389,25 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     hit_nb = arrays.has_neighbors[jnp.minimum(hit_idx, arrays.key_hi.shape[0] - 1)]
     clean = hit_valid & (hit_nb == 0)
 
-    # candidate must lie fully inside one contig (no clipping support yet)
-    def contig_bounded(start_arr):
-        cid = jnp.searchsorted(arrays.contig_starts, start_arr, side="right") - 1
-        cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
-        return (start_arr >= arrays.contig_starts[cid]) & \
-               (start_arr + read_len <= arrays.contig_ends[cid])
+    # candidates may overhang a contig edge by up to max_over bases; the
+    # scorer masks out-of-contig positions and the host soft-clips them
+    # (reference AlignerBase.cpp:121-231 contig-end clipping).  At least
+    # read_len//2 + 1 bases must stay inside so the middle base locates
+    # the owning contig unambiguously.
+    min_inside = read_len // 2 + 1
+    max_over = min(read_len - min_inside, GENOME_PAD - 1)
 
-    valid = hit_valid & contig_bounded(start) & (start >= 0)
+    def contig_bounded(start_arr):
+        mid = start_arr + read_len // 2
+        cid = jnp.searchsorted(arrays.contig_starts, mid, side="right") - 1
+        cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
+        cs = arrays.contig_starts[cid]
+        ce = arrays.contig_ends[cid]
+        return (mid >= cs) & (mid < ce) & \
+               (start_arr >= cs - max_over) & \
+               (start_arr + read_len <= ce + max_over)
+
+    valid = hit_valid & contig_bounded(start) & (start >= -max_over)
 
     if k_ext:
         # verify the seed extension: genome[pos+32 : pos+k] must equal the
@@ -389,7 +415,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
         ext_pos = jnp.maximum(hit_pos + k_search, 0)      # [B, S, R]
         gp = arrays.genome_packed
         gw = gp.shape[0]
-        word0 = ext_pos >> 4
+        word0 = (ext_pos >> 4) + GP_PAD_WORDS
         t_idx = jnp.arange(w_ext + 1, dtype=jnp.int32)
         widx = jnp.clip(word0[..., None] + t_idx, 0, gw - 1)
         words = gp[widx]                                  # [B, S, R, We+1]
@@ -410,7 +436,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
             gn = arrays.genome_nbits
             gnw = gn.shape[0]
             nw = -(-(k_ext + 31) // 32) + 1
-            nword0 = ext_pos >> 5
+            nword0 = (ext_pos >> 5) + GN_PAD_WORDS
             nt = jnp.arange(nw, dtype=jnp.int32)
             nwidx = jnp.clip(nword0[..., None] + nt, 0, gnw - 1)
             nwords = gn[nwidx]
@@ -458,7 +484,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
             (nb_pos != TOO_MANY_POS)
         nb_start = nb_pos - qoff_arr[None, :, None]
         nb_orient = jnp.broadcast_to(orient_arr[None, :, None], nb_start.shape)
-        nb_valid = nb_ok & contig_bounded(nb_start) & (nb_start >= 0)
+        nb_valid = nb_ok & contig_bounded(nb_start) & (nb_start >= -max_over)
         starts_f.append(flat(nb_start))
         orients_f.append(flat(nb_orient))
         valids_f.append(flat(nb_valid))
@@ -642,10 +668,10 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         lm = t_match[qi]                            # [B, L]
         delta = t_mismatch[qi] - lm
         n_mask = base_arr >= dna.NUM_BASES
-        return jnp.sum(lm, axis=1), delta, n_mask
+        return lm, delta, n_mask
 
-    lp_all_f, delta_f, n_f = per_orient(bases, quals)
-    lp_all_r, delta_r, n_r = per_orient(rc_bases, r_quals)
+    lm_f, delta_f, n_f = per_orient(bases, quals)
+    lm_r, delta_r, n_r = per_orient(rc_bases, r_quals)
 
     # ---- compact valid (read, candidate) pairs into a dense work queue
     flat_valid = cand_valid.reshape(-1)                           # [B*C]
@@ -662,10 +688,23 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     dropped_row = jnp.any(
         (flat_valid & (cum > p)).reshape(b, c), axis=1)
 
+    # per-position in-contig mask: positions overhanging the candidate's
+    # contig (located by the read's MIDDLE base) are soft-clipped —
+    # excluded from mismatch/edit counts and probability mass
+    # (AlignerBase.cpp:121-231)
+    mid = p_start + read_len // 2
+    p_cid = jnp.clip(
+        jnp.searchsorted(arrays.contig_starts, mid, side="right") - 1,
+        0, arrays.contig_starts.shape[0] - 1)
+    c_lo = arrays.contig_starts[p_cid][:, None]                   # [P, 1]
+    c_hi = arrays.contig_ends[p_cid][:, None]
+    pos_j = p_start[:, None] + jnp.arange(read_len, dtype=jnp.int32)[None, :]
+    in_contig = (pos_j >= c_lo) & (pos_j < c_hi)                  # [P, L]
+
     # gather packed genome windows: Wr+1 words starting at start>>4
     gp = arrays.genome_packed
     gw = gp.shape[0]
-    word0 = p_start >> 4                                          # [P]
+    word0 = (p_start >> 4) + GP_PAD_WORDS                         # [P]
     t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
     widx = jnp.clip(word0[:, None] + t_idx[None, :], 0, gw - 1)
     words = gp[widx]                                              # [P, Wr+1]
@@ -692,7 +731,7 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         gn = arrays.genome_nbits
         gnw = gn.shape[0]
         w_n = -(-(read_len + 31) // 32) + 1
-        nword0 = p_start >> 5
+        nword0 = (p_start >> 5) + GN_PAD_WORDS
         nt = jnp.arange(w_n, dtype=jnp.int32)
         nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
         nwords = gn[nwidx]
@@ -710,12 +749,15 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
 
     # reference isMatch: read N matches; otherwise equal codes and ref not N
     is_match = read_n | (~code_mismatch & ~ref_n)
-    p_mismatches = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
-    p_edit = jnp.sum(read_n | ref_n | code_mismatch, axis=-1).astype(jnp.int32)
+    p_mismatches = jnp.sum(~is_match & in_contig, axis=-1).astype(jnp.int32)
+    p_edit = jnp.sum((read_n | ref_n | code_mismatch) & in_contig,
+                     axis=-1).astype(jnp.int32)
 
     delta = jnp.where(p_rc[:, None], delta_r[row], delta_f[row])
-    lp_all = jnp.where(p_rc, lp_all_r[row], lp_all_f[row])
-    p_log_prob = lp_all + jnp.sum(jnp.where(is_match, 0.0, delta), axis=-1)
+    lm = jnp.where(p_rc[:, None], lm_r[row], lm_f[row])
+    p_log_prob = jnp.sum(
+        jnp.where(in_contig, jnp.where(is_match, lm, lm + delta), 0.0),
+        axis=-1)
 
     # ---- scatter back to the [B, C] grid (invalid slots -> -inf / 0)
     neg_inf = jnp.float32(-jnp.inf)
@@ -729,26 +771,32 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     return log_prob, mismatches, edit_distance, dropped_row
 
 
-def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
-    """Stages A+B+C for one read end: deduped, scored candidate lists.
+def score_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
+                     cand_start, cand_orient, cand_valid, well_anchored,
+                     num_candidates, scored_overflow,
+                     pass2_dropped_mask=None, finder_stats=None):
+    """Stage C on an already-gathered candidate grid -> per-end dict.
 
-    Returns the per-end dict consumed by the pair resolver
-    (align/pairs.py): start, orient, valid, cid, log_prob, sw_score,
-    edit, obs_len — all [B, C].
+    Split out of score_end so the SPMD path (parallel/sharded.py) can
+    feed candidates assembled from per-shard hit lists into the same
+    scorer/pair machinery.
     """
     b, read_len = bases.shape
-    cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
-        arrays, cfg, bases, quals)
     log_prob, mismatches, edit_distance, dropped = _score_ungapped(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
-    cid = jnp.searchsorted(arrays.contig_starts, cand_start, side="right") - 1
+    # locate by the middle base: edge-overhanging candidates still belong
+    # to the contig that holds most of the read
+    cid = jnp.searchsorted(arrays.contig_starts,
+                           cand_start + read_len // 2, side="right") - 1
     cid = jnp.clip(cid, 0, arrays.contig_starts.shape[0] - 1)
+    dodgy = scored_overflow | dropped
+    if pass2_dropped_mask is not None:
+        dodgy = dodgy | pass2_dropped_mask
     return {
         "score_dropped": dropped,
         # untrackable repeat mass (or a dropped pass-2 escalation): force
         # dodgy handling in the pair resolver like finalize_single_end does
-        "dodgy": diag["scored_overflow"] | dropped |
-                 diag.get("pass2_dropped_mask", jnp.zeros_like(dropped)),
+        "dodgy": dodgy,
         "start": cand_start,
         "orient": cand_orient,
         "valid": cand_valid,
@@ -759,9 +807,25 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
         "mismatches": mismatches,
         "edit": edit_distance,
         "obs_len": jnp.full(cand_start.shape, read_len, jnp.int32),
-        "num_candidates": diag["num_candidates"],
-        "finder_stats": _finder_stats_from_diag(diag),
+        "num_candidates": num_candidates,
+        "finder_stats": finder_stats or {},
     }
+
+
+def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
+    """Stages A+B+C for one read end: deduped, scored candidate lists.
+
+    Returns the per-end dict consumed by the pair resolver
+    (align/pairs.py): start, orient, valid, cid, log_prob, sw_score,
+    edit, obs_len — all [B, C].
+    """
+    cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
+        arrays, cfg, bases, quals)
+    return score_candidates(
+        arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid,
+        well_anchored, diag["num_candidates"], diag["scored_overflow"],
+        pass2_dropped_mask=diag.get("pass2_dropped_mask"),
+        finder_stats=_finder_stats_from_diag(diag))
 
 
 def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,

@@ -97,6 +97,7 @@ class Aligner:
         # __array__ fetch path is pathologically slow
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         clippers.apply_masked_tail_cigar(res, "", trims, batch.read_len)
+        clippers.clip_contig_ends(res, "", self.index.genome, batch.read_len)
         if gapped:
             from .align.gapped import polish_gapped
             from .align.indel import polish_simple_indels
@@ -318,6 +319,8 @@ class PairedAligner:
         self._apply_rescue(res, m1, m2)
         clippers.apply_masked_tail_cigar(res, "_1", trims[0], b1.read_len)
         clippers.apply_masked_tail_cigar(res, "_2", trims[1], b2.read_len)
+        clippers.clip_contig_ends(res, "_1", self.index.genome, b1.read_len)
+        clippers.clip_contig_ends(res, "_2", self.index.genome, b2.read_len)
         from .align.gapped import polish_gapped
         from .align.indel import polish_simple_indels
         gs = self.gap_scoring
