@@ -175,6 +175,14 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
     g = int(arrays.genome.shape[0])
     end1 = score_end(arrays, cfg, bases1, quals1)
     end2 = score_end(arrays, cfg, bases2, quals2)
+    return paired_from_ends(g, l1, l2, cfg, tls, end1, end2)
+
+
+def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
+                     tls: TlsStatic, end1: dict, end2: dict):
+    """Pair resolution + scoring from two scored end dicts (the tail of
+    align_paired_batch; the SPMD path builds its ends from per-shard hit
+    lists and reuses this verbatim)."""
     rog_template = quality.rest_of_genome_correction(g, l1 + l2)
     rog1 = quality.rest_of_genome_correction(g, l1)
     rog2 = quality.rest_of_genome_correction(g, l2)
