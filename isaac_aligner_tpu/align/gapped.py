@@ -226,11 +226,17 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
 
     for lo in range(0, len(metas), block):
         chunk = slice(lo, min(lo + block, len(metas)))
-        q_arr = np.stack(queries[chunk.start : chunk.stop])
-        db_arr = np.stack(dbs[chunk.start : chunk.stop])
+        n_chunk = chunk.stop - chunk.start
+        # pad to the static block size: one compiled executable regardless
+        # of how many rows triggered this batch
+        q_arr = np.zeros((block, read_len), np.int32)
+        db_arr = np.zeros((block, read_len + sw.BAND - 1), np.int32)
+        q_arr[:n_chunk] = np.stack(queries[chunk.start : chunk.stop])
+        db_arr[:n_chunk] = np.stack(dbs[chunk.start : chunk.stop])
         import jax
         gfin, tb = jax.device_get(
             sw.banded_sw_jit(q_arr, db_arr, gs.sw_scores()))
+        gfin, tb = gfin[:n_chunk], tb[:n_chunk]
         for k, (r, win_start, left) in enumerate(metas[chunk]):
             exit_d = int(np.argmax(gfin[k]))
             ops, first_db = sw.traceback(tb[k], exit_d, read_len)

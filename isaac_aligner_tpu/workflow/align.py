@@ -415,7 +415,7 @@ class AlignWorkflow:
             if o.run_folder:
                 rec_names = np.repeat(np.asarray(read_names, dtype="U"),
                                       len(fb) // max(len(read_names), 1))
-                self._tile_agg(rec_names, mapped, per_tile)
+                self._tile_agg(rec_names, fb, mapped, per_tile, rg_names)
             store.add(fb)
 
         # the barcode/name sidecar rides a queue so the pipelined aligner
@@ -492,8 +492,9 @@ class AlignWorkflow:
                 json.dumps(counts, indent=2))
         if per_tile:
             stats["tiles"] = [
-                {"lane": lane, "tile": tile, **agg}
-                for (lane, tile), agg in sorted(per_tile.items())]
+                {"lane": lane, "tile": tile, "barcode": sample,
+                 "read": read, **agg}
+                for (lane, tile, sample, read), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
         stats["mapq_hist"] = [int(x) for x in stats["mapq_hist"]]
         for k in ("total_reads", "aligned", "perfect", "proper_pairs"):
@@ -503,25 +504,49 @@ class AlignWorkflow:
             self._stats["match_finder"] = dict(aligner.finder_stats)
 
     @staticmethod
-    def _tile_agg(names, mapped, per_tile: dict) -> None:
-        """Per-(lane,tile) yield aggregation from Illumina read names
-        (vectorized prefix grouping; MatchSelectorStats TileStats analog).
-        `names` is one entry per RECORD (repeated per end for pairs)."""
+    def _tile_agg(names, fb, mapped, per_tile: dict,
+                  rg_names: tuple[str, ...]) -> None:
+        """Per-(lane, tile, barcode/sample, read#) yield aggregation from
+        Illumina read names (vectorized prefix grouping; the reference's
+        tile x barcode x read histograms, MatchSelectorStatsXml.cpp /
+        TileBarcodeStats.hh).  `names` is one entry per RECORD."""
         import numpy as np
         names = np.asarray(names, dtype="U")
         pre = np.char.rpartition(
             np.char.rpartition(names, ":")[:, 0], ":")[:, 0]
         uniq, inv = np.unique(pre, return_inverse=True)
-        tot = np.bincount(inv, minlength=len(uniq))
-        alg = np.bincount(inv, weights=mapped.astype(np.float64),
-                          minlength=len(uniq))
-        for u, t, a in zip(uniq, tot, alg):
-            parts = str(u).split(":")
-            if len(parts) >= 5:
-                agg = per_tile.setdefault((parts[3], parts[4]),
-                                          {"total": 0, "aligned": 0})
-                agg["total"] += int(t)
-                agg["aligned"] += int(a)
+        n_rg = max(len(rg_names), 1)
+        rg = (np.clip(fb.rg, 0, n_rg - 1) if rg_names
+              else np.zeros(len(fb), np.int64)).astype(np.int64)
+        read2 = ((fb.flag & sam.FLAG_READ2) != 0).astype(np.int64)
+        key = (inv.astype(np.int64) * n_rg + rg) * 2 + read2
+        nk = len(uniq) * n_rg * 2
+        L = fb.qual.shape[1]
+        in_read = np.arange(L)[None, :] < fb.length[:, None]
+        q30 = ((fb.qual >= 30) & in_read).sum(axis=1)
+        perfect = (mapped & (fb.nm == 0)).astype(np.float64)
+
+        w = lambda v: np.bincount(key, weights=np.asarray(v, np.float64),
+                                  minlength=nk)
+        tot = np.bincount(key, minlength=nk)
+        agg_cols = {"aligned": w(mapped), "perfect": w(perfect),
+                    "yield": w(fb.length), "yield_q30": w(q30),
+                    "mapq_sum": w(fb.mapq.astype(np.float64) * mapped)}
+        for flat in np.nonzero(tot)[0]:
+            ti, rest = divmod(int(flat), n_rg * 2)
+            ri, e = divmod(rest, 2)
+            parts = str(uniq[ti]).split(":")
+            if len(parts) < 5:
+                continue
+            sample = rg_names[ri] if rg_names else "all"
+            agg = per_tile.setdefault(
+                (parts[3], parts[4], sample, e + 1),
+                {"total": 0, "aligned": 0, "perfect": 0, "yield": 0,
+                 "yield_q30": 0, "mapq_sum": 0})
+            agg["total"] += int(tot[flat])
+            for cname, col in agg_cols.items():
+                agg[cname if cname != "aligned" else "aligned"] += \
+                    int(col[flat])
 
     def _sample_specs(self):
         from ..demultiplexing.samplesheet import parse_sample_sheet

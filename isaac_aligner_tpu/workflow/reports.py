@@ -30,12 +30,32 @@ def write_match_selector_stats_xml(stats: dict, path: str | Path,
     proj = ET.SubElement(fc, "Project", name="default")
     smp = ET.SubElement(proj, "Sample", name=sample)
     bc = ET.SubElement(smp, "Barcode", name="all")
-    # per-(lane, tile) breakdown when the input was a BCL run folder
+    # per-(lane, tile) breakdown with nested barcode x read histograms
+    # when the input was a BCL run folder (reference tile x barcode x read
+    # stats, MatchSelectorStatsXml.cpp / TileBarcodeStats.hh)
+    tiles: dict[tuple, list] = {}
     for t in stats.get("tiles", []):
-        te = ET.SubElement(bc, "Tile", number=str(t["tile"]),
-                           lane=str(t["lane"]))
-        ET.SubElement(te, "Count").text = str(t["total"])
-        ET.SubElement(te, "Aligned").text = str(t["aligned"])
+        tiles.setdefault((str(t["lane"]), str(t["tile"])), []).append(t)
+    for (lane, tile_no), rows in sorted(tiles.items()):
+        te = ET.SubElement(bc, "Tile", number=tile_no, lane=lane)
+        ET.SubElement(te, "Count").text = str(sum(r["total"] for r in rows))
+        ET.SubElement(te, "Aligned").text = str(
+            sum(r["aligned"] for r in rows))
+        by_bc: dict[str, list] = {}
+        for r in rows:
+            by_bc.setdefault(str(r.get("barcode", "all")), []).append(r)
+        for bname, brows in sorted(by_bc.items()):
+            be = ET.SubElement(te, "Barcode", name=bname)
+            for r in sorted(brows, key=lambda x: x.get("read", 1)):
+                re_ = ET.SubElement(be, "Read",
+                                    number=str(r.get("read", 1)))
+                ET.SubElement(re_, "ClusterCount").text = str(r["total"])
+                ET.SubElement(re_, "Aligned").text = str(r["aligned"])
+                for tag, key in (("Perfect", "perfect"), ("Yield", "yield"),
+                                 ("YieldQ30", "yield_q30"),
+                                 ("MapqSum", "mapq_sum")):
+                    if key in r:
+                        ET.SubElement(re_, tag).text = str(int(r[key]))
     tile = ET.SubElement(bc, "Tile", number="0")
     frag = ET.SubElement(tile, "AllFragments")
     total = int(stats.get("total_reads", 0))

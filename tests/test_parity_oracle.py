@@ -1,0 +1,208 @@
+"""Independent float64 oracle of the single-end chain, fuzzed against the
+device pipeline (round-1 review: parity was only asserted against
+self-pinned goldens).
+
+The oracle re-derives, from first principles and in float64, everything
+the device computes in float32 with its own data layout:
+  candidate enumeration  — brute-force exact 32-mer search over the whole
+                           genome at every configured seed offset,
+                           fwd + revcomp, repeat-threshold suppression
+  scoring                — per-base log-prob tables (f64), reference
+                           isMatch rule, contig-bounds masking
+  selection              — (mismatches, -log_prob) best pick
+  MAPQ                   — floor(-10*log10(nb/(nb+pBest))), nb = rog +
+                           sum of non-best candidate masses
+
+Core fields (aligned/start/reverse/mismatches/edit) must match EXACTLY.
+MAPQ uses f32 exp/log sums on device; the only tolerated divergence is a
+±1 flip when the f64 value sits within f32 rounding of an integer floor
+boundary — counted and bounded, never waved through silently.
+"""
+
+import numpy as np
+import pytest
+
+from isaac_aligner_tpu import dna
+from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch_jit,
+                                              bucket_params_for,
+                                              genome_has_n_for, prepare_index)
+from isaac_aligner_tpu.align.quality import LOG_MATCH_F64, LOG_MISMATCH_F64
+from isaac_aligner_tpu.index.build import build_index
+from isaac_aligner_tpu.io.fasta import genome_from_sequences
+
+SEED_LEN = 32
+READ_LEN = 64
+N_READS = 2048
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = np.random.default_rng(71)
+    g = rng.integers(0, 4, 6000).astype(np.uint8)
+    g[2000:2300] = g[500:800]            # exact 300bp repeat
+    g[4000:4030] = 4                     # N island
+    genome = genome_from_sequences([
+        ("cA", dna.decode(g[:3500])), ("cB", dna.decode(g[3500:]))])
+    # no neighbor annotation: every exact hit is a clean anchor, so the
+    # oracle need not model the <=4-mismatch neighborhood bits
+    index = build_index(genome, seed_len=SEED_LEN)
+    assert index.has_neighbors is None or not index.has_neighbors.any()
+
+    reads = np.zeros((N_READS, READ_LEN), np.uint8)
+    quals = np.zeros((N_READS, READ_LEN), np.uint8)
+    gl = genome.codes.shape[0]
+    for i in range(N_READS):
+        p = int(rng.integers(0, gl - READ_LEN))
+        r = genome.codes[p : p + READ_LEN].copy()
+        n_mut = int(rng.integers(0, 7))
+        for _ in range(n_mut):
+            j = int(rng.integers(0, READ_LEN))
+            r[j] = rng.integers(0, 4)
+        if rng.random() < 0.1:           # sprinkle read Ns
+            r[rng.integers(0, READ_LEN, 3)] = 4
+        if rng.random() < 0.5:
+            r = np.where(r < 4, 3 - r, r)[::-1]
+        if rng.random() < 0.03:          # junk reads
+            r = rng.integers(0, 4, READ_LEN).astype(np.uint8)
+        reads[i] = r
+        quals[i] = rng.integers(20, 41, READ_LEN)
+    return genome, index, reads, quals
+
+
+def _oracle(genome, cfg, reads, quals):
+    """Brute-force f64 single-end oracle."""
+    g = genome.codes.astype(np.int16)
+    gl = g.shape[0]
+    k = cfg.seed_len
+    # sliding genome k-mer matrix is too big; match per read instead
+    offs = np.array([c.offset for c in genome.contigs], np.int64)
+    ends = offs + np.array([c.length for c in genome.contigs], np.int64)
+    min_inside = READ_LEN // 2 + 1
+    max_over = READ_LEN - min_inside
+
+    # precompute genome windows per position for seed search:
+    # windows[p] == g[p:p+k]; use stride tricks
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(g, k)      # [gl-k+1, k]
+    # the index only stores k-mers lying fully inside one contig
+    wpos = np.arange(win.shape[0])
+    wcid = np.searchsorted(offs, wpos, side="right") - 1
+    in_one_contig = (wpos + k) <= ends[np.clip(wcid, 0, len(offs) - 1)]
+
+    rog = float(np.exp(np.log(2.0) + np.log(float(gl))
+                       - np.log(4.0) * READ_LEN))
+    out = {f: np.zeros(len(reads), dt) for f, dt in (
+        ("aligned", bool), ("start", np.int64), ("reverse", bool),
+        ("mismatches", np.int64), ("edit_distance", np.int64),
+        ("mapq", np.float64), ("dodgy", bool))}
+
+    for i in range(len(reads)):
+        fwd = reads[i]
+        rc = np.where(fwd < 4, 3 - fwd, fwd)[::-1]
+        q_f = quals[i].astype(np.int64)
+        q_r = q_f[::-1]
+        cands = set()
+        too_many_only = False
+        for orient, seq in ((0, fwd), (1, rc)):
+            for off in cfg.seed_offsets:
+                kmer = seq[off : off + k]
+                if (kmer >= 4).any():
+                    continue
+                hits = np.nonzero((win == kmer[None, :]).all(axis=1)
+                                  & in_one_contig)[0]
+                if hits.size > cfg.repeat_threshold:
+                    too_many_only = True
+                    continue
+                for p in hits:
+                    start = int(p) - off
+                    # contig bounds with edge-overhang allowance
+                    mid = start + READ_LEN // 2
+                    ci = np.searchsorted(offs, mid, side="right") - 1
+                    ci = min(max(ci, 0), len(offs) - 1)
+                    if not (offs[ci] <= mid < ends[ci]):
+                        continue
+                    if start < offs[ci] - max_over or \
+                            start + READ_LEN > ends[ci] + max_over:
+                        continue
+                    if start < -max_over:
+                        continue
+                    cands.add((orient, start, int(offs[ci]), int(ends[ci])))
+        cands = sorted(cands)            # (orient, start) order like dedup
+        if not cands:
+            continue
+        scored = cands[: cfg.max_scored_candidates]
+        dodgy = len(cands) > cfg.max_scored_candidates
+        lps, mms, edits = [], [], []
+        for orient, start, clo, chi in scored:
+            seq = rc if orient else fwd
+            qv = q_r if orient else q_f
+            j = np.arange(READ_LEN)
+            gpos = start + j
+            inc = (gpos >= clo) & (gpos < chi)
+            ref = g[np.clip(gpos, 0, gl - 1)]
+            read_n = seq >= 4
+            ref_n = ref >= 4
+            mismatch_code = (seq != ref)
+            is_match = read_n | (~mismatch_code & ~ref_n)
+            mm = int((~is_match & inc).sum())
+            edit = int(((read_n | ref_n | mismatch_code) & inc).sum())
+            lm = LOG_MATCH_F64[qv]
+            lmm = LOG_MISMATCH_F64[qv]
+            lp = float(np.where(inc, np.where(is_match, lm, lmm), 0.0).sum())
+            lps.append(lp)
+            mms.append(mm)
+            edits.append(edit)
+        lps = np.array(lps)
+        mms = np.array(mms)
+        key = mms * 1e6 - lps
+        b = int(np.argmin(key))
+        others = float(np.exp(lps).sum() - np.exp(lps[b]))
+        nb = rog + others
+        mapq = -10.0 * np.log10(nb / (nb + np.exp(lps[b])))
+        out["aligned"][i] = True
+        out["start"][i] = scored[b][1]
+        out["reverse"][i] = scored[b][0] == 1
+        out["mismatches"][i] = mms[b]
+        out["edit_distance"][i] = edits[b]
+        out["mapq"][i] = min(max(np.floor(mapq), 0), cfg.mapq_cap)
+        out["dodgy"][i] = dodgy or too_many_only and not cands
+        if dodgy:
+            out["mapq"][i] = cfg.dodgy_mapq
+    return out
+
+
+def test_device_matches_f64_oracle(fixture):
+    genome, index, reads, quals = fixture
+    bw, bl = bucket_params_for(index)
+    cfg = AlignConfig(
+        seed_len=SEED_LEN, seed_offsets=(0, 16, 32),
+        bucket_width=bw, bucket_log2=bl,
+        genome_has_n=genome_has_n_for(index),
+        first_pass_seeds=0,              # oracle enumerates ALL seeds
+        scored_pairs_per_read=8,         # avoid queue-drop dodgy paths
+        max_scored_candidates=16)
+    arrays = prepare_index(index)
+    import jax
+    res = {kk: np.asarray(v) for kk, v in jax.device_get(
+        align_batch_jit(arrays, reads, quals, cfg)).items()}
+    want = _oracle(genome, cfg, reads, quals)
+
+    np.testing.assert_array_equal(res["aligned"], want["aligned"])
+    rows = np.nonzero(want["aligned"])[0]
+    assert rows.size > 0.4 * N_READS   # fixture sanity (heavy mutation mix)
+    for f in ("start", "reverse", "mismatches", "edit_distance"):
+        np.testing.assert_array_equal(res[f][rows], want[f][rows],
+                                      err_msg=f"field {f}")
+    # MAPQ: exact except f32-rounding floor flips, bounded to +-1 and rare
+    got_q = res["mapq"][rows].astype(np.int64)
+    want_q = want["mapq"][rows].astype(np.int64)
+    diff = np.abs(got_q - want_q)
+    flips = int((diff > 0).sum())
+    assert diff.max(initial=0) <= 1, \
+        f"MAPQ diverges beyond a floor flip: max {diff.max()}"
+    assert flips <= max(2, int(0.005 * rows.size)), \
+        f"{flips}/{rows.size} MAPQ floor flips (f32 error too large)"
+    # dodgy repeats forced to the dodgy score on both sides
+    drows = np.nonzero(want["dodgy"] & want["aligned"])[0]
+    if drows.size:
+        np.testing.assert_array_equal(res["mapq"][drows], cfg.dodgy_mapq)
