@@ -48,10 +48,12 @@ class TlsStatic:
     mate_max: int = TEMPLATE_LENGTH_THRESHOLD
     best0: int = 1   # FRp
     best1: int = 6   # RFm
+    median: int = 0  # --mate-drift-range window center
 
     @staticmethod
     def from_stats(s: TemplateLengthStatistics) -> "TlsStatic":
-        return TlsStatic(min=s.min, max=s.max, mate_min=s.mate_min,
+        return TlsStatic(median=s.median,
+                         min=s.min, max=s.max, mate_min=s.mate_min,
                          mate_max=s.mate_max,
                          best0=s.best_models[0], best1=s.best_models[1])
 

@@ -236,6 +236,8 @@ class PairedAligner:
     clip_overlapping: bool = True
     adapters: tuple[str, ...] = ()
     gap_scoring: GapScoring = BWA
+    # reference --bam-pessimistic-mapq (manual.md:279)
+    pessimistic_mapq: bool = False
     finder_stats: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -441,12 +443,14 @@ class PairedAligner:
             if name.startswith("__pad"):
                 continue
             recs = _pair_records(genome, res, i, name, b1, b2, phred_offset,
-                                 self.cfg.mapq_cap)
+                                 self.cfg.mapq_cap,
+                                 pessimistic=self.pessimistic_mapq)
             records.extend(recs)
         return records
 
 
-def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
+def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap,
+                  pessimistic: bool = False):
     """Build the two SAM records of one pair (FragmentAccessorBamAdapter
     field mapping, including the proper-pair MAPQ max rule at :250)."""
     from .align.gapped import cigar_stats
@@ -540,7 +544,10 @@ def _pair_records(genome, res, i, name, b1, b2, phred_offset, mapq_cap):
             if not end["aligned"]:
                 return 0
             if proper and tscore >= 0:
-                return min(mapq_cap, max(end["frag_score"], tscore))
+                # --bam-pessimistic-mapq: min(SM, AS) instead of max
+                # (FragmentAccessorBamAdapter.hh:260, manual.md:279)
+                pick = min if pessimistic else max
+                return min(mapq_cap, pick(end["frag_score"], tscore))
             return min(mapq_cap, end["frag_score"])
 
         mapq = end_mapq(me)

@@ -136,7 +136,8 @@ def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
 
 
 def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
-                       aux: AuxColumns | None = None) -> FragmentBatch:
+                       aux: AuxColumns | None = None,
+                       pessimistic: bool = False) -> FragmentBatch:
     """Vectorized paired result -> FragmentBatch, rows interleaved
     (R1_0, R2_0, R1_1, R2_1, ...).  Field mapping matches
     aligner._pair_records (FragmentAccessorBamAdapter analog) exactly.
@@ -183,7 +184,9 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
     def end_mapq(e):
         me = end[e]
         base = np.minimum(me["frag"], mapq_cap)
-        boosted = np.minimum(np.maximum(me["frag"], tscore), mapq_cap)
+        # --bam-pessimistic-mapq: min(SM, AS) instead of max
+        combine = np.minimum if pessimistic else np.maximum
+        boosted = np.minimum(combine(me["frag"], tscore), mapq_cap)
         return np.where(me["aligned"],
                         np.where(proper & (tscore >= 0), boosted, base), 0)
 

@@ -97,6 +97,10 @@ def _cmd_align(args) -> int:
         first_pass_seeds=args.first_pass_seeds,
         dodgy_alignment_score=args.dodgy_alignment_score,
         bam_exclude_tags=args.bam_exclude_tags,
+        ignore_missing_bcls=args.ignore_missing_bcls,
+        ignore_missing_filters=args.ignore_missing_filters,
+        mate_drift_range=args.mate_drift_range,
+        pessimistic_mapq=args.bam_pessimistic_mapq,
         records_per_bin=args.records_per_bin,
         memory_limit=args.memory_limit,
     )
@@ -187,6 +191,16 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--tls", default=None,
                     help="force template-length stats: "
                          "min:median:max:lowStdDev:highStdDev:M0:M1")
+    al.add_argument("--ignore-missing-bcls", action="store_true",
+                    help="missing BCL cycle files read as all-N bases")
+    al.add_argument("--ignore-missing-filters", action="store_true",
+                    help="missing filter files read as all clusters PF")
+    al.add_argument("--mate-drift-range", type=int, default=-1,
+                    help="rescue window = TLS median +- this (default -1: "
+                         "use the min..max template range)")
+    al.add_argument("--bam-pessimistic-mapq", action="store_true",
+                    help="MAPQ := min(60, min(SM, AS)) for proper pairs "
+                         "(manual.md:279)")
     al.add_argument("--bam-exclude-tags", default="ZX,ZY",
                     help="comma list of tags to drop from output BAMs "
                          "(all,none,AS,BC,NM,OC,RG,SM,ZX,ZY; manual.md:274)")

@@ -314,13 +314,18 @@ class TileData:
 def load_tile(run_folder: str | Path, lane: int, tile: int,
               info: RunInfo | None = None,
               use_bases_mask: str | None = None,
-              max_workers: int = 8) -> TileData:
+              max_workers: int = 8,
+              ignore_missing_bcls: bool = False,
+              ignore_missing_filters: bool = False) -> TileData:
     """Decode the needed cycles of one tile (rta::BclMapper + FiltersMapper +
     LocsMapper in one pass).
 
     `use_bases_mask` follows the reference --use-bases-mask grammar
     (io/use_bases_mask.py); masked-out ('n') cycles are never read from
     disk.  Cycle files load on a thread pool (rta::ParallelBclMapper).
+    Graceful degradation (reference --ignore-missing-bcls/-filters,
+    manual.md:397-400): missing cycle files become all-N / q0 planes,
+    missing filter files all-pass — only when the matching flag is set.
     """
     from .use_bases_mask import effective_segments
 
@@ -339,6 +344,8 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
             f = _find_tile_file(lane_dir / f"C{cycle}.1", f"s_{lane}_{tile}",
                                 (".bcl", ".bcl.gz", ".bcl.bgzf"))
             if f is None:
+                if ignore_missing_bcls:
+                    return None   # filled with N/q0 once the count is known
                 raise FileNotFoundError(
                     f"missing BCL for lane {lane} tile {tile} cycle {cycle}")
             return read_bcl(f)
@@ -358,6 +365,8 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
             f = _find_tile_file(lane_dir, f"{cycle:04d}",
                                 (".bcl.bgzf", ".bcl.gz", ".bcl"))
             if f is None:
+                if ignore_missing_bcls:
+                    return None
                 raise FileNotFoundError(f"missing cycle {cycle} BCL in {lane_dir}")
             b, q = read_bcl(f)
             return b[lo:hi], q[lo:hi]
@@ -366,8 +375,15 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         planes = dict(zip(needed, pool.map(fetch, needed)))
 
-    count = len(planes[needed[0]][0])
+    present = [c for c in needed if planes[c] is not None]
+    if not present:
+        raise FileNotFoundError(
+            f"no BCL cycle files at all for lane {lane} tile {tile}")
+    count = len(planes[present[0]][0])
     for c in needed:
+        if planes[c] is None:   # --ignore-missing-bcls: all-N, quality 0
+            planes[c] = (np.full(count, _N_CODE, np.uint8),
+                         np.zeros(count, np.uint8))
         if len(planes[c][0]) != count:
             raise ValueError(
                 f"cycle {c + 1}: cluster count {len(planes[c][0])} != {count}")
@@ -391,8 +407,13 @@ def load_tile(run_folder: str | Path, lane: int, tile: int,
     elif lane_slice and (lane_dir / f"s_{lane}.filter").exists():
         # NextSeq: one per-lane filter covering all tiles, sliced via bci
         pf = read_filter(lane_dir / f"s_{lane}.filter")[lane_slice[0]:lane_slice[1]]
-    else:
+    elif ignore_missing_filters:
+        # reference --ignore-missing-filters: all clusters pass
         pf = np.ones(count, bool)
+    else:
+        raise FileNotFoundError(
+            f"missing filter file for lane {lane} tile {tile} "
+            f"(pass --ignore-missing-filters to treat all clusters as PF)")
     if len(pf) != count:
         raise ValueError(f"filter count {len(pf)} != cluster count {count}")
 
@@ -440,7 +461,9 @@ def tile_read_batches(td: TileData, info: RunInfo,
 
 def load_run_reads(run_folder: str | Path, lanes: list[int] | None = None,
                    tiles: list[int] | None = None, pf_only: bool = True,
-                   use_bases_mask: str | None = None
+                   use_bases_mask: str | None = None,
+                   ignore_missing_bcls: bool = False,
+                   ignore_missing_filters: bool = False
                    ) -> tuple[ReadBatch, ReadBatch | None, np.ndarray]:
     """Whole-run loader: concatenates every (lane, tile) into flat
     read1/read2 batches + observed barcode codes (BclSeedSource analog).
@@ -452,7 +475,9 @@ def load_run_reads(run_folder: str | Path, lanes: list[int] | None = None,
     for lane in lanes:
         for tile in (tiles or discover_tiles(run_folder, lane)):
             td = load_tile(run_folder, lane, tile, info,
-                           use_bases_mask=use_bases_mask)
+                           use_bases_mask=use_bases_mask,
+                           ignore_missing_bcls=ignore_missing_bcls,
+                           ignore_missing_filters=ignore_missing_filters)
             batches, bar = tile_read_batches(td, info, pf_only)
             if not batches:
                 raise ValueError(f"{run_folder}: no data reads in RunInfo")

@@ -67,7 +67,7 @@ def parse_tls_override(spec: str) -> TlsStatic:
     if not (0 <= m0 <= 7 and 0 <= m1 <= 7):
         raise ValueError(f"--tls {spec!r}: models must be 0..7 (FFp..RRm)")
     return TlsStatic(min=mn, max=mx, mate_min=mn, mate_max=mx,
-                     best0=m0, best1=m1)
+                     best0=m0, best1=m1, median=_median)
 
 
 @dataclasses.dataclass
@@ -82,6 +82,10 @@ class WorkflowOptions:
     tiles: tuple[int, ...] | None = None    # BCL tile subset (default: all)
     pf_only: bool = True                # BCL: drop non-pass-filter clusters
     use_bases_mask: str | None = None   # BCL: y/n/i per-cycle mask grammar
+    # reference --ignore-missing-bcls/-filters (manual.md:397-400):
+    # degrade missing cycle files to N bases / missing filters to all-PF
+    ignore_missing_bcls: bool = False
+    ignore_missing_filters: bool = False
     seed_len: int = 32
     # per-index address-space cap; FASTA references over this split into
     # contig-group indexes automatically (index/groups.py)
@@ -122,6 +126,13 @@ class WorkflowOptions:
     # reference --tls: 'min:median:max:lowStdDev:highStdDev:M0:M1' forces
     # the template-length model instead of learning it
     tls_override: str | None = None
+    # reference --mate-drift-range (default -1): when >= 0, shadow rescue
+    # scans median +- range instead of the min..max template window
+    # (TemplateLengthStatistics.hh:201 setMin/setMax)
+    mate_drift_range: int = -1
+    # reference --bam-pessimistic-mapq: MAPQ := min(60, min(SM, AS)) for
+    # proper pairs instead of min(60, max(SM, AS)) (manual.md:279)
+    pessimistic_mapq: bool = False
     # genomic binning threshold: runs larger than this many records split
     # into position bins processed in bounded memory during the Build
     # phase (reference BinIndexMap + Build::sortBinParallel)
@@ -194,6 +205,15 @@ class AlignWorkflow:
 
     # -- shared resources ---------------------------------------------------
 
+    def _apply_mate_drift(self) -> None:
+        """--mate-drift-range: rescue window = median +- range
+        (reference TemplateLengthStatistics setMin/setMax)."""
+        d = self.opts.mate_drift_range
+        if d >= 0 and self.tls is not None:
+            self.tls = dataclasses.replace(
+                self.tls, mate_min=self.tls.median - d,
+                mate_max=self.tls.median + d)
+
     def _load_indexes(self) -> list[SeedIndex]:
         """One index per comma-separated --reference entry (contig-group
         indexes for genomes beyond one index's 2^31-base address space:
@@ -263,7 +283,9 @@ class AlignWorkflow:
                     lanes=list(self.opts.lanes) if self.opts.lanes else None,
                     tiles=list(self.opts.tiles) if self.opts.tiles else None,
                     pf_only=self.opts.pf_only,
-                    use_bases_mask=self.opts.use_bases_mask)
+                    use_bases_mask=self.opts.use_bases_mask,
+                    ignore_missing_bcls=self.opts.ignore_missing_bcls,
+                    ignore_missing_filters=self.opts.ignore_missing_filters)
                 self._bcl_barcodes = barcodes
                 self._reads_cache = (b1, b2)
             else:
@@ -302,6 +324,7 @@ class AlignWorkflow:
             return
         if self.opts.tls_override:
             self.tls = parse_tls_override(self.opts.tls_override)
+            self._apply_mate_drift()
             self._stats["tls"] = dataclasses.asdict(self.tls)
             return
         # learn on the largest contig group (TLS is a library property)
@@ -314,6 +337,7 @@ class AlignWorkflow:
         aligner = PairedAligner.create(index,
                                        read_len=learn[0][0].read_len)
         self.tls = aligner.learn_tls(learn)
+        self._apply_mate_drift()
         self._stats["tls"] = dataclasses.asdict(self.tls)
 
     def _align_config(self, read_len: int, index: SeedIndex) -> AlignConfig:
@@ -466,7 +490,8 @@ class AlignWorkflow:
             if paired:
                 aligner = PairedAligner.create(
                     index, read_len=read_len, cfg=cfg,
-                    clip_overlapping=o.clip_overlapping, **clip_kw)
+                    clip_overlapping=o.clip_overlapping,
+                    pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
                 if self.tls is not None:
                     aligner.tls = self.tls
             else:
@@ -478,7 +503,8 @@ class AlignWorkflow:
                 if paired:
                     fb = fstore.from_paired_result(
                         genome, inputs[0], inputs[1], res,
-                        mapq_cap=aligner.cfg.mapq_cap, aux=aux)
+                        mapq_cap=aligner.cfg.mapq_cap, aux=aux,
+                        pessimistic=o.pessimistic_mapq)
                 else:
                     fb = fstore.from_single_result(
                         genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
