@@ -572,3 +572,29 @@ def write_run_folder_bgzf(run_folder: str | Path, info: RunInfo, lane: int,
             write_bcl(lane_dir / f"{cycle:04d}.bcl.bgzf", bases, quals)
     total = int(sum(counts))
     write_filter(lane_dir / f"s_{lane}.filter", np.ones(total, bool))
+
+
+def peek_tile_cluster_count(run_folder: str | Path, lane: int,
+                            tile: int) -> int:
+    """Cluster count of one tile WITHOUT loading base planes (filter/BCL
+    headers only) — used to size genomic bins before streaming."""
+    run_folder = Path(run_folder)
+    lane_dir = _basecalls_dir(run_folder) / f"L{lane:03d}"
+    f = _find_tile_file(lane_dir, f"s_{lane}_{tile}", (".filter",))
+    if f:
+        return int(read_filter(f).shape[0])
+    if (lane_dir / "C1.1").is_dir():
+        b = _find_tile_file(lane_dir / "C1.1", f"s_{lane}_{tile}",
+                            (".bcl", ".bcl.gz", ".bcl.bgzf"))
+        if b is None:
+            raise FileNotFoundError(f"no cycle-1 BCL for tile {tile}")
+        import gzip
+        opener = gzip.open if b.suffix in (".gz", ".bgzf") else open
+        with opener(b, "rb") as fh:
+            return struct.unpack("<I", fh.read(4))[0]
+    # NextSeq aggregated layout: per-lane bci holds per-tile counts
+    pairs = _lane_bci(lane_dir, lane)
+    for t, n in pairs:
+        if int(t) == tile:
+            return int(n)
+    raise FileNotFoundError(f"tile {tile} not in lane {lane} bci")

@@ -267,7 +267,11 @@ class AlignWorkflow:
 
     @property
     def _paired(self) -> bool:
-        if self.opts.bam_input or self.opts.run_folder:
+        if self.opts.run_folder:
+            from ..io.bcl import parse_run_info
+            info = parse_run_info(Path(self.opts.run_folder))
+            return len(info.data_reads) >= 2
+        if self.opts.bam_input:
             return self._load_all_reads()[1] is not None
         return bool(self.opts.fastq2)
 
@@ -621,36 +625,76 @@ class AlignWorkflow:
             bc = dna.CODE_TO_BASE[np.minimum(bc_bases, 4)]
         return rg, bc
 
-    def _estimate_total_reads(self) -> int:
-        """Read count for bin sizing: exact for in-RAM sources, file-size
-        estimate for streamed FASTQ (only bin granularity depends on it)."""
+    def _bcl_tile_list(self) -> list[tuple[int, int]]:
+        from ..io.bcl import discover_lanes, discover_tiles
         o = self.opts
-        if o.fastq1 and not (o.bam_input or o.run_folder):
+        run = Path(o.run_folder)
+        lanes = list(o.lanes) if o.lanes else discover_lanes(run)
+        out = []
+        for lane in lanes:
+            for tile in (list(o.tiles) if o.tiles
+                         else discover_tiles(run, lane)):
+                out.append((lane, tile))
+        return out
+
+    def _estimate_total_reads(self) -> int:
+        """Read count for bin sizing: cluster-count headers for BCL,
+        file-size estimate for streamed FASTQ, exact for in-RAM sources
+        (only bin granularity depends on it)."""
+        o = self.opts
+        if o.run_folder:
+            from ..io.bcl import peek_tile_cluster_count
+            return sum(peek_tile_cluster_count(o.run_folder, lane, tile)
+                       for lane, tile in self._bcl_tile_list())
+        if o.fastq1 and not o.bam_input:
             from ..io.fastq import estimate_fastq_reads
             return estimate_fastq_reads(o.fastq1)
         return self._load_all_reads()[0].count
 
     def _batch_stream(self):
         """Yield (b1, b2 | None, barcode_bases | None) padded batches.
-        FASTQ inputs stream with bounded memory (SeedMemoryManager
-        analog); BCL/BAM sources slice their in-RAM read sets."""
+        FASTQ inputs stream record by record, BCL run folders tile by
+        tile (the reference's RAM-fit tile batching, SeedMemoryManager /
+        BclSeedSource); only BAM realignment input stays in RAM."""
         o = self.opts
-        if o.fastq1 and not (o.bam_input or o.run_folder):
+        if o.run_folder:
+            from ..io.bcl import load_tile, parse_run_info, tile_read_batches
+            run = Path(o.run_folder)
+            info = parse_run_info(run)
+            for lane, tile in self._bcl_tile_list():
+                td = load_tile(
+                    run, lane, tile, info,
+                    use_bases_mask=o.use_bases_mask,
+                    ignore_missing_bcls=o.ignore_missing_bcls,
+                    ignore_missing_filters=o.ignore_missing_filters)
+                batches, bars = tile_read_batches(td, info, o.pf_only)
+                if not batches:
+                    raise ValueError(f"{run}: no data reads in RunInfo")
+                if len(batches) > 2:
+                    raise ValueError("more than 2 data reads not supported")
+                b1t = batches[0]
+                b2t = batches[1] if len(batches) > 1 else None
+                bs = o.batch_size
+                for lo in range(0, b1t.count, bs):
+                    hi = min(lo + bs, b1t.count)
+                    yield (self._slice_pad(b1t, lo, hi, bs),
+                           self._slice_pad(b2t, lo, hi, bs)
+                           if b2t is not None else None,
+                           bars[lo:hi] if o.sample_sheet else None)
+            return
+        if o.fastq1 and not o.bam_input:
             from ..io.fastq import iter_fastq_batches
             yield from iter_fastq_batches(
                 o.fastq1, o.fastq2, o.batch_size,
                 barcode_path=o.barcode_fastq if o.sample_sheet else None)
             return
-        bcl_bc = None
-        if o.run_folder and o.sample_sheet:
-            self._load_all_reads()
-            bcl_bc = getattr(self, "_bcl_barcodes", None)
-        lo = 0
         for b1, b2 in self._read_batches():
-            n_valid = sum(1 for nm in b1.names if not nm.startswith("__pad"))
-            bc = bcl_bc[lo : lo + n_valid] if bcl_bc is not None else None
-            lo += n_valid
-            yield b1, b2, bc
+            yield b1, b2, None
+
+    @staticmethod
+    def _slice_pad(b: ReadBatch, lo: int, hi: int, bs: int) -> ReadBatch:
+        return pad_batch(ReadBatch(b.names[lo:hi], b.bases[lo:hi],
+                                   b.quals[lo:hi], b.lengths[lo:hi]), bs)
 
     def _phase_reports(self) -> None:
         """MatchSelectorStats / AlignmentReportGenerator analog: JSON +
