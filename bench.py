@@ -1,9 +1,23 @@
 """Alignment throughput benchmark — prints ONE JSON line.
 
-Runs the fused single-end pipeline on the available accelerator (the real
-TPU chip under the driver) against a synthetic E. coli-scale genome
-(4.6 Mbp) with 100 bp reads at ~1% mismatch rate, and reports
-reads/s/chip.
+Measures, on the available accelerator (the real TPU chip under the
+driver), against a REPEAT-RICH synthetic E. coli-scale genome (4.6 Mbp
+with diverged mobile-element copies and an N island; round-1 review:
+uniform-random genomes hide repeat handling):
+
+- reads/s/chip, single-end fused pipeline (headline metric)
+- paired-end (2x100bp) reads/s
+- banded Smith-Waterman GCUPS
+- end-to-end FASTQ -> sorted BAM reads/s through the streaming workflow
+- honesty stats: aligned fraction, MAPQ0 fraction, pass-2 drop count
+
+Timing methodology: the tunneled TPU backend's block_until_ready can
+return before execution completes, so naive enqueue-and-wait timings are
+meaningless.  Device metrics enqueue many distinct batches and fetch a
+device-reduced scalar per batch — a fetch only returns once its program
+finished, and programs execute in submission order, so the wall time
+covers real completion while cross-batch pipelining (the production
+schedule) is preserved.
 
 Baseline for `vs_baseline`: reference iSAAC (Raczy et al., Bioinformatics
 2013) aligns a 40x human genome (~1.28e9 2x100bp reads) in ~5.5 h on one
@@ -34,116 +48,245 @@ BASELINE_READS_PER_SEC = 64_600.0
 GENOME_LEN = 4_600_000
 READ_LEN = 100
 BATCH = 32_768
-WARMUP_BATCHES = 1
-TIMED_BATCHES = 8
+E2E_READS = 131_072
+
+
+def make_genome(rng):
+    """Repeat-rich synthetic genome: diverged 600bp/2kb element families
+    (~5% of the genome) + a 1kb N island."""
+    codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+
+    def paste(elem, copies, divergence):
+        for _ in range(copies):
+            pos = int(rng.integers(0, GENOME_LEN - len(elem)))
+            mut = rng.random(len(elem)) < divergence
+            copy = np.where(mut, rng.integers(0, 4, len(elem)), elem)
+            codes[pos : pos + len(elem)] = copy
+
+    paste(rng.integers(0, 4, 600).astype(np.uint8), 200, 0.02)
+    paste(rng.integers(0, 4, 2000).astype(np.uint8), 30, 0.01)
+    codes[3_000_000 : 3_001_000] = 4   # N island
+    from isaac_aligner_tpu.io.fasta import ContigMeta, Genome
+    return Genome(codes=codes,
+                  contigs=[ContigMeta(index=0, name="ecoli_sim", offset=0,
+                                      length=GENOME_LEN, md5="0" * 32)])
+
+
+def make_reads(seq_codes, rng, n, mutate=0.01):
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, n)
+    reads = seq_codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    mut = rng.random(reads.shape) < mutate
+    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(np.uint8)
+    rc = reads[:, ::-1]
+    rc = np.where(rc < 4, 3 - rc, rc).astype(np.uint8)
+    flip = rng.random(n) < 0.5
+    reads = np.where(flip[:, None], rc, reads)
+    quals = np.full(reads.shape, 30, np.uint8)
+    return reads, quals
+
+
+def throughput_time(step, inputs_list):
+    """Wall time for all calls: enqueue every program, then fetch each
+    call's device-REDUCED scalar — a fetch can only return once its
+    program finished, and programs execute in submission order, so the
+    measurement covers real completion (the tunneled backend's
+    block_until_ready returns before execution and must not be trusted).
+    step must reduce its full output to one scalar ON DEVICE (so nothing
+    is dead-code-eliminated and transfer cost stays negligible)."""
+    import jax
+
+    jax.device_get(step(*inputs_list[0]))   # compile + first-fetch flush
+    t0 = time.time()
+    outs = [step(*args) for args in inputs_list]
+    for o in outs:
+        float(jax.device_get(o))
+    return time.time() - t0
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
+
+
+_T0 = time.time()
 
 
 def main() -> None:
+    import functools
+
     import jax
-    from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch_jit,
+    import jax.numpy as jnp
+
+    # persistent executable cache: repeat bench runs (and the driver's)
+    # skip the remote-compile round trips entirely when nothing changed
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/isaac_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch,
+                                                  align_batch_jit,
                                                   bucket_params_for,
-                                                  default_seed_offsets, prepare_index)
+                                                  default_seed_offsets,
+                                                  genome_has_n_for,
+                                                  prepare_index)
     from isaac_aligner_tpu.index.build import build_index
-    from isaac_aligner_tpu.io.fasta import genome_from_sequences
 
     rng = np.random.default_rng(0)
-    seq_codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
-    from isaac_aligner_tpu.io.fasta import ContigMeta, Genome
-    genome = Genome(codes=seq_codes,
-                    contigs=[ContigMeta(index=0, name="ecoli_sim", offset=0,
-                                        length=GENOME_LEN, md5="0" * 32)])
+    _log("generating genome")
+    genome = make_genome(rng)
+    seq_codes = genome.codes
+    _log("building index")
     t0 = time.time()
     index = build_index(genome, seed_len=32)
     build_s = time.time() - t0
+    _log(f"index built in {build_s:.1f}s")
 
-    from isaac_aligner_tpu.align.pipeline import genome_has_n_for
     bw, bl = bucket_params_for(index)
     cfg = AlignConfig(seed_len=32, seed_offsets=default_seed_offsets(READ_LEN, 32),
                       bucket_width=bw, bucket_log2=bl,
                       genome_has_n=genome_has_n_for(index))
     arrays = prepare_index(index)
 
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        starts = r.integers(0, GENOME_LEN - READ_LEN, BATCH)
-        reads = seq_codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
-        mut = r.random(reads.shape) < 0.01
-        reads = np.where(mut, r.integers(0, 4, reads.shape), reads).astype(np.uint8)
-        rc = reads[:, ::-1]
-        rc = np.where(rc < 4, 3 - rc, rc).astype(np.uint8)
-        flip = r.random(BATCH) < 0.5
-        reads = np.where(flip[:, None], rc, reads)
-        quals = np.full(reads.shape, 30, np.uint8)
-        return jax.numpy.asarray(reads), jax.numpy.asarray(quals)
+    def tree_sum(out):
+        return sum(jnp.sum(v).astype(jnp.float32) for v in out.values()
+                   if hasattr(v, "dtype"))
 
-    batches = [make_batch(i) for i in range(WARMUP_BATCHES + TIMED_BATCHES)]
+    n_timed = 8
+    se_inputs = []
+    for i in range(n_timed):
+        r, qq = make_reads(seq_codes, np.random.default_rng(100 + i), BATCH)
+        se_inputs.append((jnp.asarray(r), jnp.asarray(qq)))
+        jax.block_until_ready(se_inputs[-1])
+        _log(f"staged SE batch {i}")
+    rd, qd = se_inputs[0]
+    reads = np.asarray(se_inputs[0][0])
 
-    # warmup / compile — the fetch matters: the tunneled backend pays a
-    # large one-time cost on the first device->host readback
-    for b, q in batches[:WARMUP_BATCHES]:
-        out = align_batch_jit(arrays, b, q, cfg)
-        jax.device_get(out["aligned"])
+    # -- single-end device throughput ----------------------------------------
+    @jax.jit
+    def se_step(bases, q):
+        return tree_sum(align_batch(arrays, bases, q, cfg))
 
-    t0 = time.time()
-    outs = []
-    for b, q in batches[WARMUP_BATCHES:]:
-        out = align_batch_jit(arrays, b, q, cfg)
-        outs.append(out["aligned"])
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
-    aligned = int(sum(jax.device_get(o).sum() for o in outs))
+    _log("compiling + timing single-end pipeline")
+    se_dt = throughput_time(se_step, se_inputs)
+    rps = n_timed * BATCH / se_dt
+    _log(f"single-end: {rps:.0f} reads/s")
 
-    total_reads = TIMED_BATCHES * BATCH
-    rps = total_reads / dt
+    # -- honesty stats on a real run ----------------------------------------
+    out = {k: np.asarray(v) for k, v in
+           jax.device_get(align_batch_jit(arrays, rd, qd, cfg)).items()}
+    aligned = out["aligned"]
+    aligned_frac = float(aligned.mean())
+    mapq0_frac = float((aligned & (out["mapq"] == 0)).sum() / max(aligned.sum(), 1))
+    pass2_dropped = int(out.get("pass2_dropped", 0))
 
-    # secondary metric: paired-end (2x100bp) throughput — the BASELINE
-    # metric's read geometry; TLS fixed so the measurement is pure
-    # device pipeline (pair resolution + template scoring included)
-    import functools
-
+    # -- paired-end throughput ------------------------------------------------
     from isaac_aligner_tpu.align.pairs import TlsStatic, align_paired_batch
 
     pb = BATCH // 2
-    pr = np.random.default_rng(7)
-    pstarts = pr.integers(0, GENOME_LEN - 500, pb)
-    p1 = seq_codes[pstarts[:, None] + np.arange(READ_LEN)[None, :]]
-    m = seq_codes[(pstarts + 300 - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]]
-    p2 = np.where(m[:, ::-1] < 4, 3 - m[:, ::-1], m[:, ::-1]).astype(np.uint8)
-    mutp = pr.random(p1.shape) < 0.01
-    p1 = np.where(mutp, pr.integers(0, 4, p1.shape), p1).astype(np.uint8)
     pq = np.full((pb, READ_LEN), 30, np.uint8)
     tls = TlsStatic(min=200, max=400, mate_min=200, mate_max=400,
                     best0=1, best1=6)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "tls"))
-    def paired_jit(arrays, b1, q1, b2, q2, cfg, tls):
-        return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls)
+    @jax.jit
+    def pe_step(b1, q1, b2, q2):
+        return tree_sum(align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls))
 
-    args = tuple(jax.numpy.asarray(x) for x in (p1, pq, p2, pq))
-    outp = paired_jit(arrays, *args, cfg, tls)
-    jax.device_get(outp["proper_pair"])
-    t0 = time.time()
-    preps = 4
-    pouts = [paired_jit(arrays, *args, cfg, tls)["proper_pair"]
-             for _ in range(preps)]
-    jax.block_until_ready(pouts)
-    paired_rps = preps * 2 * pb / (time.time() - t0)
+    pe_inputs = []
+    for i in range(4):
+        rr = np.random.default_rng(200 + i)
+        s = rr.integers(0, GENOME_LEN - 500, pb)
+        e1 = seq_codes[s[:, None] + np.arange(READ_LEN)[None, :]]
+        mm = seq_codes[(s + 300 - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]]
+        e2 = np.where(mm[:, ::-1] < 4, 3 - mm[:, ::-1], mm[:, ::-1]).astype(np.uint8)
+        mut2 = rr.random(e1.shape) < 0.01
+        e1 = np.where(mut2, rr.integers(0, 4, e1.shape), e1).astype(np.uint8)
+        pe_inputs.append(tuple(jnp.asarray(x) for x in (e1, pq, e2, pq)))
 
-    # secondary metric: banded Smith-Waterman GCUPS (BASELINE.json asks for
-    # the SW kernel at per-chip roofline; cells = pairs * L * BAND)
+    _log("compiling + timing paired pipeline")
+    pe_dt = throughput_time(pe_step, pe_inputs)
+    paired_rps = len(pe_inputs) * 2 * pb / pe_dt
+    _log(f"paired: {paired_rps:.0f} reads/s")
+
+    # -- banded SW GCUPS (chained slope) -------------------------------------
     from isaac_aligner_tpu.ops import sw
     n_pairs = 16_384
-    q = rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32)
-    db = rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)).astype(np.int32)
-    qd, dbd = jax.numpy.asarray(q), jax.numpy.asarray(db)
-    out_sw = sw.banded_sw_jit(qd, dbd)
-    jax.device_get(out_sw[0])           # compile + first-fetch flush
-    t0 = time.time()
-    reps = 4
-    outs_sw = [sw.banded_sw_jit(qd, dbd)[0] for _ in range(reps)]
-    jax.block_until_ready(outs_sw)
-    sw_dt = time.time() - t0
-    gcups = reps * n_pairs * READ_LEN * sw.BAND / sw_dt / 1e9
+    q = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32))
+    db = jnp.asarray(
+        rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)).astype(np.int32))
+
+    # the SW kernel is so fast (<1 ms per 16k-pair batch) that per-fetch
+    # tunnel sync would dominate an enqueue-many measurement; chain R
+    # data-dependent kernels inside ONE jit (runtime-dynamic R => one
+    # compile) and take the slope between two chain lengths instead
+    q = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32))
+    db = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)
+                                  ).astype(np.int32))
+
+    @jax.jit
+    def sw_chain(qq, dd, r):
+        def body(i, acc):
+            q2 = qq + jnp.where(acc > 1e30, 1, 0).astype(jnp.int32)
+            g, tb = sw.banded_sw(q2, dd, block=256)
+            return acc + g[0, 0] + tb[0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, r, body, jnp.float32(0))
+
+    _log("compiling + timing banded-SW chain")
+    jax.device_get(sw_chain(q, db, jnp.int32(40)))
+
+    def sw_timed(r, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            jax.device_get(sw_chain(q, db, jnp.int32(r)))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    sw_dt = (sw_timed(40) - sw_timed(8)) / 32
+    gcups = n_pairs * READ_LEN * sw.BAND / sw_dt / 1e9
+    _log(f"banded SW: {gcups:.1f} GCUPS")
+
+    # -- end-to-end FASTQ -> sorted BAM (streaming workflow) -----------------
+    import tempfile
+    from pathlib import Path
+
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    e2e_rps = 0.0
+    with tempfile.TemporaryDirectory(prefix="isaac_bench_") as td:
+        td = Path(td)
+        index.save(td / "idx")
+        er, _eq = make_reads(seq_codes, rng, E2E_READS)
+        from isaac_aligner_tpu import dna
+        _log("writing e2e FASTQ")
+        qs = "?" * READ_LEN              # phred 30
+        with open(td / "r1.fq", "w") as f:
+            f.writelines(f"@r{i}\n{dna.decode(er[i])}\n+\n{qs}\n"
+                         for i in range(E2E_READS))
+
+        def run_e2e(name, fastq):
+            wf = AlignWorkflow(WorkflowOptions(
+                reference=str(td / "idx"), output_dir=str(td / name),
+                fastq1=str(fastq), batch_size=BATCH, realign_gaps="no",
+                records_per_bin=2_000_000))
+            t0 = time.time()
+            wf.run()
+            return time.time() - t0
+
+        # warmup run compiles the workflow's executables (same batch
+        # shapes; the gapped-polish SW compile triggers on high-mismatch
+        # rows, so inject some)
+        warm, _wq = make_reads(seq_codes, rng, 4096, mutate=0.08)
+        with open(td / "warm.fq", "w") as f:
+            f.writelines(f"@w{i}\n{dna.decode(warm[i])}\n+\n{qs}\n"
+                         for i in range(4096))
+        _log("e2e warmup run (compiles)")
+        run_e2e("warm_out", td / "warm.fq")
+        _log("e2e timed run")
+        e2e_s = run_e2e("out", td / "r1.fq")
+        e2e_rps = E2E_READS / e2e_s
+        _log(f"e2e: {e2e_rps:.0f} reads/s ({e2e_s:.1f}s)")
+
     print(json.dumps({
         "metric": "reads_per_sec_per_chip",
         "value": round(rps, 1),
@@ -152,10 +295,15 @@ def main() -> None:
         "detail": {
             "read_len": READ_LEN,
             "batch": BATCH,
-            "timed_batches": TIMED_BATCHES,
-            "aligned_frac": round(aligned / total_reads, 4),
+            "genome": "repeat-rich 4.6Mbp (600bp x200 + 2kb x30 elements, N island)",
+            "timing": "enqueue-many + device-reduced scalar fetches (fetch forces completion)",
+            "aligned_frac": round(aligned_frac, 4),
+            "mapq0_frac": round(mapq0_frac, 4),
+            "pass2_dropped": pass2_dropped,
             "paired_reads_per_sec": round(paired_rps, 1),
             "banded_sw_gcups": round(gcups, 2),
+            "e2e_fastq_to_bam_reads_per_sec": round(e2e_rps, 1),
+            "e2e_fraction_of_device": round(e2e_rps / rps, 3) if rps else 0,
             "index_build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),
         },

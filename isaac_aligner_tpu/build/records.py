@@ -345,13 +345,23 @@ def _ragged_scatter(out: np.ndarray, dest: np.ndarray, src: np.ndarray,
                     src_len: np.ndarray) -> None:
     """out[dest[i] : dest[i]+src_len[i]] = src[i, :src_len[i]] for all i."""
     src_len = src_len.astype(np.int64)
+    n = len(src_len)
+    if n == 0:
+        return
+    w0 = int(src_len[0])
+    if w0 and (src_len == w0).all():
+        # uniform width (sequences/quals of equal-length reads, most
+        # cigars): one rectangular scatter, no per-byte index vectors
+        out[dest.astype(np.int64)[:, None] + np.arange(w0)] = src[:, :w0]
+        return
     total = int(src_len.sum())
     if total == 0:
         return
-    rows = np.repeat(np.arange(len(src_len)), src_len)
+    rows = np.repeat(np.arange(n), src_len)
     starts = np.cumsum(src_len) - src_len
     within = np.arange(total) - np.repeat(starts, src_len)
-    out[np.repeat(dest.astype(np.int64), src_len) + within] = src[rows, within]
+    vals = np.take(src.reshape(-1), rows * src.shape[1] + within)
+    out[np.repeat(dest.astype(np.int64), src_len) + within] = vals
 
 
 def _int_tag_bytes(tag: bytes, values: np.ndarray) -> np.ndarray:

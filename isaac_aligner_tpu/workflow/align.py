@@ -475,45 +475,38 @@ class AlignWorkflow:
             if paired:
                 aligner = MultiIndexPairedAligner.create(
                     indexes, read_len=read_len, cfg=cfg,
-                    clip_overlapping=o.clip_overlapping, **clip_kw)
-                if self.tls is not None:
-                    aligner.tls = self.tls
-            else:
-                aligner = MultiIndexAligner.create(indexes, read_len=read_len,
-                                                   cfg=cfg, **clip_kw)
-            for inputs in feed():
-                recs = (aligner.align_to_sam(*inputs) if paired
-                        else aligner.align_to_sam(inputs))
-                fb = fstore.from_sam_records(recs, genome.contigs, rg_names)
-                bc_bases, valid = sidecar.popleft()
-                aux = aux_for(bc_bases, valid)
-                if aux is not None:
-                    fstore._apply_aux(fb, aux)
-                emit(fb, valid)
-        else:
-            if paired:
-                aligner = PairedAligner.create(
-                    index, read_len=read_len, cfg=cfg,
                     clip_overlapping=o.clip_overlapping,
                     pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
                 if self.tls is not None:
                     aligner.tls = self.tls
             else:
-                aligner = Aligner.create(index, read_len=read_len, cfg=cfg,
-                                         **clip_kw)
-            for inputs, res in aligner.align_results_many(feed()):
-                bc_bases, valid = sidecar.popleft()
-                aux = aux_for(bc_bases, valid)
-                if paired:
-                    fb = fstore.from_paired_result(
-                        genome, inputs[0], inputs[1], res,
-                        mapq_cap=aligner.cfg.mapq_cap, aux=aux,
-                        pessimistic=o.pessimistic_mapq)
-                else:
-                    fb = fstore.from_single_result(
-                        genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
-                        aux=aux)
-                emit(fb, valid)
+                aligner = MultiIndexAligner.create(indexes, read_len=read_len,
+                                                   cfg=cfg, **clip_kw)
+        elif paired:
+            aligner = PairedAligner.create(
+                index, read_len=read_len, cfg=cfg,
+                clip_overlapping=o.clip_overlapping,
+                pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
+            if self.tls is not None:
+                aligner.tls = self.tls
+        else:
+            aligner = Aligner.create(index, read_len=read_len, cfg=cfg,
+                                     **clip_kw)
+        # one loop for all aligner kinds: every one yields (inputs, res)
+        # dicts in concatenated-genome coordinates
+        for inputs, res in aligner.align_results_many(feed()):
+            bc_bases, valid = sidecar.popleft()
+            aux = aux_for(bc_bases, valid)
+            if paired:
+                fb = fstore.from_paired_result(
+                    genome, inputs[0], inputs[1], res,
+                    mapq_cap=aligner.cfg.mapq_cap, aux=aux,
+                    pessimistic=o.pessimistic_mapq)
+            else:
+                fb = fstore.from_single_result(
+                    genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
+                    aux=aux)
+            emit(fb, valid)
 
         if rg_names:
             counts = {nm: int(c) for nm, c in zip(rg_names, demux_counts) if c}
