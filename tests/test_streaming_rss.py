@@ -1,0 +1,77 @@
+"""Bounded-RSS streaming proof (opt-in: ISAAC_TPU_BIG_TESTS=1).
+
+Runs a ~1M-read single-end workflow through the streaming pipeline with
+a small --memory-limit and asserts the process peak RSS stays far below
+what materializing the run would need — the round-1 review's central
+gap ("everything-in-RAM Python lists") made config-ladder items (4)/(5)
+unreachable.  The always-on streaming invariants live in
+tests/test_workflow.py (no whole-run read cache, batch-size-invariant
+output); this test is the RSS-meter version at a scale where leaks show.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ISAAC_TPU_BIG_TESTS") != "1",
+    reason="big streaming test: set ISAAC_TPU_BIG_TESTS=1 (runs minutes)")
+
+
+def _peak_rss_mb() -> float:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def test_million_read_run_bounded_rss(tmp_path):
+    from isaac_aligner_tpu import dna
+    from isaac_aligner_tpu.workflow.align import (AlignWorkflow,
+                                                  WorkflowOptions)
+
+    rng = np.random.default_rng(1)
+    G = 3_000_000
+    codes = rng.integers(0, 4, G).astype(np.uint8)
+    with open(tmp_path / "ref.fa", "w") as f:
+        f.write(">big\n")
+        s = dna.decode(codes)
+        for i in range(0, G, 10_000_000):
+            f.write(s[i : i + 10_000_000] + "\n")
+
+    n = 1_000_000
+    read_len = 100
+    starts = rng.integers(0, G - read_len, n)
+    qs = "?" * read_len
+    with open(tmp_path / "r.fq", "w") as f:
+        for lo in range(0, n, 50_000):
+            chunk = starts[lo : lo + 50_000]
+            reads = codes[chunk[:, None] + np.arange(read_len)[None, :]]
+            f.writelines(
+                f"@r{lo + j}\n{dna.decode(reads[j])}\n+\n{qs}\n"
+                for j in range(len(chunk)))
+
+    before = _peak_rss_mb()
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(tmp_path / "out"),
+        fastq1=str(tmp_path / "r.fq"), batch_size=32_768,
+        memory_limit=2.0, realign_gaps="no", gapped=False))
+    wf.run()
+    peak = _peak_rss_mb()
+
+    assert wf._reads_cache is None          # nothing buffered the run
+    # several bins materialized by the memory limit
+    bins = [d for d in (tmp_path / "out" / "Temp" / "bins").glob("bin_*")
+            if d.is_dir()]
+    assert len(bins) >= 2, [b.name for b in bins]
+    # the full record set is ~1M * ~600B of columns + sort scratch; the
+    # streamed pipeline must stay way below that above its baseline
+    assert peak - before < 2_500, f"peak RSS grew {peak - before:.0f} MB"
+
+    import json
+    build = json.loads(
+        (tmp_path / "out" / "Stats" / "BuildStats.json").read_text())
+    assert build["records"] == n
+    ms = json.loads(
+        (tmp_path / "out" / "Stats" / "MatchSelectorStats.json").read_text())
+    assert ms["aligned"] > 0.95 * n
+    assert (tmp_path / "out" / "sorted.bam.bai").exists()
