@@ -111,7 +111,6 @@ _T0 = time.time()
 
 
 def main() -> None:
-    import functools
 
     import jax
     import jax.numpy as jnp

@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import dna
-from ..io.bam import parse_cigar
 
 CONSECUTIVE_MATCHES_MIN = 5
 MASK_READ_LENGTH_MIN = 35

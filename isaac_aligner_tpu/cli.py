@@ -62,7 +62,7 @@ def _cmd_sort_reference(args) -> int:
 
 
 def _cmd_align(args) -> int:
-    from .workflow.align import STATES, AlignWorkflow, WorkflowOptions
+    from .workflow.align import AlignWorkflow, WorkflowOptions
 
     opts = WorkflowOptions(
         reference=args.reference,
