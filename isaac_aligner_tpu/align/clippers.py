@@ -190,12 +190,17 @@ def _first_run_start(ok: np.ndarray, k: int) -> np.ndarray:
 
 
 def clip_semialigned(res: dict, suffix: str, genome_codes: np.ndarray,
-                     bases: np.ndarray) -> None:
+                     bases: np.ndarray,
+                     row_mask: np.ndarray | None = None) -> None:
     """Soft-clip poorly aligned read ends (5-consecutive-match rule),
     vectorized across the batch (the reference walks per-cluster,
     SemialignedEndsClipper.cpp; a per-read Python walk dominated the
-    host half of the pipeline)."""
+    host half of the pipeline).  `row_mask` restricts processing to a
+    row subset (used for rescued shadows, which the device-side clip of
+    pipeline.semialigned_clip_device could not see)."""
     aligned = np.asarray(res["aligned" + suffix]).astype(bool)
+    if row_mask is not None:
+        aligned = aligned & row_mask
     key = "cigar" + suffix
     n_rows, l = bases.shape
     if key not in res:
@@ -286,6 +291,65 @@ def clip_semialigned(res: dict, suffix: str, genome_codes: np.ndarray,
             0, int(res["edit_distance" + suffix][i]) - int(removed[k2]))
         res["mismatches" + suffix][i] = max(
             0, int(res["mismatches" + suffix][i]) - int(removed[k2]))
+
+
+def apply_semialigned_device(res: dict, suffix: str, read_len: int,
+                             skip_rows: np.ndarray | None = None) -> None:
+    """Apply the device-computed semialigned clip (pipeline.
+    semialigned_clip_device outputs sa_do/sa_lead/sa_tail/sa_removed/
+    sa_pos riding the result dict) — rewrite CIGARs/positions for flagged
+    rows whose final cigar carries no indels (rows replaced by gapped
+    polish keep their realigned ends, same rule as clip_semialigned)."""
+    s = suffix
+    do = np.asarray(res["sa_do" + s]).astype(bool)
+    if skip_rows is not None and skip_rows.size:
+        do = do.copy()
+        do[skip_rows] = False
+    rows = np.nonzero(do)[0]
+    if rows.size == 0:
+        return
+    key = "cigar" + s
+    if key not in res:
+        res[key] = [None] * do.shape[0]
+    lead_a = res["sa_lead" + s]
+    tail_a = res["sa_tail" + s]
+    removed_a = res["sa_removed" + s]
+    pos_a = res["sa_pos" + s]
+    for i in rows:
+        cur = res[key][i]
+        if cur is not None and ("I" in cur or "D" in cur):
+            continue    # gapped polish replaced this row's alignment
+        lead, tail = int(lead_a[i]), int(tail_a[i])
+        body = read_len - lead - tail
+        parts = ([f"{lead}S"] if lead else []) + [f"{body}M"] + \
+            ([f"{tail}S"] if tail else [])
+        res[key][i] = "".join(parts)
+        res["start" + s][i] = int(pos_a[i])
+        rm = int(removed_a[i])
+        res["edit_distance" + s][i] = max(
+            0, int(res["edit_distance" + s][i]) - rm)
+        res["mismatches" + s][i] = max(
+            0, int(res["mismatches" + s][i]) - rm)
+
+
+def apply_quality_trim_masks(bases: np.ndarray, quals: np.ndarray,
+                             host_trims: np.ndarray,
+                             qtrim: np.ndarray) -> np.ndarray:
+    """Re-apply the device quality trim's masking to the HOST copies of a
+    batch (in place) so downstream host stages (gapped polish, rescue,
+    record building) see exactly what the device scorer saw.  Returns the
+    combined per-read trim counts."""
+    total = host_trims + qtrim
+    if qtrim.any():
+        l = bases.shape[1]
+        start_j = (l - 1) - host_trims.astype(np.int64)
+        cut_from = start_j + 1 - qtrim
+        col = np.arange(l)[None, :]
+        mask = (col >= cut_from[:, None]) & (col <= start_j[:, None]) & \
+            (qtrim[:, None] > 0)
+        bases[mask] = dna.N
+        quals[mask] = 0
+    return total
 
 
 def clip_overlapping(res: dict, b1, b2, genome_codes: np.ndarray) -> None:

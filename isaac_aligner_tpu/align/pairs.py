@@ -158,7 +158,8 @@ def end_mapping_score(end: dict, best_index, rog_read: float):
 
 
 def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
-                       cfg: AlignConfig, tls: TlsStatic):
+                       cfg: AlignConfig, tls: TlsStatic,
+                       tail_masked1=None, tail_masked2=None):
     """Jittable paired-end alignment of one read-pair batch.
 
     Equivalent of TemplateBuilder::buildTemplate for the paired case
@@ -169,14 +170,34 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
 
     Returns a dict with per-end arrays (suffix _1/_2) and pair arrays.
     """
-    from .pipeline import score_end  # local import to avoid cycle
+    from .pipeline import (quality_trim_device, score_end,
+                           semialigned_clip_device)
 
-    _b, l1 = bases1.shape
+    b, l1 = bases1.shape
     _, l2 = bases2.shape
     g = int(arrays.genome.shape[0])
+    tm1 = jnp.zeros(b, jnp.int32) if tail_masked1 is None else tail_masked1
+    tm2 = jnp.zeros(b, jnp.int32) if tail_masked2 is None else tail_masked2
+    qt1 = jnp.zeros(b, jnp.int32)
+    qt2 = jnp.zeros(b, jnp.int32)
+    if cfg.quality_trim_cutoff > 0:
+        bases1, quals1, qt1 = quality_trim_device(
+            bases1, quals1, cfg.quality_trim_cutoff, tm1)
+        bases2, quals2, qt2 = quality_trim_device(
+            bases2, quals2, cfg.quality_trim_cutoff, tm2)
     end1 = score_end(arrays, cfg, bases1, quals1)
     end2 = score_end(arrays, cfg, bases2, quals2)
-    return paired_from_ends(g, l1, l2, cfg, tls, end1, end2)
+    out = paired_from_ends(g, l1, l2, cfg, tls, end1, end2)
+    out["qtrim_1"] = qt1
+    out["qtrim_2"] = qt2
+    if cfg.semialigned_clip:
+        for sfx, (bb, tm, qt) in (("_1", (bases1, tm1, qt1)),
+                                  ("_2", (bases2, tm2, qt2))):
+            sa = semialigned_clip_device(
+                arrays, cfg, bb, out["start" + sfx], out["reverse" + sfx],
+                out["aligned" + sfx], tm + qt)
+            out.update({k + sfx: v for k, v in sa.items()})
+    return out
 
 
 def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,

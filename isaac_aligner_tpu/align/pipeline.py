@@ -128,6 +128,17 @@ class AlignConfig:
     # reads can also be marked unaligned entirely ("Unaligned")
     dodgy_mapq: int = 0
     dodgy_unaligned: bool = False
+    # on-device 3' quality trimming (reference trimLowQualityEnds,
+    # Quality.cpp:72-120): 0 disables.  When set, the device program masks
+    # low-quality tails itself (identical math to the host
+    # clippers.quality_trim_batch walk) and reports per-read trim counts
+    # as `qtrim` — the host [B, L] numpy walk was a top e2e cost
+    quality_trim_cutoff: int = 0
+    # on-device semialigned-end clipping (reference SemialignedEndsClipper,
+    # 5-consecutive-match rule): emits sa_do/sa_lead/sa_tail/sa_removed/
+    # sa_pos for the best ungapped placement; the host rewrites CIGARs for
+    # flagged rows only (clippers.apply_semialigned_device)
+    semialigned_clip: bool = False
     # static "genome contains N bases" flag (set from the index by
     # Aligner.create): N-free genomes skip the N-bit-plane gathers in the
     # scorer and the 64-mer extension check (~30% of scoring gathers)
@@ -259,7 +270,11 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
           else np.zeros(n, np.uint8))
     nb = np.concatenate([nb.astype(np.uint8), np.zeros(pad, np.uint8)])
     contigs = index.genome.contigs
-    packed, nbits = pack_genome(index.genome.codes)
+    cached_planes = getattr(index, "_packed_planes", None)
+    if cached_planes is not None:
+        packed, nbits = cached_planes   # mmapped, saved by SeedIndex.save
+    else:
+        packed, nbits = pack_genome(index.genome.codes)
     bucket_starts, _width, _log2 = _cached_bucket_table(index)
     return IndexArrays(
         bucket_starts=jnp.asarray(bucket_starts),
@@ -828,8 +843,152 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
         finder_stats=_finder_stats_from_diag(diag))
 
 
+def quality_trim_device(bases, quals, cutoff: int, tail_masked):
+    """On-device 3' quality trim — the exact math of the host
+    clippers.quality_trim_batch (reference trimLowQualityEnd,
+    lib/alignment/Quality.cpp:72-120): walk leftward from the unmasked 3'
+    end accumulating (cutoff - q), stop at the first negative sum, trim
+    through the first running-max position when the peak is positive.
+
+    Returns (masked bases, masked quals, per-read trim counts int32 [B]).
+    """
+    from .clippers import MASK_READ_LENGTH_MIN
+    b, l = bases.shape
+    if cutoff <= 0 or l < MASK_READ_LENGTH_MIN:
+        return bases, quals, jnp.zeros(b, jnp.int32)
+    start_j = jnp.int32(l - 1) - tail_masked.astype(jnp.int32)   # [B]
+    t = jnp.arange(l, dtype=jnp.int32)[None, :]
+    j = start_j[:, None] - t                                     # [B, L]
+    in_walk = j >= MASK_READ_LENGTH_MIN
+    qv = jnp.take_along_axis(quals.astype(jnp.int32), jnp.maximum(j, 0),
+                             axis=1)
+    qs = jnp.cumsum(jnp.where(in_walk, jnp.int32(cutoff) - qv, 0), axis=1)
+    stopped = (qs < 0) | ~in_walk
+    alive = jnp.cumsum(stopped.astype(jnp.int32), axis=1) == 0
+    qs_m = jnp.where(alive, qs, jnp.iinfo(jnp.int32).min)
+    peak = jnp.max(qs_m, axis=1)
+    t_peak = jnp.argmax(qs_m, axis=1).astype(jnp.int32)          # first max
+    trims = jnp.where(peak > 0, t_peak + 1, 0).astype(jnp.int32)
+    cut_from = start_j + 1 - trims
+    col = t
+    mask = (col >= cut_from[:, None]) & (col <= start_j[:, None]) & \
+        (trims[:, None] > 0)
+    bases = jnp.where(mask, jnp.uint8(dna.N), bases)
+    quals = jnp.where(mask, jnp.uint8(0), quals)
+    return bases, quals, trims
+
+
+def semialigned_clip_device(arrays: IndexArrays, cfg: AlignConfig, bases,
+                            start, rev, aligned, trims):
+    """On-device semialigned-ends clip for the chosen ungapped placement.
+
+    Reference analog: SemialignedEndsClipper (lib/alignment/matchSelector/
+    SemialignedEndsClipper.cpp) — soft-clip aligned ends inward until
+    CONSECUTIVE_MATCHES_MIN consecutive matches.  `bases` must be the
+    (trim-masked) batch the scorer saw; `start`/`rev`/`aligned` the chosen
+    placement; `trims` the total 3' mask counts (adapter + quality).
+
+    Emits per-read: sa_do (clip fires), sa_lead/sa_tail (FINAL soft-clip
+    spans incl. trim + contig overhang), sa_removed (mismatches clipped
+    away), sa_pos (final genome start).  The host rewrites CIGARs for
+    sa_do rows whose final cigar carries no indels
+    (clippers.apply_semialigned_device); rows later replaced by gapped
+    polish keep their realigned ends, like the reference.
+    """
+    from .clippers import CONSECUTIVE_MATCHES_MIN
+    b, l = bases.shape
+    w_read = -(-l // 16)
+    g = int(arrays.genome.shape[0])
+    start = jnp.where(aligned, start, 0).astype(jnp.int32)
+    rev = rev.astype(bool)
+
+    rc = bitops.revcomp_reads(bases)
+    seq = jnp.where(rev[:, None], rc, bases)
+    packed = pack_reads(seq)
+
+    gp = arrays.genome_packed
+    gw = gp.shape[0]
+    word0 = (start >> 4) + GP_PAD_WORDS
+    t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
+    widx = jnp.clip(word0[:, None] + t_idx[None, :], 0, gw - 1)
+    words = gp[widx]
+    o2 = ((start & 15) << 1).astype(jnp.uint32)[:, None]
+    safe = jnp.where(o2 == 0, jnp.uint32(1), jnp.uint32(32) - o2)
+    g_aligned = jnp.where(o2 == 0, words[:, :-1],
+                          (words[:, :-1] << o2) | (words[:, 1:] >> safe))
+    x = g_aligned ^ packed
+    lane_shifts = jnp.asarray((2 * (15 - np.arange(16))).astype(np.uint32))
+    lanes = (x[:, :, None] >> lane_shifts[None, None, :]) & jnp.uint32(3)
+    code_mismatch = (lanes != 0).reshape(b, w_read * 16)[:, :l]
+
+    if cfg.genome_has_n:
+        gn = arrays.genome_nbits
+        gnw = gn.shape[0]
+        w_n = -(-(l + 31) // 32) + 1
+        nword0 = (start >> 5) + GN_PAD_WORDS
+        nt = jnp.arange(w_n, dtype=jnp.int32)
+        nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
+        nwords = gn[nwidx]
+        no = (start & 31).astype(jnp.uint32)[:, None]
+        nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+        naligned = jnp.where(no == 0, nwords[:, :-1],
+                             (nwords[:, :-1] << no) | (nwords[:, 1:] >> nsafe))
+        nlane_shifts = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
+        nlanes = (naligned[:, :, None] >> nlane_shifts[None, None, :]) \
+            & jnp.uint32(1)
+        ref_n = (nlanes != 0).reshape(b, (w_n - 1) * 32)[:, :l]
+    else:
+        ref_n = jnp.zeros((b, l), bool)
+
+    read_n = seq >= dna.NUM_BASES
+    match = read_n | (~code_mismatch & ~ref_n)
+
+    col = jnp.arange(l, dtype=jnp.int32)[None, :]
+    pos_j = start[:, None] + col
+    in_genome = (pos_j >= 0) & (pos_j < g)
+
+    mid = start + l // 2
+    cid = jnp.clip(
+        jnp.searchsorted(arrays.contig_starts, mid, side="right") - 1,
+        0, arrays.contig_starts.shape[0] - 1)
+    lead_c = jnp.clip(arrays.contig_starts[cid] - start, 0, l)
+    tail_c = jnp.clip(start + l - arrays.contig_ends[cid], 0, l)
+    trims = trims.astype(jnp.int32)
+    lead = lead_c + jnp.where(rev, trims, 0)
+    tail = tail_c + jnp.where(rev, 0, trims)
+
+    core = (col >= lead[:, None]) & (col < l - tail[:, None]) & in_genome
+    ok = match & core
+    mism = ~match & core
+
+    k = CONSECUTIVE_MATCHES_MIN
+
+    def first_run_start(okm):
+        idx = jnp.broadcast_to(col, okm.shape)
+        last_false = jax.lax.cummax(jnp.where(~okm, idx, -1), axis=1)
+        runlen = idx - last_false
+        hit = runlen >= k
+        any_hit = jnp.any(hit, axis=1)
+        j0 = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        return jnp.where(any_hit, j0 - (k - 1), 0)
+
+    left = jnp.maximum(first_run_start(ok) - lead, 0)
+    right = jnp.maximum(first_run_start(ok[:, ::-1]) - tail, 0)
+    core_len = l - tail - lead
+    do = ((left > 0) | (right > 0)) & (left + right + k < core_len) & aligned
+    left_mm = jnp.sum(mism & (col < (lead + left)[:, None]), axis=1)
+    right_mm = jnp.sum(mism & (col >= (l - tail - right)[:, None]), axis=1)
+    return {
+        "sa_do": do,
+        "sa_lead": (lead + left).astype(jnp.int32),
+        "sa_tail": (tail + right).astype(jnp.int32),
+        "sa_removed": jnp.where(do, left_mm + right_mm, 0).astype(jnp.int32),
+        "sa_pos": (start + lead + left).astype(jnp.int32),
+    }
+
+
 def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
-                cfg: AlignConfig):
+                cfg: AlignConfig, tail_masked=None):
     """Jittable single-end alignment of one read batch.
 
     Args:
@@ -837,17 +996,33 @@ def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
       bases: uint8 [B, L] read base codes.
       quals: uint8 [B, L] phred scores.
       cfg:   static AlignConfig.
+      tail_masked: optional int32 [B] 3' bases already masked on the host
+        (adapter clipping) — the on-device quality trim resumes left of
+        them when cfg.quality_trim_cutoff is set.
 
     Returns a dict of [B]-shaped result arrays (all fixed shape):
       aligned, start (global genome pos), reverse, mapq, mismatches,
-      edit_distance, log_prob, num_candidates, candidate_overflow.
+      edit_distance, log_prob, num_candidates, candidate_overflow
+      (+ qtrim / sa_* when device trimming/clipping is enabled).
     """
-    _b, read_len = bases.shape
+    b, read_len = bases.shape
+    if tail_masked is None:
+        tail_masked = jnp.zeros(b, jnp.int32)
+    qtrim = jnp.zeros(b, jnp.int32)
+    if cfg.quality_trim_cutoff > 0:
+        bases, quals, qtrim = quality_trim_device(
+            bases, quals, cfg.quality_trim_cutoff, tail_masked)
     cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
         arrays, cfg, bases, quals)
-    return finalize_single_end(arrays, cfg, bases, quals,
-                               cand_start, cand_orient, cand_valid, diag,
-                               well_anchored)
+    res = finalize_single_end(arrays, cfg, bases, quals,
+                              cand_start, cand_orient, cand_valid, diag,
+                              well_anchored)
+    res["qtrim"] = qtrim
+    if cfg.semialigned_clip:
+        res.update(semialigned_clip_device(
+            arrays, cfg, bases, res["start"], res["reverse"], res["aligned"],
+            tail_masked + qtrim))
+    return res
 
 
 def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
@@ -914,5 +1089,6 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def align_batch_jit(arrays: IndexArrays, bases, quals, cfg: AlignConfig):
-    return align_batch(arrays, bases, quals, cfg)
+def align_batch_jit(arrays: IndexArrays, bases, quals, cfg: AlignConfig,
+                    tail_masked=None):
+    return align_batch(arrays, bases, quals, cfg, tail_masked)

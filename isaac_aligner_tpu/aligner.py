@@ -77,17 +77,23 @@ class Aligner:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
-        return Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
+        al = Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
+        # quality trim + semialigned clip run ON DEVICE inside the fused
+        # program (the host numpy passes were the top e2e cost)
+        al.cfg = dataclasses.replace(
+            cfg, quality_trim_cutoff=al.base_quality_cutoff,
+            semialigned_clip=al.clip_semialigned)
+        return al
 
     def _dispatch(self, batch: ReadBatch):
-        """Async half: mask/trim on host, launch the device program."""
+        """Async half: adapter-mask on host, launch the device program
+        (quality trimming + semialigned clipping happen on device)."""
         bases = batch.bases.copy()
         quals = batch.quals.copy()
         trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
-        trims = trims + clippers.quality_trim_batch(
-            bases, quals, self.base_quality_cutoff, tail_masked=trims)
         bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
-        out = align_batch_jit(self.arrays, bases, quals, self.cfg)
+        out = align_batch_jit(self.arrays, bases, quals, self.cfg,
+                              trims.astype(np.int32))
         return out, bases, quals, trims, batch
 
     def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
@@ -96,7 +102,9 @@ class Aligner:
         # jax.device_get (NOT np.asarray): the remote-TPU tunnel's
         # __array__ fetch path is pathologically slow
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
-        clippers.apply_masked_tail_cigar(res, "", trims, batch.read_len)
+        total_trims = clippers.apply_quality_trim_masks(
+            bases, quals, trims, res.pop("qtrim"))
+        clippers.apply_masked_tail_cigar(res, "", total_trims, batch.read_len)
         clippers.clip_contig_ends(res, "", self.index.genome, batch.read_len)
         if gapped:
             from .align.gapped import polish_gapped
@@ -106,7 +114,7 @@ class Aligner:
             polish_simple_indels(self.index, self.cfg, res, bases, quals=quals,
                                  gs=self.gap_scoring)
         if self.clip_semialigned:
-            clippers.clip_semialigned(res, "", self.index.genome.codes, bases)
+            clippers.apply_semialigned_device(res, "", bases.shape[1])
         _accumulate_finder_stats(self.finder_stats, res)
         tracing.trace_batch(batch.names, res)
         return res
@@ -188,8 +196,8 @@ class Aligner:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tls"))
-def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls):
-    return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls)
+def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1=None, tm2=None):
+    return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -247,8 +255,16 @@ class PairedAligner:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
-        return PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg,
-                             **opts)
+        al = PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg,
+                           **opts)
+        # quality trim + semialigned clip run ON DEVICE inside the fused
+        # program (host numpy passes were the top e2e cost); rescued
+        # shadows get a host-side semialigned pass (they were unaligned
+        # when the device clip ran)
+        al.cfg = dataclasses.replace(
+            cfg, quality_trim_cutoff=al.base_quality_cutoff,
+            semialigned_clip=al.clip_semialigned)
+        return al
 
     # -- TLS learning -------------------------------------------------------
 
@@ -275,21 +291,21 @@ class PairedAligner:
     # -- alignment ----------------------------------------------------------
 
     def _dispatch(self, b1: ReadBatch, b2: ReadBatch):
-        """Async half: mask/trim both ends, launch the device program."""
+        """Async half: adapter-mask both ends on host, launch the device
+        program (quality trim + semialigned clip happen on device)."""
         masked = []
         trims = []
         for b in (b1, b2):
             bases = b.bases.copy()
             quals = b.quals.copy()
             t = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
-            t = t + clippers.quality_trim_batch(
-                bases, quals, self.base_quality_cutoff, tail_masked=t)
             bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
             trims.append(t)
         m1, m2 = masked
         out = _paired_jit(self.arrays, m1.bases, m1.quals, m2.bases, m2.quals,
-                          self.cfg, self.tls)
+                          self.cfg, self.tls,
+                          trims[0].astype(np.int32), trims[1].astype(np.int32))
         return out, m1, m2, trims, (b1, b2)
 
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
@@ -318,9 +334,13 @@ class PairedAligner:
         out, m1, m2, trims, (b1, b2) = pending
         # device_get + np.array copy — rescue merging mutates in place
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
-        self._apply_rescue(res, m1, m2)
-        clippers.apply_masked_tail_cigar(res, "_1", trims[0], b1.read_len)
-        clippers.apply_masked_tail_cigar(res, "_2", trims[1], b2.read_len)
+        total1 = clippers.apply_quality_trim_masks(
+            m1.bases, m1.quals, trims[0], res.pop("qtrim_1"))
+        total2 = clippers.apply_quality_trim_masks(
+            m2.bases, m2.quals, trims[1], res.pop("qtrim_2"))
+        rescued1, rescued2 = self._apply_rescue(res, m1, m2)
+        clippers.apply_masked_tail_cigar(res, "_1", total1, b1.read_len)
+        clippers.apply_masked_tail_cigar(res, "_2", total2, b2.read_len)
         clippers.clip_contig_ends(res, "_1", self.index.genome, b1.read_len)
         clippers.clip_contig_ends(res, "_2", self.index.genome, b2.read_len)
         from .align.gapped import polish_gapped
@@ -336,8 +356,16 @@ class PairedAligner:
                              quals=m2.quals, gs=gs)
         g_codes = self.index.genome.codes
         if self.clip_semialigned:
-            clippers.clip_semialigned(res, "_1", g_codes, m1.bases)
-            clippers.clip_semialigned(res, "_2", g_codes, m2.bases)
+            # device clip covers rows aligned at device time; rescued
+            # shadows get the host pass (they were unaligned on device)
+            clippers.apply_semialigned_device(res, "_1", b1.read_len)
+            clippers.apply_semialigned_device(res, "_2", b2.read_len)
+            if rescued1.any():
+                clippers.clip_semialigned(res, "_1", g_codes, m1.bases,
+                                          row_mask=rescued1)
+            if rescued2.any():
+                clippers.clip_semialigned(res, "_2", g_codes, m2.bases,
+                                          row_mask=rescued2)
         if self.clip_overlapping:
             clippers.clip_overlapping(res, m1, m2, g_codes)
         _accumulate_finder_stats(self.finder_stats, res)
@@ -349,10 +377,13 @@ class PairedAligner:
         w = self.tls.mate_max - self.tls.mate_min + 1
         return -(-w // 128) * 128  # round up to 128
 
-    def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch) -> None:
+    def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch):
         """Run shadow rescue for rows where exactly one end aligned and
         merge results back into the batch result dict (host side of
-        TemplateBuilder::rescueShadow)."""
+        TemplateBuilder::rescueShadow).  Returns per-end boolean masks of
+        rescued rows (the host semialigned clip covers them)."""
+        n_rows = res["aligned_1"].shape[0]
+        rescued = {1: np.zeros(n_rows, bool), 2: np.zeros(n_rows, bool)}
         window = self._rescue_window()
         if window > self.max_rescue_window:
             # NOT silent: an over-wide TLS window disables rescue for the
@@ -367,7 +398,7 @@ class PairedAligner:
                         f"orphaned mates stay unaligned", force=True)
                 self.finder_stats["rescue_skipped"] = \
                     self.finder_stats.get("rescue_skipped", 0) + n_skip
-            return
+            return rescued[1], rescued[2]
         read_lengths = (b1.read_len, b2.read_len)
         for shadow_end, orphan_end in ((1, 2), (2, 1)):
             rows = np.nonzero(res[f"shadow_{shadow_end}"])[0]
@@ -388,15 +419,17 @@ class PairedAligner:
                                   o_start, o_rev, sb, sq, window)
                 out = {k: v[: chunk.size]
                        for k, v in jax.device_get(out).items()}
-                self._merge_rescue(res, chunk, shadow_end, orphan_end, out,
-                                   read_lengths)
+                hit = self._merge_rescue(res, chunk, shadow_end, orphan_end,
+                                         out, read_lengths)
+                rescued[shadow_end][hit] = True
+        return rescued[1], rescued[2]
 
     def _merge_rescue(self, res, rows, shadow_end, orphan_end, out,
-                      read_lengths) -> None:
+                      read_lengths) -> np.ndarray:
         found = out["found"]
         hit = rows[found]
         if hit.size == 0:
-            return
+            return hit
         se = f"_{shadow_end}"
         res["aligned" + se][hit] = True
         res["start" + se][hit] = out["start"][found]
@@ -426,6 +459,7 @@ class PairedAligner:
         res["pair_resolved"][hit] = True
         res["proper_pair"][hit] = np.asarray(s.nominal(model, length))
         res["template_length"][hit] = length
+        return hit
 
     # -- SAM ----------------------------------------------------------------
 

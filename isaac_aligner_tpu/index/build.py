@@ -97,7 +97,36 @@ class SeedIndex:
                 for c in self.genome.contigs
             ],
         }
+        meta.update(self._write_prepared_cache(d))
         (d / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
+
+    def _write_prepared_cache(self, d: Path) -> dict:
+        """Precompute the device-upload-ready planes (packed genome,
+        bucket table) so align runs mmap them instead of re-deriving
+        (~2s per run at E. coli scale, ~minutes at human scale).  The
+        reference analog is the sorted mask FILES being the load format
+        (SortedReferenceXml.cpp) — here the prepared planes are."""
+        from ..align.pipeline import _cached_bucket_table, pack_genome
+        packed, nbits = pack_genome(self.genome.codes)
+        np.save(d / "genome_packed.npy", packed)
+        np.save(d / "genome_nbits.npy", nbits)
+        starts, width, log2 = _cached_bucket_table(self)
+        np.save(d / "bucket_starts.npy", starts)
+        return {"bucket_width": width, "bucket_log2": log2,
+                "genome_has_n": bool((self.genome.codes >= dna.NUM_BASES).any())}
+
+    def load_prepared_cache(self, d: Path, meta: dict) -> None:
+        """Attach mmapped prepared planes saved by `_write_prepared_cache`
+        (no-op for pre-cache index directories — they re-derive)."""
+        if "bucket_width" not in meta or not (d / "genome_packed.npy").exists():
+            return
+        starts = np.load(d / "bucket_starts.npy", mmap_mode="r")
+        self._bucket_table = (starts, meta["bucket_width"],
+                              meta["bucket_log2"])
+        self._packed_planes = (
+            np.load(d / "genome_packed.npy", mmap_mode="r"),
+            np.load(d / "genome_nbits.npy", mmap_mode="r"))
+        self._has_n = meta["genome_has_n"]
 
     @staticmethod
     def load(directory: str | Path, mmap: bool = False) -> "SeedIndex":
@@ -108,7 +137,7 @@ class SeedIndex:
         meta = json.loads((d / "sorted-reference.json").read_text())
         contigs = [ContigMeta(**c) for c in meta["contigs"]]
         genome = Genome(codes=np.load(d / "genome.npy"), contigs=contigs)
-        return SeedIndex(
+        index = SeedIndex(
             seed_len=meta["seed_len"],
             repeat_threshold=meta["repeat_threshold"],
             genome=genome,
@@ -120,6 +149,8 @@ class SeedIndex:
             has_neighbors=(np.load(d / "neighbors.npy", mmap_mode=mode)
                            if (d / "neighbors.npy").exists() else None),
         )
+        index.load_prepared_cache(d, meta)
+        return index
 
 
 def _rolling_kmers_u32(codes: np.ndarray, start: int, k: int, n_windows: int) -> np.ndarray:

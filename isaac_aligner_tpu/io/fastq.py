@@ -177,6 +177,104 @@ def iter_fastq_records_bulk(path: str | Path, chunk_bytes: int = 1 << 22):
             yield header[1:].split()[0].decode("ascii"), seq, qual
 
 
+class _ColumnarFastqStream:
+    """Chunked FASTQ reader that parses whole record blocks with numpy.
+
+    Per batch of n records: one bulk read, ONE newline scan
+    (np.flatnonzero), vectorized header/plus validation, and a single
+    fancy-indexed gather of bases/quals — no per-record Python in the
+    hot path (the per-record generator was a top-3 e2e cost).  Names
+    decode in one cheap slicing loop (~2% of the old parse time).
+    """
+
+    def __init__(self, path: str | Path, phred_offset: int = 33,
+                 chunk_bytes: int = 1 << 23):
+        self.path = path
+        self.f = _open_maybe_gzip(path)
+        self.phred_offset = phred_offset
+        self.chunk_bytes = chunk_bytes
+        self._buf = b""
+        self._nl_count = 0
+        self._eof = False
+
+    def close(self) -> None:
+        self.f.close()
+
+    def _fill(self, need_lines: int) -> None:
+        while self._nl_count < need_lines and not self._eof:
+            chunk = self.f.read(self.chunk_bytes)
+            if not chunk:
+                self._eof = True
+                break
+            self._nl_count += chunk.count(b"\n")
+            self._buf = self._buf + chunk if self._buf else chunk
+
+    def next_batch(self, n: int):
+        """Parse up to n records; returns (names, bases, quals, lengths)
+        or None at EOF."""
+        self._fill(4 * n)
+        buf = self._buf
+        if not buf.strip():
+            return None
+        arr = np.frombuffer(buf, np.uint8)
+        nl = np.flatnonzero(arr == 10)
+        if self._eof and (nl.size == 0 or nl[-1] != arr.shape[0] - 1):
+            # final record without trailing newline
+            arr = np.frombuffer(buf + b"\n", np.uint8)
+            nl = np.flatnonzero(arr == 10)
+        n_rec = min(n, nl.size // 4)
+        if n_rec == 0:
+            raise ValueError(f"{self.path}: truncated FASTQ record at EOF")
+        ends = nl[: 4 * n_rec]
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        # consume the parsed span
+        consumed = int(ends[-1]) + 1
+        self._buf = buf[consumed:] if consumed < len(buf) else b""
+        self._nl_count -= 4 * n_rec
+        # strip \r for CRLF files
+        ends = ends - (arr[np.maximum(ends - 1, 0)] == 13)
+
+        h_s, h_e = starts[0::4], ends[0::4]
+        s_s, s_e = starts[1::4], ends[1::4]
+        p_s = starts[2::4]
+        q_s, q_e = starts[3::4], ends[3::4]
+        if not (arr[h_s] == ord("@")).all() or not (arr[p_s] == ord("+")).all():
+            bad = int(np.flatnonzero((arr[h_s] != ord("@"))
+                                     | (arr[p_s] != ord("+")))[0])
+            raise ValueError(
+                f"{self.path}: malformed FASTQ record "
+                f"{buf[h_s[bad]:h_e[bad]]!r}")
+        lengths = (s_e - s_s).astype(np.int64)
+        if not (lengths == (q_e - q_s)).all():
+            bad = int(np.flatnonzero(lengths != (q_e - q_s))[0])
+            raise ValueError(f"{self.path}: seq/qual length mismatch for "
+                             f"{buf[h_s[bad]:h_e[bad]]!r}")
+        max_len = int(lengths.max()) if n_rec else 0
+        col = np.arange(max_len, dtype=np.int64)[None, :]
+        if int(lengths.min()) == max_len:
+            # uniform read length (the common Illumina case): no masking
+            bases = dna.BASE_TO_CODE[arr[s_s[:, None] + col]]
+            quals = (arr[q_s[:, None] + col] - np.uint8(self.phred_offset))
+        else:
+            in_read = col < lengths[:, None]
+            gather = np.minimum(s_s[:, None] + col, arr.shape[0] - 1)
+            raw = arr[gather]
+            bases = np.where(in_read, dna.BASE_TO_CODE[raw], np.uint8(dna.N))
+            rawq = arr[np.minimum(q_s[:, None] + col, arr.shape[0] - 1)]
+            quals = np.where(in_read, rawq - self.phred_offset,
+                             0).astype(np.uint8)
+        # names: header up to the first whitespace (cheap slice loop)
+        hs = (h_s + 1).tolist()
+        he = h_e.tolist()
+        names = [buf[a:b].decode("ascii") for a, b in zip(hs, he)]
+        if any(" " in nm or "\t" in nm for nm in names):
+            names = [nm.split()[0] if (" " in nm or "\t" in nm) else nm
+                     for nm in names]
+        return names, bases, quals, lengths.astype(np.int32)
+
+
 def iter_fastq_batches(path1: str | Path, path2: str | Path | None,
                        batch_size: int, phred_offset: int = 33,
                        barcode_path: str | Path | None = None):
@@ -187,39 +285,45 @@ def iter_fastq_batches(path1: str | Path, path2: str | Path | None,
     (b1, b2 | None, barcode_bases | None) with every batch padded to
     `batch_size`, holding only one batch in RAM at a time.
     """
-    it1 = iter_fastq_records_bulk(path1)
-    it2 = iter_fastq_records_bulk(path2) if path2 else None
-    itb = iter_fastq_records_bulk(barcode_path) if barcode_path else None
+    st1 = _ColumnarFastqStream(path1, phred_offset)
+    st2 = _ColumnarFastqStream(path2, phred_offset) if path2 else None
+    stb = _ColumnarFastqStream(barcode_path, phred_offset) \
+        if barcode_path else None
     widths = [None, None, None]   # stable per-stream read_len (XLA shapes)
 
-    def _mk(chunks, slot: int, pad_rows: bool) -> ReadBatch:
-        b = batch_from_reads([c[0] for c in chunks], [c[1] for c in chunks],
-                             [c[2] for c in chunks],
-                             phred_offset=phred_offset)
+    def _mk(parsed, slot: int, pad_rows: bool) -> ReadBatch:
+        names, bases, quals, lengths = parsed
+        b = ReadBatch(names=names, bases=bases, quals=quals, lengths=lengths)
         if widths[slot] is None:
             widths[slot] = b.read_len
         b = _widen(b, widths[slot])
         return pad_batch(b, batch_size) if pad_rows else b
 
-    while True:
-        chunk1 = list(itertools.islice(it1, batch_size))
-        if not chunk1:
-            if it2 is not None and next(it2, None) is not None:
-                raise ValueError("fastq1/fastq2 read counts differ")
-            return
-        b1 = _mk(chunk1, 0, True)
-        b2 = bc = None
-        if it2 is not None:
-            chunk2 = list(itertools.islice(it2, len(chunk1)))
-            if len(chunk2) != len(chunk1):
-                raise ValueError("fastq1/fastq2 read counts differ")
-            b2 = _mk(chunk2, 1, True)
-        if itb is not None:
-            chunkb = list(itertools.islice(itb, len(chunk1)))
-            if len(chunkb) != len(chunk1):
-                raise ValueError("barcode FASTQ read count differs")
-            bc = _mk(chunkb, 2, False).bases
-        yield b1, b2, bc
+    try:
+        while True:
+            chunk1 = st1.next_batch(batch_size)
+            if chunk1 is None:
+                if st2 is not None and st2.next_batch(1) is not None:
+                    raise ValueError("fastq1/fastq2 read counts differ")
+                return
+            n1 = len(chunk1[0])
+            b1 = _mk(chunk1, 0, True)
+            b2 = bc = None
+            if st2 is not None:
+                chunk2 = st2.next_batch(n1)
+                if chunk2 is None or len(chunk2[0]) != n1:
+                    raise ValueError("fastq1/fastq2 read counts differ")
+                b2 = _mk(chunk2, 1, True)
+            if stb is not None:
+                chunkb = stb.next_batch(n1)
+                if chunkb is None or len(chunkb[0]) != n1:
+                    raise ValueError("barcode FASTQ read count differs")
+                bc = _mk(chunkb, 2, False).bases
+            yield b1, b2, bc
+    finally:
+        for st in (st1, st2, stb):
+            if st is not None:
+                st.close()
 
 
 def _widen(batch: ReadBatch, read_len: int) -> ReadBatch:
