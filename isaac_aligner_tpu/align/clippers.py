@@ -353,49 +353,76 @@ def apply_quality_trim_masks(bases: np.ndarray, quals: np.ndarray,
 
 
 def clip_overlapping(res: dict, b1, b2, genome_codes: np.ndarray) -> None:
-    """Clip the lower-quality end of overlapping FR pairs (gapless only)."""
-    both = res["aligned_1"] & res["aligned_2"]
-    for i in np.nonzero(both)[0]:
-        r1_rev = bool(res["reverse_1"][i])
-        r2_rev = bool(res["reverse_2"][i])
-        if r1_rev == r2_rev:
-            continue
-        c1 = res.get("cigar_1", [None] * both.shape[0])[i]
-        c2 = res.get("cigar_2", [None] * both.shape[0])[i]
-        if (c1 and any(op in c1 for op in "ID")) or \
-           (c2 and any(op in c2 for op in "ID")):
-            continue
-        p1, p2 = int(res["start_1"][i]), int(res["start_2"][i])
-        l1, l2 = b1.read_len, b2.read_len
-        if p1 <= p2:
-            left, right = ("_1", "_2")
-            lp, ll, rp, rl = p1, l1, p2, l2
-            left_rev = r1_rev
-            lq, rq = b1.quals[i], b2.quals[i]
-        else:
-            left, right = ("_2", "_1")
-            lp, ll, rp, rl = p2, l2, p1, l1
-            left_rev = r2_rev
-            lq, rq = b2.quals[i], b1.quals[i]
-        if left_rev:
-            continue  # leftmost must face forward (FR), else mate-pair/adapter
-        overlap = lp + ll - rp
-        if overlap <= 0 or overlap >= ll or overlap >= rl:
-            continue
-        # compare summed qualities of the overlapping ends
-        left_q = int(lq[ll - overlap :].sum())     # left read 3' tail
-        # right read's genome-left bases are its 3' tail in read
-        # coordinates (right is the reverse read)
-        right_q = int(rq[rl - overlap :].sum())
-        key = "cigar" + (right if left_q >= right_q else left)
-        idx_sfx = right if left_q >= right_q else left
-        if "cigar" + idx_sfx not in res:
-            res["cigar" + idx_sfx] = [None] * both.shape[0]
-        length = rl if idx_sfx == right else ll
-        if idx_sfx == right:
+    """Clip the lower-quality end of overlapping FR pairs (gapless only).
+
+    Vectorized: eligibility (both aligned, FR, genuine overlap) and the
+    tail-quality comparison are whole-batch column math; per-row Python
+    runs only for the rows actually clipped (reads overlap only when the
+    insert is shorter than the summed read lengths).  Reference analog:
+    overlapping-template clipping in TemplateBuilder (buildTemplate's
+    consistent-pair path)."""
+    n = res["aligned_1"].shape[0]
+    a = (np.asarray(res["aligned_1"]).astype(bool)
+         & np.asarray(res["aligned_2"]).astype(bool))
+    r1 = np.asarray(res["reverse_1"]).astype(bool)
+    r2 = np.asarray(res["reverse_2"]).astype(bool)
+    cand = a & (r1 != r2)
+    if not cand.any():
+        return
+    p1 = np.asarray(res["start_1"]).astype(np.int64)
+    p2 = np.asarray(res["start_2"]).astype(np.int64)
+    l1, l2 = b1.read_len, b2.read_len
+    left_is_1 = p1 <= p2
+    lp = np.where(left_is_1, p1, p2)
+    rp = np.where(left_is_1, p2, p1)
+    ll = np.where(left_is_1, l1, l2)
+    rl = np.where(left_is_1, l2, l1)
+    left_rev = np.where(left_is_1, r1, r2)
+    overlap = lp + ll - rp
+    # leftmost must face forward (FR), else mate-pair/adapter
+    cand &= ~left_rev & (overlap > 0) & (overlap < ll) & (overlap < rl)
+    rows = np.nonzero(cand)[0]
+    if rows.size == 0:
+        return
+    # gapless only: drop candidates whose cigar carries an indel
+    c1 = res.get("cigar_1")
+    c2 = res.get("cigar_2")
+    if c1 is not None or c2 is not None:
+        keep = []
+        for i in rows:
+            s1 = c1[i] if c1 is not None else None
+            s2 = c2[i] if c2 is not None else None
+            if (s1 and ("I" in s1 or "D" in s1)) or \
+                    (s2 and ("I" in s2 or "D" in s2)):
+                continue
+            keep.append(i)
+        rows = np.asarray(keep, np.int64)
+        if rows.size == 0:
+            return
+    # summed qualities of the two 3' tails over the overlap span
+    cs1 = np.cumsum(b1.quals[rows, ::-1].astype(np.int64), axis=1)
+    cs2 = np.cumsum(b2.quals[rows, ::-1].astype(np.int64), axis=1)
+    ov = overlap[rows]
+    q1t = np.take_along_axis(cs1, (ov - 1)[:, None], axis=1)[:, 0]
+    q2t = np.take_along_axis(cs2, (ov - 1)[:, None], axis=1)[:, 0]
+    left_q = np.where(left_is_1[rows], q1t, q2t)
+    right_q = np.where(left_is_1[rows], q2t, q1t)
+    # loser: the right end when the left tail wins (ties keep the left)
+    clip_right = left_q >= right_q
+    # suffix of the clipped row (right end = the mate of the left one)
+    right_is_1 = ~left_is_1[rows]
+    clip_1 = np.where(clip_right, right_is_1, ~right_is_1)
+    for key in ("cigar_1", "cigar_2"):
+        if key not in res:
+            res[key] = [None] * n
+    for k, i in enumerate(rows):
+        o = int(ov[k])
+        sfx = "_1" if clip_1[k] else "_2"
+        length = l1 if clip_1[k] else l2
+        if clip_right[k]:
             # clip the genome-left start of the right (reverse) read; in
             # read coordinates that is its 3' tail -> leading S, pos shift
-            res["cigar" + idx_sfx][i] = f"{overlap}S{length - overlap}M"
-            res["start" + idx_sfx][i] = rp + overlap
+            res["cigar" + sfx][i] = f"{o}S{length - o}M"
+            res["start" + sfx][i] = int(rp[i]) + o
         else:
-            res["cigar" + idx_sfx][i] = f"{length - overlap}M{overlap}S"
+            res["cigar" + sfx][i] = f"{length - o}M{o}S"

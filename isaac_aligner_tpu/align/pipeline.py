@@ -1092,3 +1092,89 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
 def align_batch_jit(arrays: IndexArrays, bases, quals, cfg: AlignConfig,
                     tail_masked=None):
     return align_batch(arrays, bases, quals, cfg, tail_masked)
+
+
+def mask_tail_device(bases, quals, tail_masked):
+    """Mask the last `tail_masked` columns of each row (N / qual 0) — the
+    device-side equivalent of the host adapter mask, reconstructed from
+    the per-read counts so the upload can carry ORIGINAL bases (the
+    output path needs them un-masked for SAM SEQ)."""
+    b, l = bases.shape
+    col = jnp.arange(l, dtype=jnp.int32)[None, :]
+    m = col >= (jnp.int32(l) - tail_masked.astype(jnp.int32))[:, None]
+    return (jnp.where(m, jnp.uint8(dna.N), bases),
+            jnp.where(m, jnp.uint8(0), quals))
+
+
+def orient_output_device(bases, quals, lengths, rev):
+    """Output orientation of seq/qual on device (reverse-complement the
+    first `length` columns of rows aligned in reverse) — the host numpy
+    version (build/storage._orient_output) was a top e2e cost."""
+    b, l = bases.shape
+    ar = jnp.arange(l, dtype=jnp.int32)[None, :]
+    ridx = jnp.where(rev[:, None],
+                     jnp.maximum(lengths.astype(jnp.int32)[:, None] - 1 - ar,
+                                 0), ar)
+    seq = jnp.take_along_axis(bases, ridx, axis=1)
+    q = jnp.take_along_axis(quals, ridx, axis=1)
+    comp = jnp.where(seq < dna.NUM_BASES, 3 - seq, seq).astype(jnp.uint8)
+    return jnp.where(rev[:, None], comp, seq), q
+
+
+# ---------------------------------------------------------------------------
+# Packed result transfer
+# ---------------------------------------------------------------------------
+# The remote-TPU link pays a ~10-30 ms sync PER FETCHED BUFFER, so fetching
+# a ~26-array result dict costs ~0.6 s/batch while the data itself is a few
+# MB.  pack_device_result concatenates every array into one int32 vector +
+# one uint8 vector ON DEVICE; the host fetches two buffers and re-slices.
+# (Reference analog: MatchSelector keeps results in one contiguous fragment
+# buffer rather than per-field allocations, FragmentCollector.hh.)
+
+def pack_device_result(res: dict):
+    """Inside jit: dict of arrays -> (int32 vec, uint8 vec), sorted-key
+    order.  float32/uint32 are bitcast (lossless); smaller ints widen."""
+    i32, u8 = [], []
+    for k in sorted(res):
+        a = res[k]
+        if a.dtype == jnp.uint8:
+            u8.append(a.reshape(-1))
+        elif a.dtype in (jnp.float32, jnp.uint32):
+            i32.append(jax.lax.bitcast_convert_type(a, jnp.int32).reshape(-1))
+        else:
+            i32.append(a.astype(jnp.int32).reshape(-1))
+    return (jnp.concatenate(i32) if i32 else jnp.zeros(0, jnp.int32),
+            jnp.concatenate(u8) if u8 else jnp.zeros(0, jnp.uint8))
+
+
+def result_spec(res: dict) -> dict:
+    """Host side: key -> (shape, dtype) from the (unfetched) device result
+    dict a packed jit returns alongside the vectors."""
+    return {k: (tuple(v.shape), np.dtype(v.dtype)) for k, v in res.items()}
+
+
+def unpack_device_result(spec: dict, i32: np.ndarray, u8: np.ndarray) -> dict:
+    """Rebuild the host result dict from the two fetched vectors.  int32/
+    float32/uint32 values are writable views into the fetched buffers
+    (one memcpy of each vector — device_get returns read-only memory and
+    downstream passes mutate results in place); bools and narrow ints are
+    restored by a cast."""
+    if not i32.flags.writeable:
+        i32 = i32.copy()
+    if not u8.flags.writeable:
+        u8 = u8.copy()
+    out, oi, ou = {}, 0, 0
+    for k in sorted(spec):
+        shape, dtype = spec[k]
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if dtype == np.uint8:
+            out[k] = u8[ou:ou + n].reshape(shape)
+            ou += n
+        elif dtype in (np.float32, np.uint32):
+            out[k] = i32[oi:oi + n].view(dtype).reshape(shape)
+            oi += n
+        else:
+            v = i32[oi:oi + n].reshape(shape)
+            out[k] = v if dtype == np.int32 else v.astype(dtype)
+            oi += n
+    return out

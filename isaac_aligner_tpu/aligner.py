@@ -17,8 +17,11 @@ from .align import clippers
 from .align import tls as tls_mod
 from .align.gapped import BWA, GapScoring
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
-from .align.pipeline import AlignConfig, IndexArrays, align_batch_jit, prepare_index, \
-    bucket_params_for, default_seed_offsets, genome_has_n_for, score_end
+from .align.pipeline import AlignConfig, IndexArrays, align_batch, \
+    align_batch_jit, bucket_params_for, default_seed_offsets, \
+    genome_has_n_for, mask_tail_device, orient_output_device, \
+    pack_device_result, prepare_index, result_spec, score_end, \
+    unpack_device_result
 from .index.build import SeedIndex
 from .io import sam
 from .io.fastq import ReadBatch
@@ -92,16 +95,24 @@ class Aligner:
         quals = batch.quals.copy()
         trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
         bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
-        out = align_batch_jit(self.arrays, bases, quals, self.cfg,
-                              trims.astype(np.int32))
+        # the device gets ORIGINAL bases (it re-applies the adapter mask
+        # from the counts) so it can emit output-oriented SEQ/QUAL; the
+        # masked host copies stay for the polish passes
+        ob, oq = _pad_to_seed(batch.bases, batch.quals, self.cfg.seed_len)
+        out = _single_packed_jit(self.arrays, ob, oq, self.cfg,
+                                 trims.astype(np.int32),
+                                 batch.lengths.astype(np.int32))
         return out, bases, quals, trims, batch
 
     def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
         """Sync half: fetch device results, run host polish passes."""
-        out, bases, quals, trims, batch = pending
-        # jax.device_get (NOT np.asarray): the remote-TPU tunnel's
+        ((pi, pu), handle), bases, quals, trims, batch = pending
+        # two packed buffers -> two link syncs per batch (fetching the
+        # raw ~26-array dict paid one ~25 ms sync PER ARRAY);
+        # jax.device_get, NOT np.asarray — the remote-TPU tunnel's
         # __array__ fetch path is pathologically slow
-        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        res = unpack_device_result(result_spec(handle),
+                                   jax.device_get(pi), jax.device_get(pu))
         total_trims = clippers.apply_quality_trim_masks(
             bases, quals, trims, res.pop("qtrim"))
         clippers.apply_masked_tail_cigar(res, "", total_trims, batch.read_len)
@@ -195,9 +206,41 @@ class Aligner:
 # Paired-end driver
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _single_packed_jit(arrays, bases, quals, cfg, tail_masked, lengths):
+    """align_batch + on-device output orientation + result packing.
+
+    `bases`/`quals` are the ORIGINAL (un-masked) batch; the adapter tail
+    mask is re-applied on device from the counts so the output path can
+    carry original bases in SAM SEQ while the scorer sees masked ones.
+    The returned raw dict is never fetched — it only carries shapes/
+    dtypes for the host unpack."""
+    mb, mq = mask_tail_device(bases, quals, tail_masked)
+    res = align_batch(arrays, mb, mq, cfg, tail_masked)
+    rev = res["aligned"] & res["reverse"].astype(bool)
+    seq_out, qual_out = orient_output_device(bases, quals, lengths, rev)
+    res["seq_out"], res["qual_out"], res["orient_rev"] = seq_out, qual_out, rev
+    return pack_device_result(res), res
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tls"))
 def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1=None, tm2=None):
     return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tls"))
+def _paired_packed_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2, len1, len2):
+    """Paired variant of _single_packed_jit (original inputs + on-device
+    adapter masking + per-end output orientation)."""
+    mb1, mq1 = mask_tail_device(b1, q1, tm1)
+    mb2, mq2 = mask_tail_device(b2, q2, tm2)
+    res = align_paired_batch(arrays, mb1, mq1, mb2, mq2, cfg, tls, tm1, tm2)
+    for sfx, (bb, qq, ll) in (("_1", (b1, q1, len1)), ("_2", (b2, q2, len2))):
+        rev = res["aligned" + sfx] & res["reverse" + sfx].astype(bool)
+        s, q = orient_output_device(bb, qq, ll, rev)
+        res["seq_out" + sfx], res["qual_out" + sfx] = s, q
+        res["orient_rev" + sfx] = rev
+    return pack_device_result(res), res
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -217,9 +260,10 @@ def _ends_summary_jit(arrays, b1, q1, b2, q2, cfg):
                               "window"))
 def _rescue_jit(arrays, cfg, tls, orphan_read_index, read_lengths,
                 orphan_start, orphan_rev, shadow_bases, shadow_quals, window):
-    return rescue_shadows(arrays, cfg, tls, orphan_read_index, read_lengths,
-                          orphan_start, orphan_rev, shadow_bases, shadow_quals,
-                          window)
+    res = rescue_shadows(arrays, cfg, tls, orphan_read_index, read_lengths,
+                         orphan_start, orphan_rev, shadow_bases, shadow_quals,
+                         window)
+    return pack_device_result(res), res
 
 
 @dataclasses.dataclass
@@ -294,6 +338,7 @@ class PairedAligner:
         """Async half: adapter-mask both ends on host, launch the device
         program (quality trim + semialigned clip happen on device)."""
         masked = []
+        orig = []
         trims = []
         for b in (b1, b2):
             bases = b.bases.copy()
@@ -301,11 +346,17 @@ class PairedAligner:
             t = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
             bases, quals = _pad_to_seed(bases, quals, self.cfg.seed_len)
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
+            orig.append(_pad_to_seed(b.bases, b.quals, self.cfg.seed_len))
             trims.append(t)
         m1, m2 = masked
-        out = _paired_jit(self.arrays, m1.bases, m1.quals, m2.bases, m2.quals,
-                          self.cfg, self.tls,
-                          trims[0].astype(np.int32), trims[1].astype(np.int32))
+        # originals go to the device (it re-applies the adapter mask from
+        # the counts and emits output-oriented SEQ/QUAL); the masked host
+        # copies stay for polish + rescue
+        out = _paired_packed_jit(
+            self.arrays, orig[0][0], orig[0][1], orig[1][0], orig[1][1],
+            self.cfg, self.tls,
+            trims[0].astype(np.int32), trims[1].astype(np.int32),
+            b1.lengths.astype(np.int32), b2.lengths.astype(np.int32))
         return out, m1, m2, trims, (b1, b2)
 
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
@@ -331,9 +382,11 @@ class PairedAligner:
             yield self._records_from_res(b1, b2, res, phred_offset)
 
     def _finish(self, pending) -> dict[str, np.ndarray]:
-        out, m1, m2, trims, (b1, b2) = pending
-        # device_get + np.array copy — rescue merging mutates in place
-        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        ((pi, pu), handle), m1, m2, trims, (b1, b2) = pending
+        # two packed buffers -> two link syncs (see Aligner._finish);
+        # the unpacked views are writable, so rescue merging can mutate
+        res = unpack_device_result(result_spec(handle),
+                                   jax.device_get(pi), jax.device_get(pu))
         total1 = clippers.apply_quality_trim_masks(
             m1.bases, m1.quals, trims[0], res.pop("qtrim_1"))
         total2 = clippers.apply_quality_trim_masks(
@@ -414,11 +467,13 @@ class PairedAligner:
                 o_rev = res[f"reverse_{orphan_end}"][rr]
                 sb = shadow_batch.bases[rr]
                 sq = shadow_batch.quals[rr]
-                out = _rescue_jit(self.arrays, self.cfg, self.tls,
-                                  orphan_end - 1, read_lengths,
-                                  o_start, o_rev, sb, sq, window)
-                out = {k: v[: chunk.size]
-                       for k, v in jax.device_get(out).items()}
+                (pi, pu), handle = _rescue_jit(
+                    self.arrays, self.cfg, self.tls, orphan_end - 1,
+                    read_lengths, o_start, o_rev, sb, sq, window)
+                out = unpack_device_result(result_spec(handle),
+                                           jax.device_get(pi),
+                                           jax.device_get(pu))
+                out = {k: v[: chunk.size] for k, v in out.items()}
                 hit = self._merge_rescue(res, chunk, shadow_end, orphan_end,
                                          out, read_lengths)
                 rescued[shadow_end][hit] = True

@@ -140,24 +140,47 @@ class FragmentBatch:
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str | Path) -> None:
+        """Write the batch as a flat columnar chunk: a length-prefixed
+        JSON field list, then one raw .npy stream per column (no zip
+        container / CRC work — the reference's packed fragment temp files
+        are raw structs for the same reason, io/Fragment.hh)."""
+        import json
+        import struct
         arrs = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)
                 if isinstance(getattr(self, f.name), np.ndarray)}
         if self.oc is not None:
             arrs["oc"] = np.array([x or "" for x in self.oc], dtype="S")
         arrs["rg_names"] = np.array(list(self.rg_names), dtype="S")
-        np.savez(path, **arrs)
+        header = json.dumps(list(arrs)).encode("ascii")
+        with open(path, "wb") as f:
+            f.write(struct.pack("<I", len(header)))
+            f.write(header)
+            for v in arrs.values():
+                np.lib.format.write_array(f, np.ascontiguousarray(v),
+                                          allow_pickle=False)
 
     @staticmethod
     def load(path: str | Path) -> "FragmentBatch":
-        with np.load(path, allow_pickle=False) as z:
-            kw = {k: z[k] for k in z.files if k not in ("rg_names", "oc")}
-            rg = tuple(s.decode("ascii") for s in z["rg_names"]) \
-                if "rg_names" in z.files else ()
-            oc = None
-            if "oc" in z.files:
-                raw = [s.decode("ascii") for s in z["oc"]]
-                if any(raw):
-                    oc = np.array([s or None for s in raw], dtype=object)
+        import json
+        import struct
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic == b"PK\x03\x04":   # legacy .npz chunks (resume compat)
+                with np.load(path, allow_pickle=False) as z:
+                    arrs = {k: z[k] for k in z.files}
+            else:
+                (hlen,) = struct.unpack("<I", magic)
+                fields = json.loads(f.read(hlen).decode("ascii"))
+                arrs = {k: np.lib.format.read_array(f, allow_pickle=False)
+                        for k in fields}
+        kw = {k: v for k, v in arrs.items() if k not in ("rg_names", "oc")}
+        rg = tuple(s.decode("ascii") for s in arrs["rg_names"]) \
+            if "rg_names" in arrs else ()
+        oc = None
+        if "oc" in arrs:
+            raw = [s.decode("ascii") for s in arrs["oc"]]
+            if any(raw):
+                oc = np.array([s or None for s in raw], dtype=object)
         return FragmentBatch(**kw, rg_names=rg, oc=oc)
 
 
@@ -341,12 +364,43 @@ def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
     return out
 
 
+_SCATTER_LIB: object = None
+_SCATTER_TRIED = False
+
+
+def _scatter_lib():
+    """Compile-on-first-use native row-memcpy scatter (native/scatter.cpp);
+    None when the toolchain is unavailable (numpy fallback below)."""
+    global _SCATTER_LIB, _SCATTER_TRIED
+    if not _SCATTER_TRIED:
+        import ctypes
+
+        from ..native.build import load_library
+        _SCATTER_LIB = load_library("scatter")
+        if _SCATTER_LIB is not None:
+            p, i64 = ctypes.c_void_p, ctypes.c_int64
+            _SCATTER_LIB.ragged_scatter.argtypes = [p, p, p, i64, p, i64]
+            _SCATTER_LIB.ragged_scatter.restype = None
+            _SCATTER_LIB.fixed_scatter.argtypes = [p, p, p, i64, i64]
+            _SCATTER_LIB.fixed_scatter.restype = None
+        _SCATTER_TRIED = True
+    return _SCATTER_LIB
+
+
 def _ragged_scatter(out: np.ndarray, dest: np.ndarray, src: np.ndarray,
                     src_len: np.ndarray) -> None:
     """out[dest[i] : dest[i]+src_len[i]] = src[i, :src_len[i]] for all i."""
     src_len = src_len.astype(np.int64)
     n = len(src_len)
     if n == 0:
+        return
+    lib = _scatter_lib()
+    if lib is not None:
+        src_c = np.ascontiguousarray(src, np.uint8)
+        dest_c = np.ascontiguousarray(dest, np.int64)
+        lib.ragged_scatter(out.ctypes.data, dest_c.ctypes.data,
+                           src_c.ctypes.data, src_c.shape[1],
+                           np.ascontiguousarray(src_len).ctypes.data, n)
         return
     w0 = int(src_len[0])
     if w0 and (src_len == w0).all():
@@ -362,6 +416,22 @@ def _ragged_scatter(out: np.ndarray, dest: np.ndarray, src: np.ndarray,
     within = np.arange(total) - np.repeat(starts, src_len)
     vals = np.take(src.reshape(-1), rows * src.shape[1] + within)
     out[np.repeat(dest.astype(np.int64), src_len) + within] = vals
+
+
+def _fixed_scatter(out: np.ndarray, dest: np.ndarray, src: np.ndarray
+                   ) -> None:
+    """out[dest[i] : dest[i]+w] = src[i] for a uniform-width [n, w] src."""
+    n, w = src.shape
+    if n == 0:
+        return
+    lib = _scatter_lib()
+    if lib is not None:
+        src_c = np.ascontiguousarray(src, np.uint8)
+        dest_c = np.ascontiguousarray(dest, np.int64)
+        lib.fixed_scatter(out.ctypes.data, dest_c.ctypes.data,
+                          src_c.ctypes.data, w, n)
+        return
+    out[dest.astype(np.int64)[:, None] + np.arange(w)] = src
 
 
 def _int_tag_bytes(tag: bytes, values: np.ndarray) -> np.ndarray:
@@ -456,8 +526,7 @@ def to_bam_bytes(fb: FragmentBatch) -> tuple[bytes, np.ndarray, np.ndarray,
     hdr["nref"] = fb.mate_ref_id
     hdr["npos"] = np.where(fb.mate_ref_id >= 0, fb.mate_pos, -1)
     hdr["tlen"] = fb.tlen
-    out[u_start[:, None] + np.arange(36)] = \
-        hdr.view(np.uint8).reshape(n, 36)
+    _fixed_scatter(out, u_start, hdr.view(np.uint8).reshape(n, 36))
 
     # ---- name (+ NUL terminator already zero-filled)
     off = u_start + 36
@@ -489,8 +558,7 @@ def to_bam_bytes(fb: FragmentBatch) -> tuple[bytes, np.ndarray, np.ndarray,
                 off: np.ndarray) -> np.ndarray:
         idx = np.nonzero(has)[0]
         if idx.size:
-            mat = _int_tag_bytes(tag, vals[idx])
-            out[off[idx][:, None] + np.arange(7)] = mat
+            _fixed_scatter(out, off[idx], _int_tag_bytes(tag, vals[idx]))
         return off + 7 * has
 
     def put_z(tag: bytes, mat: np.ndarray, slen: np.ndarray,
@@ -498,7 +566,7 @@ def to_bam_bytes(fb: FragmentBatch) -> tuple[bytes, np.ndarray, np.ndarray,
         idx = np.nonzero(has)[0]
         if idx.size:
             pre = np.tile(np.frombuffer(tag + b"Z", np.uint8), (idx.size, 1))
-            out[off[idx][:, None] + np.arange(3)] = pre
+            _fixed_scatter(out, off[idx], pre)
             _ragged_scatter(out, off[idx] + 3, mat[idx], slen[idx])
             # NUL already zero
         return off + np.where(has, 4 + slen, 0)

@@ -46,6 +46,30 @@ def _orient_output(bases: np.ndarray, quals: np.ndarray, lengths: np.ndarray,
     return seq.astype(np.uint8), q.astype(np.uint8)
 
 
+def _oriented_from_result(res: dict, sfx: str, batch, idx: np.ndarray,
+                          lengths: np.ndarray, rev: np.ndarray):
+    """Output-oriented seq/qual columns.  The device computes them inside
+    the fused program (pipeline.orient_output_device, riding the packed
+    result as seq_out/qual_out); rows whose FINAL orientation differs
+    from the device-time one (rescued shadows) re-orient on host.  Falls
+    back to the host path for results without the device columns."""
+    key = "seq_out" + sfx
+    if key not in res:
+        return _orient_output(batch.bases[idx], batch.quals[idx],
+                              lengths, rev)
+    w = batch.bases.shape[1]
+    seq = np.asarray(res[key])[idx][:, :w]
+    qual = np.asarray(res["qual_out" + sfx])[idx][:, :w]
+    rev_dev = np.asarray(res["orient_rev" + sfx])[idx].astype(bool)
+    fix = np.nonzero(rev != rev_dev)[0]
+    if fix.size:
+        s2, q2 = _orient_output(batch.bases[idx][fix], batch.quals[idx][fix],
+                                lengths[fix], rev[fix])
+        seq[fix] = s2
+        qual[fix] = q2
+    return seq, qual
+
+
 def _subset_cigars(cigars, idx: np.ndarray):
     if cigars is None:
         return None
@@ -113,7 +137,7 @@ def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
 
     offs = genome.contig_offsets
     rid, local = _locate(offs, np.maximum(start, 0))
-    seq, qual = _orient_output(batch.bases[idx], batch.quals[idx], lengths, rev)
+    seq, qual = _oriented_from_result(res, "", batch, idx, lengths, rev)
 
     fb = FragmentBatch.empty(n, batch.bases.shape[1],
                              name_w=1, max_cigar=ops.shape[1])
@@ -164,8 +188,8 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
         obs = R.ref_span(ops, n_ops.astype(np.int64)).astype(np.int64)
         obs = np.where(aligned, obs, lengths)
         rid, local = _locate(offs, np.maximum(start, 0))
-        seq, qual = _orient_output(batch.bases[idx], batch.quals[idx],
-                                   lengths, rev)
+        seq, qual = _oriented_from_result(res, f"_{e}", batch, idx,
+                                          lengths, rev)
         end[e] = dict(lengths=lengths, aligned=aligned, rev=rev, start=start,
                       frag=frag, nm=nm, ops=ops,
                       n_ops=np.where(aligned, n_ops, 0).astype(np.int16),
@@ -371,9 +395,11 @@ def finalize_dup_columns(fb: FragmentBatch, contig_offsets: np.ndarray
     mapped = (~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)) & (fb.ref_id >= 0)
     anchor = unclipped_5prime_global(fb, contig_offsets)
     rev = (fb.flag & sam.FLAG_REVERSE).astype(bool)
-    pos_anchor = anchor * 2 + rev
-    fb.anchor_self = np.where(mapped, pos_anchor,
-                              _bases_hash(fb.seq, fb.length) | _HASH_FLAG)
+    fb.anchor_self = anchor * 2 + rev
+    um = np.nonzero(~mapped)[0]
+    if um.size:   # bases-hash pseudo anchors only for the unmapped subset
+        fb.anchor_self[um] = \
+            _bases_hash(fb.seq[um], fb.length[um]) | _HASH_FLAG
     if paired:
         fb.anchor_mate = fb.anchor_self.reshape(-1, 2)[:, ::-1].reshape(-1)
     else:
@@ -456,7 +482,7 @@ class BinnedFragmentStore:
             name = "unaligned" if b == self.n_bins else f"bin_{int(b):05d}"
             d = self.dir / name
             d.mkdir(exist_ok=True)
-            sub.save(d / f"chunk_{self._chunk:06d}.npz")
+            sub.save(d / f"chunk_{self._chunk:06d}.cols")
         self._chunk += 1
 
     def bin_dirs(self) -> list[Path]:
@@ -465,5 +491,27 @@ class BinnedFragmentStore:
 
     @staticmethod
     def load_bin(bin_dir: Path) -> FragmentBatch:
-        chunks = sorted(bin_dir.glob("chunk_*.npz"))
+        chunks = sorted(bin_dir.glob("chunk_*.*"))
         return R.concat([FragmentBatch.load(c) for c in chunks])
+
+    @staticmethod
+    def iter_chunk_groups(bin_dir: Path, max_records: int):
+        """Yield a bin's chunks concatenated into groups of at most
+        ~max_records rows (always at least one whole chunk per group).
+
+        Bounds RAM for bins that outgrew their budget — above all the
+        trailing unaligned bin, which a low-quality run can fill with
+        half its records (the aligned bins are budget-sized, this one is
+        not).  Reference analog: Build's bin admission throttling,
+        include/build/Build.hh:163-183."""
+        group: list[FragmentBatch] = []
+        rows = 0
+        for c in sorted(bin_dir.glob("chunk_*.*")):
+            fb = FragmentBatch.load(c)
+            if group and rows + len(fb) > max_records:
+                yield R.concat(group)
+                group, rows = [], 0
+            group.append(fb)
+            rows += len(fb)
+        if group:
+            yield R.concat(group)

@@ -118,9 +118,20 @@ class MultiIndexAligner:
             self._combined = _combined_genome(self.aligners)
         return self._combined
 
+    def _dispatch_all(self, batch: ReadBatch) -> list:
+        """Launch every group's device program before fetching any — the
+        per-group dispatch/fetch overlap the single-index path has
+        (aligner.py align_results_many), applied across groups."""
+        return [a._dispatch(batch) for a in self.aligners]
+
+    def _finish_all(self, pendings: list) -> list[dict]:
+        return [a._finish(p) for a, p in zip(self.aligners, pendings)]
+
     def align_batch_arrays(self, batch: ReadBatch) -> dict:
         """Merged result dict in concatenated-genome coordinates."""
-        results = [a.align_batch_arrays(batch) for a in self.aligners]
+        return self._merge(batch, self._finish_all(self._dispatch_all(batch)))
+
+    def _merge(self, batch: ReadBatch, results: list[dict]) -> dict:
         n = batch.bases.shape[0]
         goff = np.cumsum([0] + [a.index.genome.total_length
                                 for a in self.aligners[:-1]])
@@ -147,6 +158,13 @@ class MultiIndexAligner:
 
         out = {k: _pick_rows(results, k, best_g)
                for k in ("reverse", "mismatches", "edit_distance", "cigar")}
+        # device-oriented output columns (orientation of the winning group
+        # matches its own orient_rev, so the converter's fix-up is a no-op
+        # unless downstream passes flip a row)
+        for k in ("seq_out", "qual_out", "orient_rev"):
+            v = _pick_rows(results, k, best_g)
+            if v is not None:
+                out[k] = v
         out["aligned"] = any_aligned
         out["start"] = _pick_rows(results, "start", best_g) + goff[best_g]
         out["log_prob"] = best_lp
@@ -158,9 +176,19 @@ class MultiIndexAligner:
         return out
 
     def align_results_many(self, batches):
-        """(batch, merged result) pairs — groups run serially per batch."""
+        """(batch, merged result) pairs, pipelined: batch i+1's group
+        programs are all dispatched before batch i's results are fetched
+        and merged (host merge overlaps device compute)."""
+        pending = None
         for batch in batches:
-            yield batch, self.align_batch_arrays(batch)
+            nxt = (batch, self._dispatch_all(batch))
+            if pending is not None:
+                b, p = pending
+                yield b, self._merge(b, self._finish_all(p))
+            pending = nxt
+        if pending is not None:
+            b, p = pending
+            yield b, self._merge(b, self._finish_all(p))
 
     def align_to_sam(self, batch: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:
@@ -236,9 +264,19 @@ class MultiIndexPairedAligner:
             self._combined = _combined_genome(self.aligners)
         return self._combined
 
+    def _dispatch_all(self, b1: ReadBatch, b2: ReadBatch) -> list:
+        """Launch every group's paired device program before fetching any."""
+        return [a._dispatch(b1, b2) for a in self.aligners]
+
+    def _finish_all(self, pendings: list) -> list[dict]:
+        return [a._finish(p) for a, p in zip(self.aligners, pendings)]
+
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict:
         """Merged paired result dict in concatenated-genome coordinates."""
-        results = [a.align_batch_arrays(b1, b2) for a in self.aligners]
+        return self._merge(
+            b1, b2, self._finish_all(self._dispatch_all(b1, b2)))
+
+    def _merge(self, b1: ReadBatch, b2: ReadBatch, results: list[dict]) -> dict:
         n = b1.bases.shape[0]
         ar = np.arange(n)
         goff = np.cumsum([0] + [a.index.genome.total_length
@@ -265,7 +303,8 @@ class MultiIndexPairedAligner:
         for e in (1, 2):
             keys += [f"aligned_{e}", f"reverse_{e}", f"mismatches_{e}",
                      f"edit_distance_{e}", f"cigar_{e}", f"log_prob_{e}",
-                     f"shadow_{e}"]
+                     f"shadow_{e}", f"seq_out_{e}", f"qual_out_{e}",
+                     f"orient_rev_{e}"]
         for k in keys:
             v = _pick_rows(results, k, best_g)
             if v is not None:
@@ -313,9 +352,18 @@ class MultiIndexPairedAligner:
         return out
 
     def align_results_many(self, batches):
-        """((b1, b2), merged result) pairs — groups run serially."""
+        """((b1, b2), merged result) pairs, pipelined across batches and
+        groups (see MultiIndexAligner.align_results_many)."""
+        pending = None
         for b1, b2 in batches:
-            yield (b1, b2), self.align_batch_arrays(b1, b2)
+            nxt = ((b1, b2), self._dispatch_all(b1, b2))
+            if pending is not None:
+                (pb1, pb2), p = pending
+                yield (pb1, pb2), self._merge(pb1, pb2, self._finish_all(p))
+            pending = nxt
+        if pending is not None:
+            (pb1, pb2), p = pending
+            yield (pb1, pb2), self._merge(pb1, pb2, self._finish_all(p))
 
     def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:

@@ -338,8 +338,16 @@ class AlignWorkflow:
         learn = [(b1, b2) for b1, b2, _ in
                  itertools.islice(self._batch_stream(),
                                   self.opts.tls_batches)]
-        aligner = PairedAligner.create(index,
-                                       read_len=learn[0][0].read_len)
+        o = self.opts
+        from ..align.gapped import GapScoring
+        read_len = learn[0][0].read_len
+        aligner = PairedAligner.create(
+            index, read_len=read_len,
+            cfg=self._align_config(read_len, index),
+            base_quality_cutoff=o.base_quality_cutoff,
+            clip_semialigned=o.clip_semialigned,
+            adapters=tuple(o.adapters),
+            gap_scoring=GapScoring.parse(o.gap_scoring))
         self.tls = aligner.learn_tls(learn)
         self._apply_mate_drift()
         self._stats["tls"] = dataclasses.asdict(self.tls)
@@ -400,19 +408,8 @@ class AlignWorkflow:
 
         rg_names = self._demux_names()
         n_records = self._estimate_total_reads() * (2 if paired else 1)
-        records_per_bin = o.records_per_bin
-        if o.memory_limit:
-            # per-record footprint through the Build phase: seq+qual bytes,
-            # name, packed cigars ×2 (own + mate), ~30 int columns, plus
-            # sort/dedup scratch of the same order -> budget a quarter of
-            # the limit for one resident bin
-            rec_bytes = 2 * read_len + 64 + 8 * 16 * 2 + 128
-            fit = int(o.memory_limit * 1e9 * 0.25 / rec_bytes)
-            if fit < records_per_bin:
-                records_per_bin = max(fit, 10_000)
-                from ..utils import tracing
-                tracing.log(f"--memory-limit {o.memory_limit}G: "
-                            f"records_per_bin -> {records_per_bin}")
+        records_per_bin = self._records_per_bin(read_len)
+        self._stats["records_per_bin"] = records_per_bin
         n_bins = max(1, -(-n_records // records_per_bin))
         bins_dir = self.temp / "bins"
         if bins_dir.exists():
@@ -450,9 +447,17 @@ class AlignWorkflow:
         # generator stays a plain (b1[, b2]) iterator
         from collections import deque
         sidecar: deque = deque()
+        t_host = {"parse": 0.0, "convert": 0.0}
 
         def feed():
-            for b1, b2, bc in stream:
+            it = iter(stream)
+            while True:
+                t1 = time.perf_counter()
+                nxt = next(it, None)
+                t_host["parse"] += time.perf_counter() - t1
+                if nxt is None:
+                    return
+                b1, b2, bc = nxt
                 valid = [nm for nm in b1.names if not nm.startswith("__pad")]
                 sidecar.append((bc, valid))
                 yield (b1, b2) if paired else b1
@@ -493,8 +498,16 @@ class AlignWorkflow:
             aligner = Aligner.create(index, read_len=read_len, cfg=cfg,
                                      **clip_kw)
         # one loop for all aligner kinds: every one yields (inputs, res)
-        # dicts in concatenated-genome coordinates
-        for inputs, res in aligner.align_results_many(feed()):
+        # dicts in concatenated-genome coordinates.  Three host stages
+        # overlap (the reference's load/compute/flush thread slots,
+        # SelectMatchesTransition.cpp:295-357): input parsing runs 2
+        # batches ahead on a prefetch thread, the main thread drives
+        # dispatch/fetch/polish, and record conversion + bin writes run
+        # on an ordered background stage.
+        from ..utils.pipeline import OrderedStage, prefetch_iter
+
+        def convert_emit(inputs, res):
+            t1 = time.perf_counter()
             bc_bases, valid = sidecar.popleft()
             aux = aux_for(bc_bases, valid)
             if paired:
@@ -507,6 +520,15 @@ class AlignWorkflow:
                     genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
                     aux=aux)
             emit(fb, valid)
+            t_host["convert"] += time.perf_counter() - t1
+
+        writer = OrderedStage(convert_emit, window=2, name="isaac-convert")
+        try:
+            for inputs, res in aligner.align_results_many(
+                    prefetch_iter(feed(), depth=2)):
+                writer.submit(inputs, res)
+        finally:
+            writer.close()
 
         if rg_names:
             counts = {nm: int(c) for nm, c in zip(rg_names, demux_counts) if c}
@@ -519,6 +541,7 @@ class AlignWorkflow:
                  "read": read, **agg}
                 for (lane, tile, sample, read), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
+        stats["stage_seconds"] = {k: round(v, 2) for k, v in t_host.items()}
         stats["mapq_hist"] = [int(x) for x in stats["mapq_hist"]]
         for k in ("total_reads", "aligned", "perfect", "proper_pairs"):
             stats[k] = int(stats[k])
@@ -689,6 +712,24 @@ class AlignWorkflow:
         return pad_batch(ReadBatch(b.names[lo:hi], b.bases[lo:hi],
                                    b.quals[lo:hi], b.lengths[lo:hi]), bs)
 
+    def _records_per_bin(self, read_len: int) -> int:
+        """Bin size in records, capped by --memory-limit.  Per-record
+        footprint through the Build phase: seq+qual bytes, name, packed
+        cigars ×2 (own + mate), ~30 int columns, plus sort/dedup scratch
+        of the same order -> budget a quarter of the limit for one
+        resident bin."""
+        o = self.opts
+        records_per_bin = o.records_per_bin
+        if o.memory_limit:
+            rec_bytes = 2 * read_len + 64 + 8 * 16 * 2 + 128
+            fit = int(o.memory_limit * 1e9 * 0.25 / rec_bytes)
+            if fit < records_per_bin:
+                records_per_bin = max(fit, 10_000)
+                from ..utils import tracing
+                tracing.log(f"--memory-limit {o.memory_limit}G: "
+                            f"records_per_bin -> {records_per_bin}")
+        return records_per_bin
+
     def _phase_reports(self) -> None:
         """MatchSelectorStats / AlignmentReportGenerator analog: JSON +
         reference-shaped XML + a self-contained HTML report with inline
@@ -774,8 +815,18 @@ class AlignWorkflow:
         """Per-bin sort/dedup/realign + streaming BAM serialization
         (reference Build::sortBinParallel, lib/build/Build.cpp:509-903).
         Bins are processed in genome order so the concatenated output is
-        globally coordinate-sorted; every step is columnar numpy."""
+        globally coordinate-sorted; every step is columnar numpy.
+
+        Three stages overlap (the reference's bin slots,
+        Build.cpp:793-903): a loader thread reads bin i+1's chunk files
+        while the main thread sorts/dedups/realigns bin i and an ordered
+        writer stage serializes bin i-1 to BAM/BGZF.  The trailing
+        unaligned bin — which no record-count budget sized — streams in
+        bounded chunk groups in arrival order (it needs no sort: its
+        records carry no coordinates, and arrival order is deterministic
+        for a given input)."""
         from ..build.storage import BinnedFragmentStore
+        from ..utils.pipeline import OrderedStage, prefetch_iter
 
         genome = self._genome()
         bins_dir = self.temp / "bins"
@@ -784,20 +835,31 @@ class AlignWorkflow:
             if d.is_dir() and d.name.startswith("bin_")
         ) if bins_dir.is_dir() else []
         unal = bins_dir / "unaligned"
+        cap = self._stats.get("records_per_bin") or self.opts.records_per_bin
 
         writers: dict = {}
         realigned = dup = n_records = 0
-        for d in bin_dirs + ([unal] if unal.is_dir() else []):
-            fb = BinnedFragmentStore.load_bin(d)
-            if d.name == "unaligned":
-                from ..build.dedup import coordinate_sort_order
-                fb = fb.take(coordinate_sort_order(fb))
-            else:
-                fb, r_cnt = self._process_bin_fb(fb, genome)
-                realigned += r_cnt
-            dup += int(((fb.flag & sam.FLAG_DUPLICATE) != 0).sum())
-            n_records += len(fb)
-            self._emit_fb(fb, writers, genome.contigs)
+
+        def jobs():
+            for d in bin_dirs:
+                yield True, BinnedFragmentStore.load_bin(d)
+            if unal.is_dir():
+                for fb in BinnedFragmentStore.iter_chunk_groups(unal, cap):
+                    yield False, fb
+
+        emit = OrderedStage(
+            lambda fb: self._emit_fb(fb, writers, genome.contigs),
+            window=2, name="isaac-bam")
+        try:
+            for is_bin, fb in prefetch_iter(jobs(), depth=1):
+                if is_bin:
+                    fb, r_cnt = self._process_bin_fb(fb, genome)
+                    realigned += r_cnt
+                dup += int(((fb.flag & sam.FLAG_DUPLICATE) != 0).sum())
+                n_records += len(fb)
+                emit.submit(fb)
+        finally:
+            emit.close()
         if not writers and not self.opts.sample_sheet:
             # no records at all: still emit a valid empty BAM
             from ..build.records import FragmentBatch

@@ -92,7 +92,7 @@ def test_resume_through_binned_build(tmp_path):
         batch_size=8, realign_gaps="no", records_per_bin=3)
     AlignWorkflow(opts).run(stop_at="AlignDone")
     assert not (out / "sorted.bam").exists()
-    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.npz"))
+    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.cols"))
 
     # a brand-new workflow object resumes from the saved state
     wf2 = AlignWorkflow(opts)

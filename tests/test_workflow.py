@@ -49,7 +49,7 @@ def test_full_workflow_and_resume(run_dir):
         batch_size=128))
     wf.run(stop_at="AlignDone")
     assert wf.state == "AlignDone"
-    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.npz"))
+    assert list((out / "Temp" / "bins").glob("bin_*/chunk_*.cols"))
     state = json.loads((out / "Temp" / "AlignerState.json").read_text())
     assert state["state"] == "AlignDone"
 
