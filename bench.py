@@ -252,6 +252,8 @@ def main() -> None:
     from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
 
     e2e_rps = 0.0
+    e2e_paired_rps = 0.0
+    e2e_breakdown = {}
     with tempfile.TemporaryDirectory(prefix="isaac_bench_") as td:
         td = Path(td)
         index.save(td / "idx")
@@ -263,14 +265,23 @@ def main() -> None:
             f.writelines(f"@r{i}\n{dna.decode(er[i])}\n+\n{qs}\n"
                          for i in range(E2E_READS))
 
-        def run_e2e(name, fastq):
+        def run_e2e(name, fastq, fastq2=None):
             wf = AlignWorkflow(WorkflowOptions(
                 reference=str(td / "idx"), output_dir=str(td / name),
-                fastq1=str(fastq), batch_size=BATCH, realign_gaps="no",
-                records_per_bin=2_000_000))
+                fastq1=str(fastq), fastq2=fastq2, batch_size=BATCH,
+                realign_gaps="no", records_per_bin=2_000_000))
             t0 = time.time()
             wf.run()
-            return time.time() - t0
+            return time.time() - t0, wf
+
+        def breakdown(wf):
+            al = wf._stats.get("match_selector", {})
+            return {
+                "align_s": al.get("align_seconds"),
+                **{f"{k}_s": v
+                   for k, v in al.get("stage_seconds", {}).items()},
+                "build_s": wf._stats.get("build", {}).get("build_seconds"),
+            }
 
         # warmup run compiles the workflow's executables (same batch
         # shapes; the gapped-polish SW compile triggers on high-mismatch
@@ -282,9 +293,42 @@ def main() -> None:
         _log("e2e warmup run (compiles)")
         run_e2e("warm_out", td / "warm.fq")
         _log("e2e timed run")
-        e2e_s = run_e2e("out", td / "r1.fq")
+        e2e_s, wf = run_e2e("out", td / "r1.fq")
         e2e_rps = E2E_READS / e2e_s
-        _log(f"e2e: {e2e_rps:.0f} reads/s ({e2e_s:.1f}s)")
+        e2e_breakdown = breakdown(wf)
+        _log(f"e2e: {e2e_rps:.0f} reads/s ({e2e_s:.1f}s) {e2e_breakdown}")
+
+        # ---- paired e2e: proper pairs at ~300bp insert, 1% mutations ----
+        n_pairs = E2E_READS // 2
+        starts = rng.integers(0, GENOME_LEN - 500, n_pairs)
+        m1 = seq_codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
+        mut1 = rng.random(m1.shape) < 0.01
+        m1 = np.where(mut1, rng.integers(0, 4, m1.shape), m1).astype(np.uint8)
+        m2 = seq_codes[(starts + 300 - READ_LEN)[:, None]
+                       + np.arange(READ_LEN)[None, :]]
+        m2 = np.where(m2[:, ::-1] < 4, 3 - m2[:, ::-1],
+                      m2[:, ::-1]).astype(np.uint8)
+        _log("writing paired e2e FASTQs")
+        with open(td / "p1.fq", "w") as f:
+            f.writelines(f"@p{i}\n{dna.decode(m1[i])}\n+\n{qs}\n"
+                         for i in range(n_pairs))
+        with open(td / "p2.fq", "w") as f:
+            f.writelines(f"@p{i}\n{dna.decode(m2[i])}\n+\n{qs}\n"
+                         for i in range(n_pairs))
+        _log("paired e2e warmup run (compiles)")
+        with open(td / "pw1.fq", "w") as f:
+            f.writelines(f"@w{i}\n{dna.decode(m1[i])}\n+\n{qs}\n"
+                         for i in range(4096))
+        with open(td / "pw2.fq", "w") as f:
+            f.writelines(f"@w{i}\n{dna.decode(m2[i])}\n+\n{qs}\n"
+                         for i in range(4096))
+        run_e2e("pwarm_out", td / "pw1.fq", str(td / "pw2.fq"))
+        _log("paired e2e timed run")
+        pe2e_s, pwf = run_e2e("pout", td / "p1.fq", str(td / "p2.fq"))
+        e2e_paired_rps = 2 * n_pairs / pe2e_s
+        _log(f"paired e2e: {e2e_paired_rps:.0f} reads/s ({pe2e_s:.1f}s) "
+             f"{breakdown(pwf)}")
+        e2e_breakdown["paired"] = breakdown(pwf)
 
     print(json.dumps({
         "metric": "reads_per_sec_per_chip",
@@ -303,6 +347,8 @@ def main() -> None:
             "banded_sw_gcups": round(gcups, 2),
             "e2e_fastq_to_bam_reads_per_sec": round(e2e_rps, 1),
             "e2e_fraction_of_device": round(e2e_rps / rps, 3) if rps else 0,
+            "e2e_paired_reads_per_sec": round(e2e_paired_rps, 1),
+            "e2e_breakdown_s": e2e_breakdown,
             "index_build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import dna
 from ..ops import bitops
@@ -159,7 +160,8 @@ def end_mapping_score(end: dict, best_index, rog_read: float):
 
 def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
                        cfg: AlignConfig, tls: TlsStatic,
-                       tail_masked1=None, tail_masked2=None):
+                       tail_masked1=None, tail_masked2=None, find_fn=None,
+                       score_fn=None, clip_fn=None):
     """Jittable paired-end alignment of one read-pair batch.
 
     Equivalent of TemplateBuilder::buildTemplate for the paired case
@@ -175,7 +177,8 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
 
     b, l1 = bases1.shape
     _, l2 = bases2.shape
-    g = int(arrays.genome.shape[0])
+    from .pipeline import genome_len_of
+    g = genome_len_of(arrays, cfg)
     tm1 = jnp.zeros(b, jnp.int32) if tail_masked1 is None else tail_masked1
     tm2 = jnp.zeros(b, jnp.int32) if tail_masked2 is None else tail_masked2
     qt1 = jnp.zeros(b, jnp.int32)
@@ -185,15 +188,17 @@ def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
             bases1, quals1, cfg.quality_trim_cutoff, tm1)
         bases2, quals2, qt2 = quality_trim_device(
             bases2, quals2, cfg.quality_trim_cutoff, tm2)
-    end1 = score_end(arrays, cfg, bases1, quals1)
-    end2 = score_end(arrays, cfg, bases2, quals2)
+    from .pipeline import find_seed_hits
+    find_fn = find_fn or find_seed_hits
+    end1 = score_end(arrays, cfg, bases1, quals1, find_fn, score_fn)
+    end2 = score_end(arrays, cfg, bases2, quals2, find_fn, score_fn)
     out = paired_from_ends(g, l1, l2, cfg, tls, end1, end2)
     out["qtrim_1"] = qt1
     out["qtrim_2"] = qt2
     if cfg.semialigned_clip:
         for sfx, (bb, tm, qt) in (("_1", (bases1, tm1, qt1)),
                                   ("_2", (bases2, tm2, qt2))):
-            sa = semialigned_clip_device(
+            sa = (clip_fn or semialigned_clip_device)(
                 arrays, cfg, bb, out["start" + sfx], out["reverse" + sfx],
                 out["aligned" + sfx], tm + qt)
             out.update({k + sfx: v for k, v in sa.items()})
@@ -329,21 +334,80 @@ def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
     seq = jnp.where(shadow_rev[:, None], rc_bases, shadow_bases)
     q = jnp.where(shadow_rev[:, None], r_quals, shadow_quals).astype(jnp.int32)
 
-    g = arrays.genome.shape[0]
+    from .pipeline import (GENOME_PAD, GN_PAD_WORDS, GP_PAD_WORDS,
+                           genome_len_of)
+    g = genome_len_of(arrays, cfg)
     offs = jnp.arange(window, dtype=jnp.int32)
     starts = win_start[:, None] + offs[None, :]                   # [Rb, W]
     pos_ok = (starts >= 0) & (starts + l2 <= g) & (starts <= win_end[:, None])
 
-    widx = jnp.clip(starts[:, :, None] + jnp.arange(l2, dtype=jnp.int32)[None, None, :],
-                    0, g - 1)
-    ref = arrays.genome[widx]                                     # [Rb, W, L2]
+    # reference span from the PACKED planes (not the raw codes plane):
+    # one contiguous word gather covering [win_start, win_start+W+L2),
+    # funnel-shifted into phase and lane-expanded — 16x less HBM read
+    # than the old per-(offset, base) byte gather, and the only genome
+    # access in the whole rescue (enables dropping the codes plane from
+    # HBM and position-sharding the genome)
+    span_len = window + l2
+    w_span = -(-span_len // 16) + 1
+    # gather origin: clamp to the plane's first representable position
+    # (plane_base - GENOME_PAD) so a window hanging far off the genome
+    # start cannot wrap the word index; the sub-origin offsets are
+    # position-masked (pos_ok) anyway, and a per-row re-phase below puts
+    # the span back into win_start alignment
+    origin = jnp.maximum(win_start,
+                         jnp.int32(arrays.plane_base) - GENOME_PAD)
+    gp = arrays.genome_packed
+    gw = gp.shape[0]
+    word0 = ((origin - arrays.plane_base) >> 4) + GP_PAD_WORDS    # [Rb]
+    widx = jnp.clip(word0[:, None]
+                    + jnp.arange(w_span, dtype=jnp.int32)[None, :], 0, gw - 1)
+    words = gp[widx]                                              # [Rb, Ws]
+    o2 = ((origin & 15) << 1).astype(jnp.uint32)[:, None]
+    safe = jnp.where(o2 == 0, jnp.uint32(1), jnp.uint32(32) - o2)
+    al_w = jnp.where(o2 == 0, words[:, :-1],
+                     (words[:, :-1] << o2) | (words[:, 1:] >> safe))
+    lane_shifts = jnp.asarray((2 * (15 - np.arange(16))).astype(np.uint32))
+    span = ((al_w[:, :, None] >> lane_shifts[None, None, :]) & jnp.uint32(3)
+            ).reshape(rb, (w_span - 1) * 16)[:, :span_len].astype(jnp.uint8)
+    if cfg.genome_has_n:
+        gn = arrays.genome_nbits
+        gnw = gn.shape[0]
+        w_n = -(-span_len // 32) + 1
+        nword0 = ((origin - arrays.plane_base) >> 5) + GN_PAD_WORDS
+        nwidx = jnp.clip(nword0[:, None]
+                         + jnp.arange(w_n, dtype=jnp.int32)[None, :],
+                         0, gnw - 1)
+        nwords = gn[nwidx]
+        no = (origin & 31).astype(jnp.uint32)[:, None]
+        nsafe = jnp.where(no == 0, jnp.uint32(1), jnp.uint32(32) - no)
+        nal = jnp.where(no == 0, nwords[:, :-1],
+                        (nwords[:, :-1] << no) | (nwords[:, 1:] >> nsafe))
+        nlane = jnp.asarray((31 - np.arange(32)).astype(np.uint32))
+        span_n = (((nal[:, :, None] >> nlane[None, None, :]) & jnp.uint32(1))
+                  != 0).reshape(rb, (w_n - 1) * 32)[:, :span_len]
+    else:
+        span_n = jnp.zeros((rb, span_len), bool)
+
+    # re-phase the span from `origin` back to win_start alignment
+    # (d > 0 only for clamped rows; shifted-in elements cover positions
+    # below the genome start, which pos_ok masks)
+    d = (win_start - origin)[:, None]                             # <= 0
+    k = jnp.arange(span_len, dtype=jnp.int32)[None, :]
+    rp = jnp.clip(k + d, 0, span_len - 1)
+    span = jnp.take_along_axis(span, rp, axis=1)
+    span_n = jnp.take_along_axis(span_n, rp, axis=1) | (k + d < 0)
+
+    sl_idx = offs[:, None] + jnp.arange(l2, dtype=jnp.int32)[None, :]  # [W, L2]
+    ref = span[:, sl_idx]                                         # [Rb, W, L2]
+    ref_n = span_n[:, sl_idx]
     s3 = seq[:, None, :]
-    is_match = (s3 == dna.N) | ((s3 == ref) & (ref != dna.N))
+    is_match = (s3 == dna.N) | ((s3 == ref) & ~ref_n)
     t_match, t_mismatch = quality.log_tables()
     lp = jnp.sum(jnp.where(is_match, t_match[q][:, None, :],
                            t_mismatch[q][:, None, :]), axis=-1)
     nmm = jnp.sum(~is_match, axis=-1).astype(jnp.int32)
-    edit = jnp.sum((s3 != ref) | (s3 == dna.N), axis=-1).astype(jnp.int32)
+    edit = jnp.sum((s3 != ref) | (s3 == dna.N) | ref_n,
+                   axis=-1).astype(jnp.int32)
 
     lp = jnp.where(pos_ok, lp, -jnp.inf)
     key = jnp.where(pos_ok, nmm.astype(jnp.float32) * jnp.float32(1e5) - lp,
@@ -355,6 +419,31 @@ def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
     found = jnp.any(pos_ok, axis=1) & (take(nmm) <= max_mm)
     total_prob = jnp.sum(jnp.where(pos_ok, jnp.exp(lp), 0.0), axis=1)
 
+    # rescued-pair score, in kernel and in LOG SPACE (the reference's
+    # rescued-template scoring, TemplateBuilder rescued path): a
+    # high-mismatch rescue's exp(lp) underflows f32, so the neighborhood
+    # ratio r = others/p_best is assembled from scaled exponentials:
+    #   r = (sum_w exp(lp_w - m) - exp(lp_best - m)) / exp(lp_best - m)
+    #       + exp(log_rog - lp_best)
+    #   score = -10*log10(r / (r + 1))
+    # One implementation serves the host rescue pass and the in-program
+    # SPMD rescue, keeping their outputs bit-identical.
+    lp_best = take(lp)
+    m = jnp.max(jnp.where(pos_ok, lp, -jnp.inf), axis=1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    sum_r = jnp.sum(jnp.where(pos_ok, jnp.exp(lp - m_safe[:, None]), 0.0),
+                    axis=1)
+    e_best = jnp.exp(lp_best - m_safe)
+    log_rog = quality.log_rest_of_genome_correction(
+        int(g), read_lengths[0] + read_lengths[1])
+    rog_term = jnp.exp(jnp.clip(jnp.float32(log_rog) - lp_best, -80.0, 80.0))
+    r = jnp.maximum(sum_r - e_best, 0.0) / jnp.maximum(e_best, 1e-30) \
+        + rog_term
+    score_f = -10.0 * jnp.log10(r / (r + 1.0))
+    score_f = jnp.where(jnp.isfinite(score_f), score_f,
+                        jnp.float32(cfg.mapq_cap))
+    score = jnp.clip(jnp.floor(score_f), 0, cfg.mapq_cap).astype(jnp.int32)
+
     return {
         "found": found,
         "start": take(starts),
@@ -363,4 +452,5 @@ def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
         "edit_distance": take(edit),
         "log_prob": take(lp),
         "total_prob": total_prob,
+        "score": score,
     }

@@ -62,6 +62,12 @@ class IndexArrays(NamedTuple):
     # first-level prefix-bucket table (reference maskWidth sharding as an
     # O(1) lookup): record range per top-BUCKET_WIDTH-bits prefix
     bucket_starts: jax.Array   # int32 [2^BUCKET_WIDTH + 1]
+    # genome-position offset of the packed planes: plane word 0 covers
+    # global base `plane_base` (minus the sentinel padding).  0 for the
+    # whole-genome planes; the genome-sharded SPMD mode
+    # (parallel/sharded.py shard_genome_planes) sets each device's slice
+    # origin so every packed-plane gather indexes locally.
+    plane_base: "jax.Array | int" = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,6 +149,19 @@ class AlignConfig:
     # Aligner.create): N-free genomes skip the N-bit-plane gathers in the
     # scorer and the 64-mer extension check (~30% of scoring gathers)
     genome_has_n: bool = True
+    # static genome length (set from the index by Aligner.create).  When
+    # set, the device programs derive G from here instead of the raw
+    # codes plane's shape — which lets production paths skip uploading
+    # the uint8 codes plane entirely (the scorer/clipper/rescue all read
+    # the PACKED planes; ~G bytes of HBM saved) and lets the
+    # genome-sharded SPMD mode hold only a genome slice per device.
+    genome_len: int = 0
+
+
+def genome_len_of(arrays: IndexArrays, cfg: AlignConfig) -> int:
+    """Static genome length: cfg.genome_len when set, else the raw codes
+    plane's shape (the compatibility path for directly-built configs)."""
+    return cfg.genome_len or int(arrays.genome.shape[0])
 
 
 def pack_genome(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -257,8 +276,13 @@ def genome_has_n_for(index: SeedIndex) -> bool:
     return cached
 
 
-def prepare_index(index: SeedIndex) -> IndexArrays:
-    """Upload a host SeedIndex into padded device planes."""
+def prepare_index(index: SeedIndex, upload_codes: bool = True) -> IndexArrays:
+    """Upload a host SeedIndex into padded device planes.
+
+    upload_codes=False skips the raw uint8 codes plane (~G bytes of HBM):
+    every device consumer reads the PACKED planes; the raw plane only
+    serves as a genome-length carrier for configs without
+    cfg.genome_len (Aligner.create sets it and passes False)."""
     n = index.num_records
     n_pad = search.pad_pow2(max(n, 1))
     pad = n_pad - n
@@ -285,7 +309,8 @@ def prepare_index(index: SeedIndex) -> IndexArrays:
         key_lo=jnp.asarray(key_lo),
         pos=jnp.asarray(pos),
         n_real=jnp.int32(n),
-        genome=jnp.asarray(index.genome.codes),
+        genome=(jnp.asarray(index.genome.codes) if upload_codes
+                else jnp.zeros(0, jnp.uint8)),
         contig_starts=jnp.asarray(np.array([c.offset for c in contigs], np.int32)),
         contig_ends=jnp.asarray(np.array([c.end for c in contigs], np.int32)),
     )
@@ -430,7 +455,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
         ext_pos = jnp.maximum(hit_pos + k_search, 0)      # [B, S, R]
         gp = arrays.genome_packed
         gw = gp.shape[0]
-        word0 = (ext_pos >> 4) + GP_PAD_WORDS
+        word0 = ((ext_pos - arrays.plane_base) >> 4) + GP_PAD_WORDS
         t_idx = jnp.arange(w_ext + 1, dtype=jnp.int32)
         widx = jnp.clip(word0[..., None] + t_idx, 0, gw - 1)
         words = gp[widx]                                  # [B, S, R, We+1]
@@ -451,7 +476,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
             gn = arrays.genome_nbits
             gnw = gn.shape[0]
             nw = -(-(k_ext + 31) // 32) + 1
-            nword0 = (ext_pos >> 5) + GN_PAD_WORDS
+            nword0 = ((ext_pos - arrays.plane_base) >> 5) + GN_PAD_WORDS
             nt = jnp.arange(nw, dtype=jnp.int32)
             nwidx = jnp.clip(nword0[..., None] + nt, 0, gnw - 1)
             nwords = gn[nwidx]
@@ -574,12 +599,21 @@ def _split_seed_passes(cfg: AlignConfig, read_len: int):
     return tuple(p1), tuple(p2)
 
 
-def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases):
-    """Two-pass seed escalation (see AlignConfig.first_pass_seeds)."""
+def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases,
+                        find_fn=find_seed_hits):
+    """Two-pass seed escalation (see AlignConfig.first_pass_seeds).
+
+    `find_fn` abstracts the hit source: the single-device path searches
+    the whole index; the SPMD path (parallel/sharded.py) searches the
+    local index shard and all-gathers the hit lists over the `shard`
+    mesh axis — because k-mer runs never straddle shards, the gathered
+    lists hold exactly the single-index hits (modulo padding), so the
+    completeness/escalation decisions here are device-count-invariant.
+    """
     b = bases.shape[0]
     p1, p2 = _split_seed_passes(cfg, bases.shape[1])
     cfg1 = dataclasses.replace(cfg, seed_offsets=p1)
-    s1, o1, v1, c1, diag1 = find_seed_hits(arrays, cfg1, bases)
+    s1, o1, v1, c1, diag1 = find_fn(arrays, cfg1, bases)
 
     # complete = has a clean exact anchor AND every valid hit projects to
     # the same (orient, start) — disagreeing anchors (indel candidates)
@@ -598,7 +632,7 @@ def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases):
     rvalid = ridx < b
     sub_bases = bases[jnp.minimum(ridx, b - 1)]
     cfg2 = dataclasses.replace(cfg, seed_offsets=p2)
-    s2, o2, v2, c2, _diag2 = find_seed_hits(arrays, cfg2, sub_bases)
+    s2, o2, v2, c2, _diag2 = find_fn(arrays, cfg2, sub_bases)
     v2 = v2 & rvalid[:, None]
 
     h2 = s2.shape[1]
@@ -624,14 +658,15 @@ def _find_hits_two_pass(arrays: IndexArrays, cfg: AlignConfig, bases):
     return start_f, orient_f, valid_f, clean_f, diag1
 
 
-def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals):
-    """Stages A+B fused for the single-device path."""
+def _gather_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, _quals,
+                       find_fn=find_seed_hits):
+    """Stages A+B fused (single-device or, via find_fn, per-shard SPMD)."""
     _p1, p2 = _split_seed_passes(cfg, bases.shape[1])
     if cfg.first_pass_seeds > 0 and p2:
         start_f, orient_f, valid_f, clean_f, diag_a = _find_hits_two_pass(
-            arrays, cfg, bases)
+            arrays, cfg, bases, find_fn)
     else:
-        start_f, orient_f, valid_f, clean_f, diag_a = find_seed_hits(
+        start_f, orient_f, valid_f, clean_f, diag_a = find_fn(
             arrays, cfg, bases)
     cand_start, cand_orient, cand_valid, cand_clean, support, diag_b = \
         dedup_candidates(start_f, orient_f, valid_f, clean_f, cfg.max_candidates)
@@ -719,7 +754,7 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     # gather packed genome windows: Wr+1 words starting at start>>4
     gp = arrays.genome_packed
     gw = gp.shape[0]
-    word0 = (p_start >> 4) + GP_PAD_WORDS                         # [P]
+    word0 = ((p_start - arrays.plane_base) >> 4) + GP_PAD_WORDS   # [P]
     t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
     widx = jnp.clip(word0[:, None] + t_idx[None, :], 0, gw - 1)
     words = gp[widx]                                              # [P, Wr+1]
@@ -746,7 +781,7 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         gn = arrays.genome_nbits
         gnw = gn.shape[0]
         w_n = -(-(read_len + 31) // 32) + 1
-        nword0 = (p_start >> 5) + GN_PAD_WORDS
+        nword0 = ((p_start - arrays.plane_base) >> 5) + GN_PAD_WORDS
         nt = jnp.arange(w_n, dtype=jnp.int32)
         nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
         nwords = gn[nwidx]
@@ -789,15 +824,17 @@ def _score_ungapped(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
 def score_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
                      cand_start, cand_orient, cand_valid, well_anchored,
                      num_candidates, scored_overflow,
-                     pass2_dropped_mask=None, finder_stats=None):
+                     pass2_dropped_mask=None, finder_stats=None,
+                     score_fn=None):
     """Stage C on an already-gathered candidate grid -> per-end dict.
 
     Split out of score_end so the SPMD path (parallel/sharded.py) can
     feed candidates assembled from per-shard hit lists into the same
-    scorer/pair machinery.
+    scorer/pair machinery.  `score_fn` abstracts the window scorer: the
+    genome-sharded mode scores owned candidates per shard and psums.
     """
     b, read_len = bases.shape
-    log_prob, mismatches, edit_distance, dropped = _score_ungapped(
+    log_prob, mismatches, edit_distance, dropped = (score_fn or _score_ungapped)(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
     # locate by the middle base: edge-overhanging candidates still belong
     # to the contig that holds most of the read
@@ -827,7 +864,8 @@ def score_candidates(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     }
 
 
-def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
+def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
+              find_fn=find_seed_hits, score_fn=None):
     """Stages A+B+C for one read end: deduped, scored candidate lists.
 
     Returns the per-end dict consumed by the pair resolver
@@ -835,12 +873,12 @@ def score_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals):
     edit, obs_len — all [B, C].
     """
     cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
-        arrays, cfg, bases, quals)
+        arrays, cfg, bases, quals, find_fn)
     return score_candidates(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid,
         well_anchored, diag["num_candidates"], diag["scored_overflow"],
         pass2_dropped_mask=diag.get("pass2_dropped_mask"),
-        finder_stats=_finder_stats_from_diag(diag))
+        finder_stats=_finder_stats_from_diag(diag), score_fn=score_fn)
 
 
 def quality_trim_device(bases, quals, cutoff: int, tail_masked):
@@ -898,7 +936,7 @@ def semialigned_clip_device(arrays: IndexArrays, cfg: AlignConfig, bases,
     from .clippers import CONSECUTIVE_MATCHES_MIN
     b, l = bases.shape
     w_read = -(-l // 16)
-    g = int(arrays.genome.shape[0])
+    g = genome_len_of(arrays, cfg)
     start = jnp.where(aligned, start, 0).astype(jnp.int32)
     rev = rev.astype(bool)
 
@@ -908,7 +946,7 @@ def semialigned_clip_device(arrays: IndexArrays, cfg: AlignConfig, bases,
 
     gp = arrays.genome_packed
     gw = gp.shape[0]
-    word0 = (start >> 4) + GP_PAD_WORDS
+    word0 = ((start - arrays.plane_base) >> 4) + GP_PAD_WORDS
     t_idx = jnp.arange(w_read + 1, dtype=jnp.int32)
     widx = jnp.clip(word0[:, None] + t_idx[None, :], 0, gw - 1)
     words = gp[widx]
@@ -925,7 +963,7 @@ def semialigned_clip_device(arrays: IndexArrays, cfg: AlignConfig, bases,
         gn = arrays.genome_nbits
         gnw = gn.shape[0]
         w_n = -(-(l + 31) // 32) + 1
-        nword0 = (start >> 5) + GN_PAD_WORDS
+        nword0 = ((start - arrays.plane_base) >> 5) + GN_PAD_WORDS
         nt = jnp.arange(w_n, dtype=jnp.int32)
         nwidx = jnp.clip(nword0[:, None] + nt[None, :], 0, gnw - 1)
         nwords = gn[nwidx]
@@ -988,7 +1026,8 @@ def semialigned_clip_device(arrays: IndexArrays, cfg: AlignConfig, bases,
 
 
 def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
-                cfg: AlignConfig, tail_masked=None):
+                cfg: AlignConfig, tail_masked=None, find_fn=find_seed_hits,
+                score_fn=None, clip_fn=None):
     """Jittable single-end alignment of one read batch.
 
     Args:
@@ -1013,13 +1052,13 @@ def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
         bases, quals, qtrim = quality_trim_device(
             bases, quals, cfg.quality_trim_cutoff, tail_masked)
     cand_start, cand_orient, cand_valid, well_anchored, diag = _gather_candidates(
-        arrays, cfg, bases, quals)
+        arrays, cfg, bases, quals, find_fn)
     res = finalize_single_end(arrays, cfg, bases, quals,
                               cand_start, cand_orient, cand_valid, diag,
-                              well_anchored)
+                              well_anchored, score_fn=score_fn)
     res["qtrim"] = qtrim
     if cfg.semialigned_clip:
-        res.update(semialigned_clip_device(
+        res.update((clip_fn or semialigned_clip_device)(
             arrays, cfg, bases, res["start"], res["reverse"], res["aligned"],
             tail_masked + qtrim))
     return res
@@ -1027,10 +1066,10 @@ def align_batch(arrays: IndexArrays, bases: jax.Array, quals: jax.Array,
 
 def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
                         cand_start, cand_orient, cand_valid, diag,
-                        well_anchored=None):
+                        well_anchored=None, score_fn=None):
     """Stages C+D: score candidates, pick best, MAPQ (single-end)."""
     _b, read_len = bases.shape
-    log_prob, mismatches, edit_distance, dropped = _score_ungapped(
+    log_prob, mismatches, edit_distance, dropped = (score_fn or _score_ungapped)(
         arrays, cfg, bases, quals, cand_start, cand_orient, cand_valid)
 
     # best candidate: lowest mismatch count ("smith-waterman score" of the
@@ -1046,7 +1085,8 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     probs = jnp.where(cand_valid, jnp.exp(log_prob), 0.0)
     others_sum = jnp.sum(probs, axis=1) - jnp.where(aligned, jnp.exp(best_lp), 0.0)
 
-    rog = quality.rest_of_genome_correction(int(arrays.genome.shape[0]), read_len)
+    rog = quality.rest_of_genome_correction(genome_len_of(arrays, cfg),
+                                            read_len)
     mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
     mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
     mapq = jnp.where(aligned, mapq, 0)

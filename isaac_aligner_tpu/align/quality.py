@@ -70,6 +70,13 @@ def rest_of_genome_correction(genome_length: int, read_length: int) -> float:
                         - np.log(4.0) * float(read_length)))
 
 
+def log_rest_of_genome_correction(genome_length: int, read_length: int) -> float:
+    """ln of the rest-of-genome prior — usable where 2*G/4^L itself
+    underflows f32 (rescued-pair scoring works entirely in log space)."""
+    return float(np.log(2.0) + np.log(float(genome_length))
+                 - np.log(4.0) * float(read_length))
+
+
 def mapping_quality(best_log_prob, others_prob_sum, rog_correction):
     """MAPQ from the best candidate's probability vs the neighborhood.
 

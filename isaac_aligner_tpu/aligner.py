@@ -52,7 +52,12 @@ def _pad_to_seed(bases: np.ndarray, quals: np.ndarray, seed_len: int):
 
 
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
-    """Fill in static index-derived parameters (bucket table + N flag)."""
+    """Fill in static index-derived parameters (bucket table + N flag +
+    genome length — the latter lets prepare_index skip uploading the raw
+    codes plane)."""
+    if cfg.genome_len == 0:
+        cfg = dataclasses.replace(cfg,
+                                  genome_len=index.genome.total_length)
     if cfg.bucket_log2 is not None:
         return cfg
     width, log2 = bucket_params_for(index)
@@ -80,7 +85,9 @@ class Aligner:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
-        al = Aligner(index=index, arrays=prepare_index(index), cfg=cfg, **opts)
+        al = Aligner(index=index, cfg=cfg,
+                     arrays=prepare_index(index, upload_codes=False),
+                     **opts)
         # quality trim + semialigned clip run ON DEVICE inside the fused
         # program (the host numpy passes were the top e2e cost)
         al.cfg = dataclasses.replace(
@@ -299,7 +306,9 @@ class PairedAligner:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
-        al = PairedAligner(index=index, arrays=prepare_index(index), cfg=cfg,
+        al = PairedAligner(index=index,
+                           arrays=prepare_index(index, upload_codes=False),
+                           cfg=cfg,
                            **opts)
         # quality trim + semialigned clip run ON DEVICE inside the fused
         # program (host numpy passes were the top e2e cost); rescued
@@ -493,16 +502,10 @@ class PairedAligner:
         res["edit_distance" + se][hit] = out["edit_distance"][found]
         res["log_prob" + se][hit] = out["log_prob"][found]
         res["shadow" + se][hit] = False
-        # rescued-pair scoring (TemplateBuilder rescued-template scoring):
-        # neighborhood = all window offsets except the winner + rog
-        from .align import quality as q_mod
-        g = self.index.genome.total_length
-        rog_t = q_mod.rest_of_genome_correction(g, sum(read_lengths))
-        p_best = np.exp(out["log_prob"][found].astype(np.float64))
-        others = np.maximum(out["total_prob"][found].astype(np.float64) - p_best,
-                            0.0) + rog_t
-        score = np.floor(-10.0 * np.log10(others / (others + p_best)))
-        score = np.clip(score, 0, self.cfg.mapq_cap).astype(np.int64)
+        # rescued-pair score: computed in-kernel in log space
+        # (pairs.rescue_shadows) so the host and SPMD paths share one
+        # implementation bit-for-bit
+        score = out["score"][found].astype(np.int64)
         res["frag_score" + se][hit] = score
         res["template_score"][hit] = score
         # pair geometry

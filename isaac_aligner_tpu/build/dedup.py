@@ -128,6 +128,74 @@ def coordinate_sort_order(fb) -> "np.ndarray":
     return np.lexsort((tid, pos_key, ref_key))
 
 
+def _dup_classes(fb):
+    """Per-record duplicate class column (shared by the host and the
+    collective markers): 0=pe, 1=half (mapped end, shadow mate),
+    2=shadow, 3=se, -1=skip."""
+    import numpy as np
+
+    n = len(fb)
+    paired = (fb.flag & sam.FLAG_PAIRED).astype(bool)
+    self_mapped = ~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)
+    mate_mapped = ~(fb.flag & sam.FLAG_MATE_UNMAPPED).astype(bool)
+    cls = np.full(n, -1, np.int64)
+    cls[paired & self_mapped & mate_mapped] = 0
+    cls[paired & self_mapped & ~mate_mapped] = 1
+    cls[paired & ~self_mapped & mate_mapped] = 2
+    cls[~paired & self_mapped] = 3
+    return cls
+
+
+def mark_duplicates_collective(fb, mesh, keep: bool = True):
+    """SPMD duplicate marking over every device of `mesh` — the same
+    (class, library, own anchor, mate anchor) grouping + rank/tie pick as
+    mark_duplicates_batch, executed by parallel.sharded.collective_dedup
+    (records route to their anchor's owner device over ICI all_to_all,
+    owners sort + mark on device, flags route home).
+
+    Reference analog: the per-bin dedup of Build::sortBinParallel
+    (lib/build/BinSorter.cpp:36-421) scaled across devices (SURVEY §5.8
+    "collective shuffle onto position-sharded owners + on-device sort").
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..parallel.sharded import collective_dedup
+
+    n = len(fb)
+    if n == 0:
+        return fb
+    cls = _dup_classes(fb)
+    lib = fb.rg.astype(np.int64)
+    devices = np.asarray(mesh.devices).reshape(-1)
+    n_dev = devices.size
+    mesh1d = Mesh(devices, ("dev",))
+    pad = (-n) % n_dev
+
+    def padded(v, fill=0):
+        v = np.asarray(v, np.int64)
+        return np.concatenate([v, np.full(pad, fill, np.int64)]) if pad else v
+
+    flags, overflow = collective_dedup(
+        mesh1d, "dev", padded(fb.anchor_self), padded(fb.anchor_mate),
+        padded(fb.dup_rank), padded(fb.dup_tie), padded(cls, -1),
+        padded(lib))
+    dup = np.asarray(jax.device_get(flags))[:n]
+    n_over = int(np.asarray(jax.device_get(overflow)).sum())
+    if n_over:
+        # overflowed rows were kept as non-duplicates — never silently
+        # wrong-marked, but the miss must be visible
+        from ..utils import tracing
+        tracing.log(f"collective dedup: {n_over} rows overflowed receive "
+                    f"capacity and were kept unmarked", force=True)
+    fb.flag = np.where(dup, fb.flag | sam.FLAG_DUPLICATE,
+                       fb.flag).astype(np.uint16)
+    if keep:
+        return fb
+    return fb.take(np.nonzero(~dup)[0])
+
+
 def mark_duplicates_batch(fb, contig_offsets, keep: bool = True):
     """Vectorized per-bin duplicate marking on a FragmentBatch.
 
@@ -146,16 +214,7 @@ def mark_duplicates_batch(fb, contig_offsets, keep: bool = True):
     n = len(fb)
     if n == 0:
         return fb
-    paired = (fb.flag & sam.FLAG_PAIRED).astype(bool)
-    self_mapped = ~(fb.flag & sam.FLAG_UNMAPPED).astype(bool)
-    mate_mapped = ~(fb.flag & sam.FLAG_MATE_UNMAPPED).astype(bool)
-    # 0=pe, 1=half (mapped end, shadow mate), 2=shadow, 3=se, -1=skip
-    cls = np.full(n, -1, np.int64)
-    cls[paired & self_mapped & mate_mapped] = 0
-    cls[paired & self_mapped & ~mate_mapped] = 1
-    cls[paired & ~self_mapped & mate_mapped] = 2
-    cls[~paired & self_mapped] = 3
-
+    cls = _dup_classes(fb)
     lib = fb.rg.astype(np.int64)
     dup = np.zeros(n, bool)
     ci = np.nonzero(cls >= 0)[0]

@@ -437,7 +437,8 @@ def unclipped_5prime_global(fb: FragmentBatch, contig_offsets: np.ndarray
 
 
 def record_bin_ids(fb: FragmentBatch, contig_offsets: np.ndarray,
-                   bin_bp: int, n_bins: int) -> np.ndarray:
+                   bin_bp: int, n_bins: int,
+                   boundaries: np.ndarray | None = None) -> np.ndarray:
     """Per-record genomic bin from the record's BAM placement position
     (reference BinIndexMap: each fragment routes independently; shadows
     ride their placement next to the mate).  Records without any position
@@ -445,11 +446,21 @@ def record_bin_ids(fb: FragmentBatch, contig_offsets: np.ndarray,
     not by unclipped anchor — keeps the concatenated per-bin outputs in
     exact global coordinate order; the dedup columns each record carries
     (anchor_self/mate + dup_rank) make per-bin duplicate marking exact
-    without the mate's bin."""
+    without the mate's bin.
+
+    `boundaries` (sorted bin-start global positions, boundaries[0] == 0)
+    switches from equal genome spans to match-distribution-driven cuts
+    (reference MatchDistribution.hh:43-107 + BinIndexMap.hh:44-96):
+    coverage-skewed runs get equal RECORD mass per bin, keeping the
+    --memory-limit contract."""
     placed = fb.ref_id >= 0
     gpos = np.where(placed,
                     contig_offsets[np.maximum(fb.ref_id, 0)] + fb.pos, -1)
-    bin_id = np.minimum(np.maximum(gpos, 0) // bin_bp, n_bins - 1)
+    if boundaries is not None:
+        bin_id = np.searchsorted(boundaries, np.maximum(gpos, 0),
+                                 side="right") - 1
+    else:
+        bin_id = np.minimum(np.maximum(gpos, 0) // bin_bp, n_bins - 1)
     return np.where(placed, bin_id, n_bins).astype(np.int64)
 
 
@@ -462,10 +473,16 @@ class BinnedFragmentStore:
     """
 
     def __init__(self, bins_dir: str | Path, contig_offsets: np.ndarray,
-                 genome_bp: int, n_bins: int):
+                 genome_bp: int, n_bins: int,
+                 boundaries: np.ndarray | None = None):
         self.dir = Path(bins_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.offsets = contig_offsets
+        if boundaries is not None:
+            boundaries = np.asarray(boundaries, np.int64)
+            assert boundaries[0] == 0 and np.all(np.diff(boundaries) >= 0)
+            n_bins = len(boundaries)
+        self.boundaries = boundaries
         self.n_bins = max(1, n_bins)
         self.bin_bp = max(1, -(-genome_bp // self.n_bins))
         self._chunk = 0
@@ -474,7 +491,8 @@ class BinnedFragmentStore:
     def add(self, fb: FragmentBatch) -> None:
         if len(fb) == 0:
             return
-        bins = record_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins)
+        bins = record_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins,
+                              self.boundaries)
         self.records += len(fb)
         for b in np.unique(bins):
             rows = np.nonzero(bins == b)[0]

@@ -103,6 +103,8 @@ def _cmd_align(args) -> int:
         pessimistic_mapq=args.bam_pessimistic_mapq,
         records_per_bin=args.records_per_bin,
         memory_limit=args.memory_limit,
+        devices=args.devices,
+        shard_genome=args.shard_genome,
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -204,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--bam-exclude-tags", default="ZX,ZY",
                     help="comma list of tags to drop from output BAMs "
                          "(all,none,AS,BC,NM,OC,RG,SM,ZX,ZY; manual.md:274)")
+    al.add_argument("--devices", type=int, default=0,
+                    help="SPMD over an N-device (data, shard) mesh: the "
+                         "index shards across devices and duplicate "
+                         "marking runs collectively (-1 = all devices; "
+                         "0/1 = single device)")
+    al.add_argument("--shard-genome", action="store_true",
+                    help="with --devices: position-shard the packed "
+                         "genome planes too (each device holds G/S + "
+                         "halo bases; whole-genome >HBM regime)")
     al.add_argument("--memory-limit", type=float, default=0.0,
                     help="GB budget for the Build phase: genomic bins are "
                          "sized so one bin fits (reference --memory-limit)")

@@ -7,3 +7,4 @@ mesh axis, and candidate hits are combined with XLA collectives over ICI.
 """
 
 from .sharded import ShardedIndexArrays, make_mesh, shard_index, sharded_align  # noqa: F401
+from .sharded_aligner import ShardedAligner, ShardedPairedAligner  # noqa: F401

@@ -28,9 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..align.pipeline import (AlignConfig, IndexArrays, build_bucket_table,
-                              choose_bucket_width, dedup_candidates,
-                              finalize_single_end, find_seed_hits, pack_genome)
+from ..align.pipeline import (AlignConfig, IndexArrays, align_batch,
+                              build_bucket_table, choose_bucket_width,
+                              find_seed_hits, mask_tail_device,
+                              orient_output_device, pack_genome)
 from ..index.build import SeedIndex, TOO_MANY_POS
 from ..ops import search
 
@@ -151,9 +152,185 @@ def place_sharded(mesh: Mesh, sharded: ShardedIndexArrays) -> ShardedIndexArrays
     )
 
 
+class GenomeShards(NamedTuple):
+    """Position-sharded packed genome planes [S, ...] for the
+    genome-sharded SPMD mode: every device holds G/S + halo bases of the
+    2-bit and N-bit planes instead of the whole genome (the >HBM WGS
+    regime SURVEY §5.8 targets: 'index shards resident in HBM across a
+    pod slice').  Candidates stay replicated after the hit all-gather;
+    each shard scores the candidates whose (clipped) start it OWNS and
+    the score grids are psum-combined — no all-to-all of reads needed."""
+
+    gp: jax.Array        # uint32 [S, Wl]  local 2-bit slices (+ sentinel pads)
+    gn: jax.Array        # uint32 [S, Wnl] local N-bit slices
+    base: jax.Array      # int32 [S, 1] owned-range start (multiple of 32)
+    end: jax.Array       # int32 [S, 1] owned-range end (start + chunk)
+
+
+GS_HALO = 8_448   # default halo (bases): max_rescue_window + read + slack
+
+
+def shard_genome_planes(index: SeedIndex, num_shards: int,
+                        halo: int = GS_HALO) -> GenomeShards:
+    """Slice the packed genome planes into `num_shards` position ranges.
+
+    Each shard's slice covers [base_s - GENOME_PAD, base_s + chunk +
+    halo + GENOME_PAD): the sentinel padding keeps edge-overhang gathers
+    valid and the halo covers every window that STARTS in the owned
+    range (ungapped scoring windows, semialigned re-scans, and the
+    shadow-rescue span — window + mate length must stay <= halo).
+    """
+    from ..align.pipeline import GN_PAD_WORDS, GP_PAD_WORDS
+
+    g = index.genome.total_length
+    cached = getattr(index, "_packed_planes", None)
+    packed, nbits = cached if cached is not None else pack_genome(
+        index.genome.codes)
+    chunk = -(-(-(-g // num_shards)) // 32) * 32
+    halo = -(-halo // 32) * 32
+    span = chunk + halo
+    wl = span // 16 + 2 * GP_PAD_WORDS
+    wnl = span // 32 + 2 * GN_PAD_WORDS
+    gp = np.zeros((num_shards, wl), np.uint32)
+    gn = np.full((num_shards, wnl), 0xFFFFFFFF, np.uint32)   # out-of-range = N
+    base = np.zeros((num_shards, 1), np.int32)
+    end = np.zeros((num_shards, 1), np.int32)
+    for s in range(num_shards):
+        b = s * chunk
+        base[s, 0] = b
+        end[s, 0] = b + chunk
+        # local word 0 == global padded word b//16 (the global array
+        # already carries GP_PAD_WORDS of sentinel at each end)
+        src = packed[b // 16 : b // 16 + wl]
+        gp[s, : len(src)] = src
+        nsrc = nbits[b // 32 : b // 32 + wnl]
+        gn[s, : len(nsrc)] = nsrc
+    return GenomeShards(gp=jnp.asarray(gp), gn=jnp.asarray(gn),
+                        base=jnp.asarray(base), end=jnp.asarray(end))
+
+
+def place_genome_shards(mesh: Mesh, gs: GenomeShards) -> GenomeShards:
+    spec = NamedSharding(mesh, P("shard"))
+    return GenomeShards(*(jax.device_put(v, spec) for v in gs))
+
+
+def _gs_local(local: IndexArrays, gs_gp, gs_gn, gs_base) -> IndexArrays:
+    """The per-shard IndexArrays whose packed planes are the local genome
+    slice (plane_base set so every gather indexes locally)."""
+    return local._replace(genome_packed=gs_gp[0], genome_nbits=gs_gn[0],
+                          plane_base=gs_base[0, 0])
+
+
+def _gs_hooks(local_gs: IndexArrays, own_lo, own_hi, g_total: int):
+    """(score_fn, clip_fn, rescue_fn) for the genome-sharded mode: each
+    shard computes only rows/candidates whose position it owns (owner =
+    range of the position clipped into [0, G)) against its local planes;
+    results combine with psum over the `shard` axis — every position is
+    owned by exactly one shard, so masked sums reproduce the
+    whole-genome values exactly."""
+    from ..align.pairs import _mate_window_offsets, rescue_shadows
+    from ..align.pipeline import _score_ungapped, semialigned_clip_device
+
+    def owns(pos):
+        pc = jnp.clip(pos, 0, g_total - 1)
+        return (pc >= own_lo) & (pc < own_hi)
+
+    def psum(v):
+        return jax.lax.psum(v, "shard")
+
+    def score_fn(_arrays, cfg, bases, quals, cs, co, cv):
+        own = owns(cs)
+        lp, mm, ed, dropped = _score_ungapped(
+            local_gs, cfg, bases, quals, cs, co, cv & own)
+        lp_sum = psum(jnp.where(jnp.isfinite(lp), lp, 0.0))
+        mm_sum = psum(mm)
+        ed_sum = psum(ed)
+        dropped_any = psum(dropped.astype(jnp.int32)) > 0
+        lp_full = jnp.where(cv, lp_sum, jnp.float32(-jnp.inf))
+        return lp_full, mm_sum, ed_sum, dropped_any
+
+    def clip_fn(_arrays, cfg, bases, start, rev, aligned, trims):
+        own = owns(jnp.where(aligned, start, 0))
+        sa = semialigned_clip_device(local_gs, cfg, bases, start, rev,
+                                     aligned & own, trims)
+        out = {}
+        for k, v in sa.items():
+            if v.dtype == jnp.bool_:
+                out[k] = psum(jnp.where(own, v, False).astype(jnp.int32)) > 0
+            else:
+                out[k] = psum(jnp.where(own, v, jnp.zeros_like(v)))
+        return out
+
+    def rescue_fn(_arrays, cfg, tls, orphan_idx, read_lengths, o_start,
+                  o_rev, sb, sq, window):
+        # owner of the window START (halo covers the whole span)
+        tab = _mate_window_offsets(tls, orphan_idx, read_lengths)
+        win_start = o_start + jnp.where(o_rev, tab[True][0], tab[False][0])
+        own = owns(win_start)
+        out = rescue_shadows(local_gs, cfg, tls, orphan_idx, read_lengths,
+                             o_start, o_rev, sb, sq, window)
+        comb = {}
+        for k, v in out.items():
+            if v.dtype == jnp.bool_:
+                comb[k] = psum(jnp.where(own, v, False).astype(jnp.int32)) > 0
+            else:
+                comb[k] = psum(jnp.where(own, v, jnp.zeros_like(v)))
+        return comb
+
+    return score_fn, clip_fn, rescue_fn
+
+
+def _gathered_find(local: IndexArrays):
+    """find_fn for the SPMD path: per-shard seed search + ICI all-gather.
+
+    Because shard_index splits at k-mer boundaries, every k-mer's hit run
+    lives in exactly ONE shard — the gathered lists hold exactly the
+    single-index hits (plus padding) and the psummed diag counts are
+    exact, so align_batch/score_end produce device-count-invariant
+    results through this hook."""
+
+    def find_fn(_arrays, cfg, bases):
+        s, o, v, c, diag = find_seed_hits(local, cfg, bases)
+        ag = lambda x: jax.lax.all_gather(x, "shard", axis=1, tiled=True)
+        d = dict(diag)
+        d["seed_match_counts"] = jax.lax.psum(d["seed_match_counts"], "shard")
+        d["seed_too_many"] = jax.lax.psum(
+            d["seed_too_many"].astype(jnp.int32), "shard") > 0
+        if "neighbor_hits" in d:
+            d["neighbor_hits"] = jax.lax.psum(d["neighbor_hits"], "shard")
+        return ag(s), ag(o), ag(v), ag(c), d
+
+    return find_fn
+
+
+# in_specs for the ShardedIndexArrays field order used by every entry point
+_PLANE_SPECS = (P("shard", None), P("shard", None), P("shard", None),
+                P("shard", None), P("shard", None), P("shard", None),
+                P(), P(), P(), P(), P())
+
+
+def _plane_args(sharded: ShardedIndexArrays):
+    return (sharded.key_hi, sharded.key_lo, sharded.pos,
+            sharded.has_neighbors, sharded.bucket_starts, sharded.n_real,
+            sharded.genome, sharded.genome_packed, sharded.genome_nbits,
+            sharded.contig_starts, sharded.contig_ends)
+
+
+def _split_scalars(res: dict):
+    """(batch arrays, data-psummed scalars) — scalar stats (seed tallies)
+    leave shard_map replicated (out_spec P()) while [B,...] arrays stay
+    sharded over `data`."""
+    batch = {k: v for k, v in res.items() if v.ndim > 0}
+    scalars = {k: jax.lax.psum(v, "data")
+               for k, v in res.items() if v.ndim == 0}
+    return batch, scalars
+
+
 def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
                   cfg: AlignConfig):
-    """Jittable SPMD single-end alignment over the mesh.
+    """Jittable SPMD single-end alignment over the mesh — the exact
+    align_batch program (two-pass escalation, device quality trim,
+    semialigned clip) with per-shard seed search.
 
     bases/quals: [B, L] with B divisible by the `data` axis size.
     Returns the same result dict as align_batch, sharded over `data`.
@@ -161,39 +338,78 @@ def sharded_align(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
 
     def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
                  gnbits, cstarts, cends, b, q):
-        # refs carry a leading shard-block dim of 1 inside shard_map
-        local = IndexArrays(
-            key_hi=key_hi[0], key_lo=key_lo[0], pos=pos[0],
-            has_neighbors=nb[0], bucket_starts=buckets[0],
-            n_real=n_real[0, 0], genome=genome,
-            genome_packed=gpack, genome_nbits=gnbits,
-            contig_starts=cstarts, contig_ends=cends)
-        start_f, orient_f, valid_f, clean_f, _diag = find_seed_hits(local, cfg, b)
-        # union hit lists from every index shard (ICI all-gather),
-        # concatenating along the hits axis
-        ag = lambda x: jax.lax.all_gather(x, "shard", axis=1, tiled=True)
-        cand_start, cand_orient, cand_valid, cand_clean, support, diag_b = \
-            dedup_candidates(ag(start_f), ag(orient_f), ag(valid_f),
-                             ag(clean_f), cfg.max_candidates)
-        well_anchored = cand_clean | (support >= 2)
-        return finalize_single_end(local, cfg, b, q,
-                                   cand_start, cand_orient, cand_valid, diag_b,
-                                   well_anchored)
+        local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
+                             genome, gpack, gnbits, cstarts, cends)
+        res = align_batch(local, b, q, cfg, find_fn=_gathered_find(local))
+        return _split_scalars(res)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P("shard", None), P("shard", None), P("shard", None),
-                  P("shard", None), P("shard", None), P("shard", None),
-                  P(), P(), P(), P(), P(),
-                  P("data", None), P("data", None)),
-        out_specs=P("data"),
+        in_specs=_PLANE_SPECS + (P("data", None), P("data", None)),
+        out_specs=(P("data"), P()),
         check_vma=False,
     )
-    return fn(sharded.key_hi, sharded.key_lo, sharded.pos,
-              sharded.has_neighbors, sharded.bucket_starts, sharded.n_real,
-              sharded.genome, sharded.genome_packed, sharded.genome_nbits,
-              sharded.contig_starts, sharded.contig_ends,
-              bases, quals)
+    batch_out, scalars = fn(*_plane_args(sharded), bases, quals)
+    return {**batch_out, **scalars}
+
+
+def _check_gs(cfg: AlignConfig, genome_shards) -> None:
+    if genome_shards is None:
+        return
+    assert cfg.genome_len > 0, \
+        "genome-sharded mode needs cfg.genome_len (Aligner.create sets it)"
+    assert cfg.seed_len <= 32, \
+        "genome-sharded mode supports 32-mer seeds (the 64-mer extension " \
+        "verify gathers at index-shard positions, which are not " \
+        "position-local)"
+
+
+def sharded_align_full(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
+                       cfg: AlignConfig, tail_masked, lengths,
+                       genome_shards: GenomeShards | None = None):
+    """The production SPMD single-end program: adapter re-mask from
+    counts, the full align_batch (quality trim + semialigned clip on
+    device), and output-oriented SEQ/QUAL — the shard_map twin of
+    aligner._single_packed_jit, consumed by ShardedAligner.
+
+    With `genome_shards`, the packed genome planes are position-sharded
+    over the `shard` axis (G/S + halo per device instead of G): scoring,
+    semialigned clipping and rescue run owner-masked per shard and
+    psum-combine — same results, a fraction of the HBM."""
+    _check_gs(cfg, genome_shards)
+
+    def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
+                 gnbits, cstarts, cends, b, q, tm, ln, *gs):
+        local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
+                             genome, gpack, gnbits, cstarts, cends)
+        score_fn = clip_fn = None
+        if gs:
+            gs_gp, gs_gn, gs_base, gs_end = gs
+            local_gs = _gs_local(local, gs_gp, gs_gn, gs_base)
+            score_fn, clip_fn, _resc = _gs_hooks(
+                local_gs, gs_base[0, 0], gs_end[0, 0], cfg.genome_len)
+        mb, mq = mask_tail_device(b, q, tm)
+        res = align_batch(local, mb, mq, cfg, tm,
+                          find_fn=_gathered_find(local),
+                          score_fn=score_fn, clip_fn=clip_fn)
+        rev = res["aligned"] & res["reverse"].astype(bool)
+        seq_out, qual_out = orient_output_device(b, q, ln, rev)
+        res["seq_out"], res["qual_out"], res["orient_rev"] = \
+            seq_out, qual_out, rev
+        return _split_scalars(res)
+
+    gs_args = tuple(genome_shards) if genome_shards is not None else ()
+    gs_specs = (P("shard", None),) * len(gs_args)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=_PLANE_SPECS + (P("data", None), P("data", None),
+                                 P("data"), P("data")) + gs_specs,
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    batch_out, scalars = fn(*_plane_args(sharded), bases, quals,
+                            tail_masked, lengths, *gs_args)
+    return {**batch_out, **scalars}
 
 
 # ---------------------------------------------------------------------------
@@ -211,45 +427,28 @@ def _local_index(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
         contig_starts=cstarts, contig_ends=cends)
 
 
-def _sharded_end(local: IndexArrays, cfg: AlignConfig, bases, quals):
-    """Per-shard seed search + ICI all-gather + dedup + scoring -> the
-    same per-end dict score_end produces on one device."""
-    from ..align.pipeline import score_candidates
-    start_f, orient_f, valid_f, clean_f, _diag = find_seed_hits(
-        local, cfg, bases)
-    ag = lambda x: jax.lax.all_gather(x, "shard", axis=1, tiled=True)
-    cs, co, cv, cc, support, diag_b = dedup_candidates(
-        ag(start_f), ag(orient_f), ag(valid_f), ag(clean_f),
-        cfg.max_candidates)
-    wa = cc | (support >= 2)
-    k = min(cfg.max_scored_candidates, cfg.max_candidates)
-    sl = lambda x: x[:, :k]
-    overflow = diag_b["num_candidates"] > k
-    return score_candidates(local, cfg, bases, quals, sl(cs), sl(co),
-                            sl(cv), sl(wa), diag_b["num_candidates"],
-                            overflow)
-
-
 def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
-                   b1, q1, b2, q2):
+                   b1, q1, b2, q2, rescue_fn=None):
     """Vectorized in-program shadow rescue + merge (the SPMD analog of
     PairedAligner._apply_rescue/_merge_rescue, which compact shadow rows
     on the host; here every row runs the window scan — fine for the
     data-parallel regime where the batch is already device-resident)."""
-    from ..align import quality
     from ..align.pairs import pair_length, pair_model, rescue_shadows
     l1, l2 = b1.shape[1], b2.shape[1]
     window = -(-(tls.mate_max - tls.mate_min + 1) // 128) * 128
-    g = int(local.genome.shape[0])
-    rog_t = quality.rest_of_genome_correction(g, l1 + l2)
+    for shadow_end, orphan_end in ((1, 2), (2, 1)):
+        res[f"rescued_{shadow_end}"] = jnp.zeros(
+            res["aligned_1"].shape[0], bool)
     for shadow_end, orphan_end in ((1, 2), (2, 1)):
         sb, sq = (b1, q1) if shadow_end == 1 else (b2, q2)
         o_start = res[f"start_{orphan_end}"].astype(jnp.int32)
         o_rev = res[f"reverse_{orphan_end}"]
-        out = rescue_shadows(local, cfg, tls, orphan_end - 1, (l1, l2),
-                             o_start, o_rev, sb, sq, window)
+        out = (rescue_fn or rescue_shadows)(
+            local, cfg, tls, orphan_end - 1, (l1, l2),
+            o_start, o_rev, sb, sq, window)
         se = f"_{shadow_end}"
         hit = res["shadow" + se] & out["found"]
+        res["rescued" + se] = hit
         res["aligned" + se] = res["aligned" + se] | hit
         for key, val in (("start", out["start"]),
                          ("reverse", out["reverse"]),
@@ -259,12 +458,9 @@ def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
             res[key + se] = jnp.where(hit, val.astype(res[key + se].dtype),
                                       res[key + se])
         res["shadow" + se] = res["shadow" + se] & ~hit
-        # rescued-pair scoring (TemplateBuilder rescued-template scoring)
-        p_best = jnp.exp(out["log_prob"].astype(jnp.float32))
-        others = jnp.maximum(out["total_prob"].astype(jnp.float32) - p_best,
-                             0.0) + jnp.float32(rog_t)
-        score = jnp.floor(-10.0 * jnp.log10(others / (others + p_best)))
-        score = jnp.clip(score, 0, cfg.mapq_cap).astype(jnp.int32)
+        # rescued-pair score: computed in-kernel in log space
+        # (pairs.rescue_shadows), shared with the host rescue pass
+        score = out["score"].astype(jnp.int32)
         res["frag_score" + se] = jnp.where(hit, score, res["frag_score" + se])
         res["template_score"] = jnp.where(hit, score, res["template_score"])
         p1, p2 = res["start_1"], res["start_2"]
@@ -285,42 +481,107 @@ def sharded_align_paired(mesh: Mesh, sharded: ShardedIndexArrays,
                          b1, q1, b2, q2, cfg: AlignConfig, tls,
                          rescue: bool = True):
     """Jittable SPMD paired-end alignment over the (data, shard) mesh:
-    per-shard seed search, ICI all-gather of hits, replicated pair
-    resolution (align/pairs.paired_from_ends) and in-program shadow
-    rescue.  Covers the full paired online pipeline — the round-1 SPMD
-    path stopped at the single-end find-and-score slice."""
-    from ..align.pairs import paired_from_ends
-    l1, l2 = int(b1.shape[1]), int(b2.shape[1])
-    g = int(sharded.genome.shape[0])
+    the exact align_paired_batch program (two-pass escalation, device
+    quality trim, semialigned clip, pair resolution) with per-shard seed
+    search, plus in-program shadow rescue."""
+    from ..align.pairs import align_paired_batch
 
     def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
                  gnbits, cstarts, cends, b1, q1, b2, q2):
         local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
                              genome, gpack, gnbits, cstarts, cends)
-        end1 = _sharded_end(local, cfg, b1, q1)
-        end2 = _sharded_end(local, cfg, b2, q2)
-        res = paired_from_ends(g, l1, l2, cfg, tls, end1, end2)
-        res = {k: v for k, v in res.items()
-               if isinstance(v, jax.Array) or hasattr(v, "dtype")}
+        res = align_paired_batch(local, b1, q1, b2, q2, cfg, tls,
+                                 find_fn=_gathered_find(local))
         if rescue:
-            res = _rescue_inline(local, cfg, tls, res, b1, q1, b2, q2)
-        return res
+            mb1, mq1 = mask_tail_device(b1, q1, res["qtrim_1"])
+            mb2, mq2 = mask_tail_device(b2, q2, res["qtrim_2"])
+            res = _rescue_inline(local, cfg, tls, res, mb1, mq1, mb2, mq2)
+        return _split_scalars(res)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P("shard", None), P("shard", None), P("shard", None),
-                  P("shard", None), P("shard", None), P("shard", None),
-                  P(), P(), P(), P(), P(),
-                  P("data", None), P("data", None),
-                  P("data", None), P("data", None)),
-        out_specs=P("data"),
+        in_specs=_PLANE_SPECS + (P("data", None),) * 4,
+        out_specs=(P("data"), P()),
         check_vma=False,
     )
-    return fn(sharded.key_hi, sharded.key_lo, sharded.pos,
-              sharded.has_neighbors, sharded.bucket_starts, sharded.n_real,
-              sharded.genome, sharded.genome_packed, sharded.genome_nbits,
-              sharded.contig_starts, sharded.contig_ends,
-              b1, q1, b2, q2)
+    batch_out, scalars = fn(*_plane_args(sharded), b1, q1, b2, q2)
+    return {**batch_out, **scalars}
+
+
+def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
+                              b1, q1, b2, q2, cfg: AlignConfig, tls,
+                              tm1, tm2, len1, len2, rescue: bool = True,
+                              genome_shards: GenomeShards | None = None):
+    """The production SPMD paired program: adapter re-mask from counts,
+    the full align_paired_batch, in-program shadow rescue on the fully
+    masked reads, a post-rescue semialigned re-clip of rescued rows, and
+    per-end output-oriented SEQ/QUAL — the shard_map twin of
+    aligner._paired_packed_jit (+ the host rescue pass), consumed by
+    ShardedPairedAligner.  `genome_shards` position-shards the packed
+    genome planes (see sharded_align_full)."""
+    from ..align.pairs import align_paired_batch
+    from ..align.pipeline import semialigned_clip_device
+    _check_gs(cfg, genome_shards)
+
+    def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
+                 gnbits, cstarts, cends, b1, q1, b2, q2, tm1, tm2, l1v, l2v,
+                 *gs):
+        local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
+                             genome, gpack, gnbits, cstarts, cends)
+        score_fn = clip_fn = rescue_fn = None
+        clip_dev = semialigned_clip_device
+        if gs:
+            gs_gp, gs_gn, gs_base, gs_end = gs
+            local_gs = _gs_local(local, gs_gp, gs_gn, gs_base)
+            score_fn, clip_fn, rescue_fn = _gs_hooks(
+                local_gs, gs_base[0, 0], gs_end[0, 0], cfg.genome_len)
+            clip_dev = clip_fn
+        mb1, mq1 = mask_tail_device(b1, q1, tm1)
+        mb2, mq2 = mask_tail_device(b2, q2, tm2)
+        res = align_paired_batch(local, mb1, mq1, mb2, mq2, cfg, tls,
+                                 tm1, tm2, find_fn=_gathered_find(local),
+                                 score_fn=score_fn, clip_fn=clip_fn)
+        if rescue:
+            # rescue scans with fully masked reads (adapter + qual trim),
+            # like the host pass (aligner.PairedAligner._apply_rescue runs
+            # after apply_quality_trim_masks)
+            rb1, rq1 = mask_tail_device(b1, q1, tm1 + res["qtrim_1"])
+            rb2, rq2 = mask_tail_device(b2, q2, tm2 + res["qtrim_2"])
+            res = _rescue_inline(local, cfg, tls, res, rb1, rq1, rb2, rq2,
+                                 rescue_fn=rescue_fn)
+            if cfg.semialigned_clip:
+                # rescued rows were unaligned when the in-batch clip ran:
+                # re-clip them at their rescued placement (host analog:
+                # clippers.clip_semialigned(row_mask=rescued))
+                for sfx, (bb, qq, tm) in (("_1", (b1, q1, tm1)),
+                                          ("_2", (b2, q2, tm2))):
+                    mb, mq = mask_tail_device(bb, qq, tm + res["qtrim" + sfx])
+                    sa = clip_dev(
+                        local, cfg, mb, res["start" + sfx],
+                        res["reverse" + sfx], res["aligned" + sfx],
+                        tm + res["qtrim" + sfx])
+                    hit = res["rescued" + sfx]
+                    for k, v in sa.items():
+                        res[k + sfx] = jnp.where(hit, v, res[k + sfx])
+        for sfx, (bb, qq, ln) in (("_1", (b1, q1, l1v)), ("_2", (b2, q2, l2v))):
+            rev = res["aligned" + sfx] & res["reverse" + sfx].astype(bool)
+            s, q = orient_output_device(bb, qq, ln, rev)
+            res["seq_out" + sfx], res["qual_out" + sfx] = s, q
+            res["orient_rev" + sfx] = rev
+        return _split_scalars(res)
+
+    gs_args = tuple(genome_shards) if genome_shards is not None else ()
+    gs_specs = (P("shard", None),) * len(gs_args)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=_PLANE_SPECS + (P("data", None),) * 4 + (P("data"),) * 4
+        + gs_specs,
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    batch_out, scalars = fn(*_plane_args(sharded), b1, q1, b2, q2,
+                            tm1, tm2, len1, len2, *gs_args)
+    return {**batch_out, **scalars}
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +629,10 @@ def collective_dedup(mesh: Mesh, axis: str, anchor_self, anchor_mate,
 
     def local_fn(s_hi, s_lo, m_hi, m_lo, r_hi, r_lo, t_hi, t_lo, cls_, lib_):
         n_loc = s_hi.shape[0]
-        cap = int(np.ceil(capacity_factor * n_loc / n_dev))
+        # floor the per-destination capacity so tiny, duplicate-heavy
+        # bins (everything routing to one owner) can't overflow
+        cap = max(int(np.ceil(capacity_factor * n_loc / n_dev)),
+                  min(n_loc, 64))
         consider = cls_ >= 0
         # owner by a multiplicative hash of the anchor (raw `% n_dev`
         # routes even-only positional anchors to half the devices);

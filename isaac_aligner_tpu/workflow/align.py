@@ -145,6 +145,16 @@ class WorkflowOptions:
     # enforces it via ulimit -v + bin admission, bin/isaac-align.cpp:44-50
     # + include/build/Build.hh:163-183; here bins are sized to fit)
     memory_limit: float = 0.0
+    # SPMD over an N-device (data, shard) mesh (parallel/sharded_aligner):
+    # 0/1 = single device; -1 = all visible devices.  The index shards
+    # over the mesh's `shard` axis and batches over `data`; the Build
+    # phase routes duplicate marking through the collective
+    # (all_to_all + on-device sort) path.
+    devices: int = 0
+    # with --devices: position-shard the packed genome planes too, so
+    # each device holds G/S + halo bases instead of the whole genome
+    # (the >HBM whole-genome regime; requires 32-mer seeds)
+    shard_genome: bool = False
 
     def excluded_tags(self) -> frozenset[str]:
         spec = (self.bam_exclude_tags or "none").strip()
@@ -160,6 +170,83 @@ class WorkflowOptions:
                 f"--bam-exclude-tags: unknown tag(s) {sorted(bad)}; "
                 f"allowed: all,none,{','.join(sorted(allowed))}")
         return frozenset(tags)
+
+
+class _DistributionBinStore:
+    """Match-distribution-driven genomic binning (reference
+    MatchDistribution.hh:43-107 + BinIndexMap.hh:44-96).
+
+    The reference sizes bins from the match distribution its seed pass
+    observed; the streaming workflow has no separate pass, so this store
+    BUFFERS the first `sample_cap` records (at most one bin budget),
+    accumulates a coarse position histogram, cuts bin boundaries at
+    equal sampled record mass, then flushes the buffer and streams the
+    rest.  Uniform coverage reproduces (near-)equal spans; skewed runs
+    (amplicons/exomes, 90% of reads in 1% of the genome) get equal
+    record mass per bin so the --memory-limit contract holds.  FASTQ/BCL
+    arrive in flowcell order (position-random), so the sample is
+    representative; a coordinate-sorted BAM input degrades to span cuts
+    no worse than round 2's behavior."""
+
+    SPANS = 4096
+
+    def __init__(self, bins_dir, contig_offsets, genome_bp: int,
+                 n_bins: int, sample_cap: int):
+        from ..build.storage import BinnedFragmentStore
+        self._mk = lambda boundaries: BinnedFragmentStore(
+            bins_dir, contig_offsets, genome_bp, n_bins,
+            boundaries=boundaries)
+        self.offsets = contig_offsets
+        self.genome_bp = genome_bp
+        self.n_bins = max(1, n_bins)
+        self.sample_cap = sample_cap
+        self._span_bp = max(1, -(-genome_bp // self.SPANS))
+        self._hist = np.zeros(self.SPANS, np.int64)
+        self._buffer: list = []
+        self._buffered = 0
+        self._inner = None
+
+    def add(self, fb) -> None:
+        if self._inner is not None:
+            self._inner.add(fb)
+            return
+        placed = fb.ref_id >= 0
+        if placed.any():
+            gpos = (self.offsets[np.maximum(fb.ref_id, 0)]
+                    + fb.pos)[placed]
+            np.add.at(self._hist,
+                      np.minimum(gpos // self._span_bp, self.SPANS - 1), 1)
+        self._buffer.append(fb)
+        self._buffered += len(fb)
+        if self._buffered >= self.sample_cap:
+            self._freeze()
+
+    def _freeze(self) -> None:
+        total = int(self._hist.sum())
+        if total == 0 or self.n_bins <= 1:
+            boundaries = None
+        else:
+            cum = np.cumsum(self._hist)
+            targets = np.arange(1, self.n_bins) * total / self.n_bins
+            spans = np.searchsorted(cum, np.ceil(targets), side="left") + 1
+            cuts = np.minimum(spans.astype(np.int64) * self._span_bp,
+                              self.genome_bp)
+            boundaries = np.concatenate(
+                [[0], np.maximum.accumulate(cuts)]).astype(np.int64)
+        self._inner = self._mk(boundaries)
+        for fb in self._buffer:
+            self._inner.add(fb)
+        self._buffer = []
+
+    def finalize(self) -> None:
+        """Flush (small runs never hit the sample cap)."""
+        if self._inner is None:
+            self._freeze()
+
+    @property
+    def records(self) -> int:
+        # the flushed buffer re-counts through the inner store
+        return self._inner.records if self._inner else self._buffered
 
 
 class AlignWorkflow:
@@ -213,6 +300,28 @@ class AlignWorkflow:
             self.tls = dataclasses.replace(
                 self.tls, mate_min=self.tls.median - d,
                 mate_max=self.tls.median + d)
+
+    def _mesh(self):
+        """The (data, shard) device mesh when --devices requests SPMD
+        (cached); None in single-device mode."""
+        n = self.opts.devices
+        if n in (0, 1):
+            return None
+        if getattr(self, "_mesh_cached", None) is None:
+            import jax
+            from ..parallel.sharded import make_mesh
+            avail = len(jax.devices())
+            if n == -1:
+                n = avail
+            if n > avail:
+                raise ValueError(
+                    f"--devices {n}: only {avail} devices visible")
+            self._mesh_cached = make_mesh(n)
+            d = self._mesh_cached.shape["data"]
+            if self.opts.batch_size % d:
+                self.opts = dataclasses.replace(
+                    self.opts, batch_size=-(-self.opts.batch_size // d) * d)
+        return self._mesh_cached
 
     def _load_indexes(self) -> list[SeedIndex]:
         """One index per comma-separated --reference entry (contig-group
@@ -389,6 +498,7 @@ class AlignWorkflow:
         from ..build import storage as fstore
         index = self._load_index()
         t0 = time.time()
+        mesh = self._mesh()   # may round batch_size up to the data axis
         o = self.opts
         paired = self._paired
         stream = self._batch_stream()
@@ -414,8 +524,10 @@ class AlignWorkflow:
         bins_dir = self.temp / "bins"
         if bins_dir.exists():
             shutil.rmtree(bins_dir)
-        store = fstore.BinnedFragmentStore(
-            bins_dir, genome.contig_offsets, genome.total_length, n_bins)
+        store = _DistributionBinStore(
+            bins_dir, genome.contig_offsets, genome.total_length, n_bins,
+            sample_cap=max(records_per_bin,
+                           4 * o.batch_size * (2 if paired else 1)))
 
         stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
                  "proper_pairs": 0, "mapq_hist": np.zeros(61, np.int64)}
@@ -474,7 +586,26 @@ class AlignWorkflow:
             from ..build.storage import AuxColumns
             return AuxColumns(rg=rg, rg_names=rg_names, bc=bc, zx=zx, zy=zy)
 
-        if len(indexes) > 1:
+        if mesh is not None and len(indexes) > 1:
+            raise ValueError(
+                "--devices SPMD does not combine with contig-group "
+                "(multi-index) references yet; use a single-group index")
+        if mesh is not None:
+            from ..parallel.sharded_aligner import (ShardedAligner,
+                                                    ShardedPairedAligner)
+            if paired:
+                aligner = ShardedPairedAligner.create_sharded(
+                    index, mesh=mesh, read_len=read_len, cfg=cfg,
+                    genome_sharded=o.shard_genome,
+                    clip_overlapping=o.clip_overlapping,
+                    pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
+                if self.tls is not None:
+                    aligner.tls = self.tls
+            else:
+                aligner = ShardedAligner.create_sharded(
+                    index, mesh=mesh, read_len=read_len, cfg=cfg,
+                    genome_sharded=o.shard_genome, **clip_kw)
+        elif len(indexes) > 1:
             from ..parallel.multi_index import (MultiIndexAligner,
                                                 MultiIndexPairedAligner)
             if paired:
@@ -529,6 +660,7 @@ class AlignWorkflow:
                 writer.submit(inputs, res)
         finally:
             writer.close()
+        store.finalize()
 
         if rg_names:
             counts = {nm: int(c) for nm, c in zip(rg_names, demux_counts) if c}
@@ -759,8 +891,14 @@ class AlignWorkflow:
         from ..build.dedup import coordinate_sort_order, mark_duplicates_batch
         fb = fb.take(coordinate_sort_order(fb))
         if self.opts.mark_duplicates:
-            fb = mark_duplicates_batch(fb, genome.contig_offsets,
-                                       keep=self.opts.keep_duplicates)
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..build.dedup import mark_duplicates_collective
+                fb = mark_duplicates_collective(
+                    fb, mesh, keep=self.opts.keep_duplicates)
+            else:
+                fb = mark_duplicates_batch(fb, genome.contig_offsets,
+                                           keep=self.opts.keep_duplicates)
         realigned = 0
         if self.opts.realign_gaps != "no":
             from ..build.realign import realign_batch
@@ -828,6 +966,7 @@ class AlignWorkflow:
         from ..build.storage import BinnedFragmentStore
         from ..utils.pipeline import OrderedStage, prefetch_iter
 
+        t0 = time.time()
         genome = self._genome()
         bins_dir = self.temp / "bins"
         bin_dirs = sorted(
@@ -838,7 +977,7 @@ class AlignWorkflow:
         cap = self._stats.get("records_per_bin") or self.opts.records_per_bin
 
         writers: dict = {}
-        realigned = dup = n_records = 0
+        realigned = dup = n_records = max_bin = 0
 
         def jobs():
             for d in bin_dirs:
@@ -853,6 +992,7 @@ class AlignWorkflow:
         try:
             for is_bin, fb in prefetch_iter(jobs(), depth=1):
                 if is_bin:
+                    max_bin = max(max_bin, len(fb))
                     fb, r_cnt = self._process_bin_fb(fb, genome)
                     realigned += r_cnt
                 dup += int(((fb.flag & sam.FLAG_DUPLICATE) != 0).sum())
@@ -860,6 +1000,13 @@ class AlignWorkflow:
                 emit.submit(fb)
         finally:
             emit.close()
+        # post-hoc --memory-limit audit: the distribution-driven bin cuts
+        # should have held every bin near its record budget
+        if max_bin > 2 * cap:
+            from ..utils import tracing
+            tracing.log(f"bin budget exceeded: largest bin {max_bin} "
+                        f"records vs {cap} budgeted (coverage hotspot "
+                        f"narrower than one histogram span)", force=True)
         if not writers and not self.opts.sample_sheet:
             # no records at all: still emit a valid empty BAM
             from ..build.records import FragmentBatch
@@ -869,7 +1016,9 @@ class AlignWorkflow:
 
         self._stats["build"] = {"records": n_records, "duplicates": dup,
                                 "realigned": realigned,
-                                "bins": max(1, len(bin_dirs))}
+                                "bins": max(1, len(bin_dirs)),
+                                "max_bin_records": max_bin,
+                                "build_seconds": round(time.time() - t0, 2)}
         (self.stats_dir / "BuildStats.json").write_text(
             json.dumps(self._stats["build"], indent=2))
         from . import reports

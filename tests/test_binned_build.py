@@ -100,3 +100,39 @@ def test_resume_through_binned_build(tmp_path):
     assert wf2.state == "BamDone"
     recs = _bam_tuples(out / "sorted.bam")
     assert len(recs) == 12  # 6 pairs incl. the duplicate
+
+
+def test_distribution_bins_hold_budget_on_skew(tmp_path):
+    """Amplicon-style skew (most reads in 1% of the genome): the
+    match-distribution bin cuts must hold every aligned bin near the
+    record budget where equal spans would put ~everything in one bin
+    (reference MatchDistribution.hh:43-107 + BinIndexMap.hh:44-96)."""
+    import json
+
+    rng = np.random.default_rng(7)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 100_000))
+    (tmp_path / "ref.fa").write_text(f">c\n{seq}\n")
+    n = 400
+    reads = []
+    for i in range(n):
+        if i % 10 == 0:   # 10% background spread over the genome
+            p = int(rng.integers(0, 100_000 - 80))
+        else:             # 90% in a 1kb hotspot (1% of the genome)
+            p = 50_000 + int(rng.integers(0, 1000 - 80))
+        reads.append(seq[p:p + 80])
+    q = "I" * 80
+    (tmp_path / "r1.fq").write_text(
+        "".join(f"@s{i}\n{r}\n+\n{q}\n" for i, r in enumerate(reads)))
+
+    out = tmp_path / "out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "r1.fq"), batch_size=64, realign_gaps="no",
+        records_per_bin=50)).run()
+    build = json.loads((out / "Stats" / "BuildStats.json").read_text())
+    assert build["records"] == n
+    # equal spans would put ~360 records in the hotspot's bin
+    assert build["max_bin_records"] <= 2 * 50, build
+    # and the output is still complete + sorted (spot check count)
+    recs = read_bam(out / "sorted.bam")[2]
+    assert len(recs) == n

@@ -165,3 +165,181 @@ def test_sharded_paired_exact_across_mesh_sizes(ref):
             a = np.where(va, a, 0)
             b = np.where(vb, b, 0)
         np.testing.assert_array_equal(a, b, err_msg=f"field {k}")
+
+
+def test_sharded_driver_matches_single_device(ref):
+    """ShardedAligner (the `align --devices N` driver) must reproduce the
+    single-device Aligner exactly through the whole host pipeline —
+    device quality trim, semialigned clip, gapped polish, output
+    orientation, cigars."""
+    from isaac_aligner_tpu.aligner import Aligner
+    from isaac_aligner_tpu.io.fastq import ReadBatch
+    from isaac_aligner_tpu.parallel.sharded_aligner import ShardedAligner
+
+    genome, seq, index = ref
+    rng = np.random.default_rng(31)
+    read_len = 48
+    n = 16
+    reads = []
+    for i in range(n):
+        p = int(rng.integers(0, 3000 - read_len))
+        r = seq[p : p + read_len]
+        if i % 2:
+            r = dna.decode(dna.revcomp(dna.encode(r)))
+        if i % 5 == 1:
+            r = r[:20] + "T" + r[21:]
+        reads.append(r)
+    base = batch_from_reads([f"r{i}" for i in range(n)], reads)
+    quals = np.asarray(base.quals).copy()
+    quals[:, -6:] = 5                      # exercise device quality trim
+    batch = ReadBatch(base.names, base.bases, quals, base.lengths)
+
+    cfg = AlignConfig(seed_len=16, seed_offsets=(0, 16, 32))
+    mesh = make_mesh(8, data=2, shard=4)
+    one = Aligner.create(index, read_len=read_len, cfg=cfg,
+                         base_quality_cutoff=20)
+    many = ShardedAligner.create_sharded(index, mesh=mesh, read_len=read_len,
+                                         cfg=cfg, base_quality_cutoff=20)
+    r1 = one.align_batch_arrays(batch)
+    r8 = many.align_batch_arrays(batch)
+    for k in ("aligned", "start", "reverse", "mapq", "edit_distance",
+              "mismatches", "seq_out", "qual_out", "orient_rev"):
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
+                                      err_msg=f"field {k}")
+    assert r1.get("cigar") == r8.get("cigar")
+
+
+def test_sharded_paired_driver_matches_single_device(ref):
+    """ShardedPairedAligner (in-program rescue) vs PairedAligner (host
+    rescue): identical results including rescued rows."""
+    from isaac_aligner_tpu.aligner import PairedAligner
+    from isaac_aligner_tpu.align.pairs import TlsStatic
+    from isaac_aligner_tpu.parallel.sharded_aligner import ShardedPairedAligner
+
+    genome, seq, index = ref
+    rng = np.random.default_rng(37)
+    read_len = 48
+
+    def rc(s):
+        return dna.decode(dna.revcomp(dna.encode(s)))
+
+    r1s, r2s = [], []
+    for i in range(16):
+        p = int(rng.integers(0, 3000 - 600))
+        t = int(rng.integers(300, 500))
+        r1 = seq[p : p + read_len]
+        if i % 4 == 1:   # scramble read 1 -> rescue path
+            r1 = "".join("A" if j % 7 == 3 and c != "A" else c
+                         for j, c in enumerate(r1))
+        r1s.append(r1)
+        r2s.append(rc(seq[p + t - read_len : p + t]))
+    b1 = batch_from_reads([f"p{i}" for i in range(16)], r1s)
+    b2 = batch_from_reads([f"p{i}" for i in range(16)], r2s)
+
+    cfg = AlignConfig(seed_len=16, seed_offsets=(0, 16, 32))
+    tls = TlsStatic(min=250, max=550, mate_min=250, mate_max=550,
+                    best0=1, best1=6)
+    mesh = make_mesh(8, data=2, shard=4)
+    one = PairedAligner.create(index, read_len=read_len, cfg=cfg)
+    one.tls = tls
+    many = ShardedPairedAligner.create_sharded(index, mesh=mesh,
+                                               read_len=read_len, cfg=cfg)
+    many.tls = tls
+    r1 = one.align_batch_arrays(b1, b2)
+    r8 = many.align_batch_arrays(b1, b2)
+    assert bool(np.asarray(r8["aligned_1"]).all()), "rescue must recover r1"
+    for k in ("aligned_1", "aligned_2", "start_1", "start_2", "reverse_1",
+              "reverse_2", "proper_pair", "template_length", "template_score",
+              "frag_score_1", "frag_score_2", "edit_distance_1",
+              "edit_distance_2", "seq_out_1", "seq_out_2"):
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
+                                      err_msg=f"field {k}")
+    assert r1.get("cigar_1") == r8.get("cigar_1")
+    assert r1.get("cigar_2") == r8.get("cigar_2")
+
+
+def test_workflow_devices_byte_identical(tmp_path):
+    """`align --devices 8` (SPMD + collective Build-phase dedup) produces
+    byte-identical sorted.bam to the single-device workflow."""
+    from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+    rng = np.random.default_rng(11)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 9000))
+    (tmp_path / "ref.fa").write_text(
+        ">c1\n" + g[:5000] + "\n>c2\n" + g[5000:] + "\n")
+
+    def rc(s):
+        return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+    n = 32
+    with open(tmp_path / "r1.fq", "w") as f1, \
+            open(tmp_path / "r2.fq", "w") as f2:
+        for i in range(n):
+            p = int(rng.integers(0, 9000 - 500))
+            t = int(rng.integers(300, 460))
+            s1 = list(g[p:p + 80])
+            if i % 5 == 1:   # mutations -> rescue path
+                for j in range(0, 80, 9):
+                    s1[j] = "ACGT"[("ACGT".index(s1[j]) + 1) % 4]
+            if i % 7 == 2:   # duplicate pairs -> collective dedup path
+                p, t = 800, 350
+                s1 = list(g[p:p + 80])
+            s2 = rc(g[p + t - 80:p + t])
+            q = "".join(chr(33 + int(x)) for x in rng.integers(20, 40, 80))
+            f1.write(f"@rd{i}\n{''.join(s1)}\n+\n{q}\n")
+            f2.write(f"@rd{i}\n{s2}\n+\n{'I' * 80}\n")
+
+    base = dict(reference=str(tmp_path / "ref.fa"),
+                fastq1=str(tmp_path / "r1.fq"),
+                fastq2=str(tmp_path / "r2.fq"),
+                batch_size=16, records_per_bin=24, tls_batches=2)
+    AlignWorkflow(WorkflowOptions(
+        output_dir=str(tmp_path / "out0"), **base)).run()
+    AlignWorkflow(WorkflowOptions(
+        output_dir=str(tmp_path / "out8"), devices=8, **base)).run()
+    b0 = (tmp_path / "out0" / "sorted.bam").read_bytes()
+    b8 = (tmp_path / "out8" / "sorted.bam").read_bytes()
+    assert b0 == b8
+    # duplicates must actually have been marked (collective path active)
+    import json
+    s8 = json.loads((tmp_path / "out8" / "Stats" /
+                     "BuildStats.json").read_text())
+    assert s8.get("duplicates", 0) > 0
+
+
+def test_genome_sharded_driver_matches_single_device(ref):
+    """genome_sharded=True (G/S + halo packed planes per device) must
+    reproduce the single-device results exactly — owner-masked scoring +
+    psum over the shard axis."""
+    from isaac_aligner_tpu.aligner import Aligner
+    from isaac_aligner_tpu.parallel.sharded_aligner import ShardedAligner
+
+    genome, seq, index = ref
+    rng = np.random.default_rng(41)
+    read_len = 48
+    n = 16
+    reads = []
+    for i in range(n):
+        p = int(rng.integers(0, 3000 - read_len))
+        r = seq[p : p + read_len]
+        if i % 2:
+            r = dna.decode(dna.revcomp(dna.encode(r)))
+        reads.append(r)
+    batch = batch_from_reads([f"g{i}" for i in range(n)], reads)
+
+    cfg = AlignConfig(seed_len=16, seed_offsets=(0, 16, 32))
+    mesh = make_mesh(8, data=2, shard=4)
+    one = Aligner.create(index, read_len=read_len, cfg=cfg)
+    many = ShardedAligner.create_sharded(index, mesh=mesh, read_len=read_len,
+                                         cfg=cfg, genome_sharded=True)
+    # HBM claim: local plane strictly smaller than the full plane
+    # (halo-dominated at this toy scale, ~G/S at WGS scale)
+    assert many.genome_shards.gp.shape[1] < one.arrays.genome_packed.shape[0] \
+        or index.genome.total_length < 4 * 8448
+    r1 = one.align_batch_arrays(batch)
+    r8 = many.align_batch_arrays(batch)
+    for k in ("aligned", "start", "reverse", "mapq", "edit_distance",
+              "mismatches", "seq_out"):
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
+                                      err_msg=f"field {k}")
+    assert r1.get("cigar") == r8.get("cigar")
