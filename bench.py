@@ -1,15 +1,26 @@
-"""Alignment throughput benchmark — prints ONE JSON line.
+"""Alignment throughput benchmark — prints a JSON line after EVERY
+completed section (the driver parses the LAST line, so a timeout still
+yields every metric measured so far).
 
 Measures, on the available accelerator (the real TPU chip under the
 driver), against a REPEAT-RICH synthetic E. coli-scale genome (4.6 Mbp
 with diverged mobile-element copies and an N island; round-1 review:
 uniform-random genomes hide repeat handling):
 
-- reads/s/chip, single-end fused pipeline (headline metric)
-- paired-end (2x100bp) reads/s
+- reads/s/chip, single-end fused pipeline (headline metric) + honesty
+  stats (aligned fraction, MAPQ0 fraction, pass-2 drop count)
+- end-to-end FASTQ -> sorted BAM reads/s (single-end, then paired)
+  through the streaming workflow
+- paired-end (2x100bp) device reads/s
 - banded Smith-Waterman GCUPS
-- end-to-end FASTQ -> sorted BAM reads/s through the streaming workflow
-- honesty stats: aligned fraction, MAPQ0 fraction, pass-2 drop count
+
+Sections run HEADLINE-FIRST and each has a wall-budget guard: when the
+remaining budget can't cover a section's worst-case cost it is skipped
+and reported as skipped instead of silently eating the run (round-3
+lesson: BENCH_r03 was rc=124 with zero parsed output because everything
+rode on one final print).  The first device fetch after process start
+pays a variable tunnel-establishment sync measured at 123-1431 s across
+rounds; it is timed explicitly and reported as `first_sync_s`.
 
 Timing methodology: the tunneled TPU backend's block_until_ready can
 return before execution completes, so naive enqueue-and-wait timings are
@@ -50,6 +61,70 @@ READ_LEN = 100
 BATCH = 32_768
 E2E_READS = 131_072
 
+_T0 = time.time()
+# overall wall budget (driver timeout is ~30 min; leave flush slack)
+BUDGET_S = float(os.environ.get("ISAAC_BENCH_BUDGET_S", "1560"))
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
+
+
+class Emitter:
+    """Accumulates the result JSON and re-prints it after every section."""
+
+    def __init__(self):
+        self.doc = {
+            "metric": "reads_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "reads/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "read_len": READ_LEN,
+                "batch": BATCH,
+                "genome": "repeat-rich 4.6Mbp (600bp x200 + 2kb x30 "
+                          "elements, N island)",
+                "timing": "enqueue-many + device-reduced scalar fetches "
+                          "(fetch forces completion)",
+                "sections_done": [],
+                "sections_skipped": [],
+            },
+        }
+
+    def headline(self, rps: float):
+        self.doc["value"] = round(rps, 1)
+        self.doc["vs_baseline"] = round(rps / BASELINE_READS_PER_SEC, 3)
+
+    def emit(self):
+        print(json.dumps(self.doc), flush=True)
+
+    def left(self) -> float:
+        return BUDGET_S - (time.time() - _T0)
+
+    def run(self, name: str, need_s: float, fn):
+        """Run one section under the budget guard; a failure or a skip is
+        recorded in the output instead of killing the bench."""
+        d = self.doc["detail"]
+        if self.left() < need_s:
+            _log(f"SKIP {name}: {self.left():.0f}s left < {need_s:.0f}s budget")
+            d["sections_skipped"].append(
+                {"name": name, "left_s": round(self.left(), 1),
+                 "need_s": need_s})
+            self.emit()
+            return False
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as e:  # keep later sections alive
+            _log(f"FAIL {name}: {e!r}")
+            d["sections_skipped"].append({"name": name, "error": repr(e)[:300]})
+            self.emit()
+            return False
+        d["sections_done"].append(
+            {"name": name, "wall_s": round(time.time() - t0, 1)})
+        self.emit()
+        return True
+
 
 def make_genome(rng):
     """Repeat-rich synthetic genome: diverged 600bp/2kb element families
@@ -89,10 +164,9 @@ def throughput_time(step, inputs_list):
     """Wall time for all calls: enqueue every program, then fetch each
     call's device-REDUCED scalar — a fetch can only return once its
     program finished, and programs execute in submission order, so the
-    measurement covers real completion (the tunneled backend's
-    block_until_ready returns before execution and must not be trusted).
-    step must reduce its full output to one scalar ON DEVICE (so nothing
-    is dead-code-eliminated and transfer cost stays negligible)."""
+    measurement covers real completion.  step must reduce its full output
+    to one scalar ON DEVICE (so nothing is dead-code-eliminated and
+    transfer cost stays negligible)."""
     import jax
 
     jax.device_get(step(*inputs_list[0]))   # compile + first-fetch flush
@@ -103,14 +177,9 @@ def throughput_time(step, inputs_list):
     return time.time() - t0
 
 
-def _log(msg):
-    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
-
-
-_T0 = time.time()
-
-
 def main() -> None:
+    em = Emitter()
+    det = em.doc["detail"]
 
     import jax
     import jax.numpy as jnp
@@ -122,6 +191,15 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # -- first device sync: tunnel establishment, measured not fatal ---------
+    _log("first device sync (tunnel establishment)")
+    t0 = time.time()
+    jax.device_get(jnp.zeros(8) + 1)
+    det["first_sync_s"] = round(time.time() - t0, 1)
+    det["device"] = str(jax.devices()[0])
+    _log(f"first sync: {det['first_sync_s']}s on {det['device']}")
+    em.emit()
 
     from isaac_aligner_tpu.align.pipeline import (AlignConfig, align_batch,
                                                   align_batch_jit,
@@ -138,8 +216,8 @@ def main() -> None:
     _log("building index")
     t0 = time.time()
     index = build_index(genome, seed_len=32)
-    build_s = time.time() - t0
-    _log(f"index built in {build_s:.1f}s")
+    det["index_build_s"] = round(time.time() - t0, 1)
+    _log(f"index built in {det['index_build_s']}s")
 
     bw, bl = bucket_params_for(index)
     cfg = AlignConfig(seed_len=32, seed_offsets=default_seed_offsets(READ_LEN, 32),
@@ -151,138 +229,72 @@ def main() -> None:
         return sum(jnp.sum(v).astype(jnp.float32) for v in out.values()
                    if hasattr(v, "dtype"))
 
-    n_timed = 8
-    se_inputs = []
-    for i in range(n_timed):
-        r, qq = make_reads(seq_codes, np.random.default_rng(100 + i), BATCH)
-        se_inputs.append((jnp.asarray(r), jnp.asarray(qq)))
-        jax.block_until_ready(se_inputs[-1])
-        _log(f"staged SE batch {i}")
-    rd, qd = se_inputs[0]
-    reads = np.asarray(se_inputs[0][0])
+    # -- section 1: single-end device throughput + honesty stats -------------
+    def sec_se_device():
+        n_timed = 8
+        se_inputs = []
+        for i in range(n_timed):
+            r, qq = make_reads(seq_codes, np.random.default_rng(100 + i), BATCH)
+            se_inputs.append((jnp.asarray(r), jnp.asarray(qq)))
+            jax.block_until_ready(se_inputs[-1])
+        _log("staged SE batches")
 
-    # -- single-end device throughput ----------------------------------------
-    @jax.jit
-    def se_step(bases, q):
-        return tree_sum(align_batch(arrays, bases, q, cfg))
+        @jax.jit
+        def se_step(bases, q):
+            return tree_sum(align_batch(arrays, bases, q, cfg))
 
-    _log("compiling + timing single-end pipeline")
-    se_dt = throughput_time(se_step, se_inputs)
-    rps = n_timed * BATCH / se_dt
-    _log(f"single-end: {rps:.0f} reads/s")
+        _log("compiling + timing single-end pipeline")
+        se_dt = throughput_time(se_step, se_inputs)
+        rps = n_timed * BATCH / se_dt
+        em.headline(rps)
+        _log(f"single-end: {rps:.0f} reads/s")
 
-    # -- honesty stats on a real run ----------------------------------------
-    out = {k: np.asarray(v) for k, v in
-           jax.device_get(align_batch_jit(arrays, rd, qd, cfg)).items()}
-    aligned = out["aligned"]
-    aligned_frac = float(aligned.mean())
-    mapq0_frac = float((aligned & (out["mapq"] == 0)).sum() / max(aligned.sum(), 1))
-    pass2_dropped = int(out.get("pass2_dropped", 0))
+        rd, qd = se_inputs[0]
+        out = {k: np.asarray(v) for k, v in
+               jax.device_get(align_batch_jit(arrays, rd, qd, cfg)).items()}
+        aligned = out["aligned"]
+        det["aligned_frac"] = round(float(aligned.mean()), 4)
+        det["mapq0_frac"] = round(
+            float((aligned & (out["mapq"] == 0)).sum() / max(aligned.sum(), 1)), 4)
+        det["pass2_dropped"] = int(out.get("pass2_dropped", 0))
 
-    # -- paired-end throughput ------------------------------------------------
-    from isaac_aligner_tpu.align.pairs import TlsStatic, align_paired_batch
+    em.run("se_device", 420, sec_se_device)
 
-    pb = BATCH // 2
-    pq = np.full((pb, READ_LEN), 30, np.uint8)
-    tls = TlsStatic(min=200, max=400, mate_min=200, mate_max=400,
-                    best0=1, best1=6)
-
-    @jax.jit
-    def pe_step(b1, q1, b2, q2):
-        return tree_sum(align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls))
-
-    pe_inputs = []
-    for i in range(4):
-        rr = np.random.default_rng(200 + i)
-        s = rr.integers(0, GENOME_LEN - 500, pb)
-        e1 = seq_codes[s[:, None] + np.arange(READ_LEN)[None, :]]
-        mm = seq_codes[(s + 300 - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]]
-        e2 = np.where(mm[:, ::-1] < 4, 3 - mm[:, ::-1], mm[:, ::-1]).astype(np.uint8)
-        mut2 = rr.random(e1.shape) < 0.01
-        e1 = np.where(mut2, rr.integers(0, 4, e1.shape), e1).astype(np.uint8)
-        pe_inputs.append(tuple(jnp.asarray(x) for x in (e1, pq, e2, pq)))
-
-    _log("compiling + timing paired pipeline")
-    pe_dt = throughput_time(pe_step, pe_inputs)
-    paired_rps = len(pe_inputs) * 2 * pb / pe_dt
-    _log(f"paired: {paired_rps:.0f} reads/s")
-
-    # -- banded SW GCUPS (chained slope) -------------------------------------
-    from isaac_aligner_tpu.ops import sw
-    n_pairs = 16_384
-    q = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32))
-    db = jnp.asarray(
-        rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)).astype(np.int32))
-
-    # the SW kernel is so fast (<1 ms per 16k-pair batch) that per-fetch
-    # tunnel sync would dominate an enqueue-many measurement; chain R
-    # data-dependent kernels inside ONE jit (runtime-dynamic R => one
-    # compile) and take the slope between two chain lengths instead
-    q = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32))
-    db = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)
-                                  ).astype(np.int32))
-
-    @jax.jit
-    def sw_chain(qq, dd, r):
-        def body(i, acc):
-            q2 = qq + jnp.where(acc > 1e30, 1, 0).astype(jnp.int32)
-            g, tb = sw.banded_sw(q2, dd, block=256)
-            return acc + g[0, 0] + tb[0, 0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, r, body, jnp.float32(0))
-
-    _log("compiling + timing banded-SW chain")
-    jax.device_get(sw_chain(q, db, jnp.int32(40)))
-
-    def sw_timed(r, reps=3):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            jax.device_get(sw_chain(q, db, jnp.int32(r)))
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    sw_dt = (sw_timed(40) - sw_timed(8)) / 32
-    gcups = n_pairs * READ_LEN * sw.BAND / sw_dt / 1e9
-    _log(f"banded SW: {gcups:.1f} GCUPS")
-
-    # -- end-to-end FASTQ -> sorted BAM (streaming workflow) -----------------
+    # -- sections 2+3: end-to-end FASTQ -> sorted BAM ------------------------
     import tempfile
     from pathlib import Path
 
+    from isaac_aligner_tpu import dna
     from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
 
-    e2e_rps = 0.0
-    e2e_paired_rps = 0.0
-    e2e_breakdown = {}
-    with tempfile.TemporaryDirectory(prefix="isaac_bench_") as td:
-        td = Path(td)
-        index.save(td / "idx")
+    tmp = tempfile.TemporaryDirectory(prefix="isaac_bench_")
+    td = Path(tmp.name)
+    index.save(td / "idx")
+    qs = "?" * READ_LEN              # phred 30
+
+    def run_e2e(name, fastq, fastq2=None):
+        wf = AlignWorkflow(WorkflowOptions(
+            reference=str(td / "idx"), output_dir=str(td / name),
+            fastq1=str(fastq), fastq2=fastq2, batch_size=BATCH,
+            realign_gaps="no", records_per_bin=2_000_000))
+        t0 = time.time()
+        wf.run()
+        return time.time() - t0, wf
+
+    def breakdown(wf):
+        al = wf._stats.get("match_selector", {})
+        return {
+            "align_s": al.get("align_seconds"),
+            **{f"{k}_s": v for k, v in al.get("stage_seconds", {}).items()},
+            "build_s": wf._stats.get("build", {}).get("build_seconds"),
+        }
+
+    def sec_e2e_se():
         er, _eq = make_reads(seq_codes, rng, E2E_READS)
-        from isaac_aligner_tpu import dna
         _log("writing e2e FASTQ")
-        qs = "?" * READ_LEN              # phred 30
         with open(td / "r1.fq", "w") as f:
             f.writelines(f"@r{i}\n{dna.decode(er[i])}\n+\n{qs}\n"
                          for i in range(E2E_READS))
-
-        def run_e2e(name, fastq, fastq2=None):
-            wf = AlignWorkflow(WorkflowOptions(
-                reference=str(td / "idx"), output_dir=str(td / name),
-                fastq1=str(fastq), fastq2=fastq2, batch_size=BATCH,
-                realign_gaps="no", records_per_bin=2_000_000))
-            t0 = time.time()
-            wf.run()
-            return time.time() - t0, wf
-
-        def breakdown(wf):
-            al = wf._stats.get("match_selector", {})
-            return {
-                "align_s": al.get("align_seconds"),
-                **{f"{k}_s": v
-                   for k, v in al.get("stage_seconds", {}).items()},
-                "build_s": wf._stats.get("build", {}).get("build_seconds"),
-            }
-
         # warmup run compiles the workflow's executables (same batch
         # shapes; the gapped-polish SW compile triggers on high-mismatch
         # rows, so inject some)
@@ -294,11 +306,16 @@ def main() -> None:
         run_e2e("warm_out", td / "warm.fq")
         _log("e2e timed run")
         e2e_s, wf = run_e2e("out", td / "r1.fq")
-        e2e_rps = E2E_READS / e2e_s
-        e2e_breakdown = breakdown(wf)
-        _log(f"e2e: {e2e_rps:.0f} reads/s ({e2e_s:.1f}s) {e2e_breakdown}")
+        rps = E2E_READS / e2e_s
+        det["e2e_fastq_to_bam_reads_per_sec"] = round(rps, 1)
+        if em.doc["value"]:
+            det["e2e_fraction_of_device"] = round(rps / em.doc["value"], 3)
+        det["e2e_breakdown_s"] = breakdown(wf)
+        _log(f"e2e: {rps:.0f} reads/s ({e2e_s:.1f}s) {det['e2e_breakdown_s']}")
 
-        # ---- paired e2e: proper pairs at ~300bp insert, 1% mutations ----
+    em.run("e2e_se", 360, sec_e2e_se)
+
+    def sec_e2e_pe():
         n_pairs = E2E_READS // 2
         starts = rng.integers(0, GENOME_LEN - 500, n_pairs)
         m1 = seq_codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
@@ -325,34 +342,89 @@ def main() -> None:
         run_e2e("pwarm_out", td / "pw1.fq", str(td / "pw2.fq"))
         _log("paired e2e timed run")
         pe2e_s, pwf = run_e2e("pout", td / "p1.fq", str(td / "p2.fq"))
-        e2e_paired_rps = 2 * n_pairs / pe2e_s
-        _log(f"paired e2e: {e2e_paired_rps:.0f} reads/s ({pe2e_s:.1f}s) "
-             f"{breakdown(pwf)}")
-        e2e_breakdown["paired"] = breakdown(pwf)
+        rps = 2 * n_pairs / pe2e_s
+        det["e2e_paired_reads_per_sec"] = round(rps, 1)
+        det["e2e_paired_breakdown_s"] = breakdown(pwf)
+        _log(f"paired e2e: {rps:.0f} reads/s ({pe2e_s:.1f}s) "
+             f"{det['e2e_paired_breakdown_s']}")
 
-    print(json.dumps({
-        "metric": "reads_per_sec_per_chip",
-        "value": round(rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
-        "detail": {
-            "read_len": READ_LEN,
-            "batch": BATCH,
-            "genome": "repeat-rich 4.6Mbp (600bp x200 + 2kb x30 elements, N island)",
-            "timing": "enqueue-many + device-reduced scalar fetches (fetch forces completion)",
-            "aligned_frac": round(aligned_frac, 4),
-            "mapq0_frac": round(mapq0_frac, 4),
-            "pass2_dropped": pass2_dropped,
-            "paired_reads_per_sec": round(paired_rps, 1),
-            "banded_sw_gcups": round(gcups, 2),
-            "e2e_fastq_to_bam_reads_per_sec": round(e2e_rps, 1),
-            "e2e_fraction_of_device": round(e2e_rps / rps, 3) if rps else 0,
-            "e2e_paired_reads_per_sec": round(e2e_paired_rps, 1),
-            "e2e_breakdown_s": e2e_breakdown,
-            "index_build_s": round(build_s, 1),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    em.run("e2e_pe", 360, sec_e2e_pe)
+
+    # -- section 4: paired-end device throughput -----------------------------
+    def sec_pe_device():
+        from isaac_aligner_tpu.align.pairs import TlsStatic, align_paired_batch
+
+        pb = BATCH // 2
+        pq = np.full((pb, READ_LEN), 30, np.uint8)
+        tls = TlsStatic(min=200, max=400, mate_min=200, mate_max=400,
+                        best0=1, best1=6)
+
+        @jax.jit
+        def pe_step(b1, q1, b2, q2):
+            return tree_sum(align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls))
+
+        pe_inputs = []
+        for i in range(4):
+            rr = np.random.default_rng(200 + i)
+            s = rr.integers(0, GENOME_LEN - 500, pb)
+            e1 = seq_codes[s[:, None] + np.arange(READ_LEN)[None, :]]
+            mm = seq_codes[(s + 300 - READ_LEN)[:, None]
+                           + np.arange(READ_LEN)[None, :]]
+            e2 = np.where(mm[:, ::-1] < 4, 3 - mm[:, ::-1],
+                          mm[:, ::-1]).astype(np.uint8)
+            mut2 = rr.random(e1.shape) < 0.01
+            e1 = np.where(mut2, rr.integers(0, 4, e1.shape), e1).astype(np.uint8)
+            pe_inputs.append(tuple(jnp.asarray(x) for x in (e1, pq, e2, pq)))
+
+        _log("compiling + timing paired pipeline")
+        pe_dt = throughput_time(pe_step, pe_inputs)
+        rps = len(pe_inputs) * 2 * pb / pe_dt
+        det["paired_reads_per_sec"] = round(rps, 1)
+        _log(f"paired: {rps:.0f} reads/s")
+
+    em.run("pe_device", 240, sec_pe_device)
+
+    # -- section 5: banded SW GCUPS (chained slope) --------------------------
+    def sec_gcups():
+        from isaac_aligner_tpu.ops import sw
+        n_pairs = 16_384
+        q = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN)).astype(np.int32))
+        db = jnp.asarray(rng.integers(0, 4, (n_pairs, READ_LEN + sw.BAND - 1)
+                                      ).astype(np.int32))
+
+        # the SW kernel is so fast (<1 ms per 16k-pair batch) that
+        # per-fetch tunnel sync would dominate an enqueue-many
+        # measurement; chain R data-dependent kernels inside ONE jit
+        # (runtime-dynamic R => one compile) and take the slope between
+        # two chain lengths instead
+        @jax.jit
+        def sw_chain(qq, dd, r):
+            def body(i, acc):
+                q2 = qq + jnp.where(acc > 1e30, 1, 0).astype(jnp.int32)
+                g, tb = sw.banded_sw(q2, dd, block=256)
+                return acc + g[0, 0] + tb[0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, r, body, jnp.float32(0))
+
+        _log("compiling + timing banded-SW chain")
+        jax.device_get(sw_chain(q, db, jnp.int32(40)))
+
+        def sw_timed(r, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                jax.device_get(sw_chain(q, db, jnp.int32(r)))
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        sw_dt = (sw_timed(40) - sw_timed(8)) / 32
+        gcups = n_pairs * READ_LEN * sw.BAND / sw_dt / 1e9
+        det["banded_sw_gcups"] = round(gcups, 2)
+        _log(f"banded SW: {gcups:.1f} GCUPS")
+
+    em.run("sw_gcups", 150, sec_gcups)
+
+    tmp.cleanup()
+    em.emit()
 
 
 if __name__ == "__main__":

@@ -19,15 +19,20 @@ TPU-native re-design:
   more sensitive than the reference's 7-mer-hash candidate heuristic,
   ShadowAligner.cpp:74-294); it runs as a separate fixed-capacity batch
   over host-compacted orphan rows so the cost is paid only for orphans.
-- TLS parameters enter as a STATIC frozen dataclass: alignment re-jits
-  once when the learned statistics change, keeping all model bit-logic
-  at trace time.
+- TLS parameters enter as a DYNAMIC pytree of int32 scalars (TlsStatic is
+  registered with jax.tree_util.register_dataclass): the paired pipeline
+  compiles ONCE and every learned model reuses the executable.  The
+  reference re-determines TLS every run at zero compile cost
+  (MatchSelector.cpp:188-256); only the rescue-window SIZE is shape-
+  setting and stays a static arg, quantized to power-of-two buckets by
+  the host driver so at most ~5 executables ever exist.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,7 +45,11 @@ from .tls import TEMPLATE_LENGTH_THRESHOLD, TemplateLengthStatistics
 
 @dataclasses.dataclass(frozen=True)
 class TlsStatic:
-    """Hashable TLS snapshot used as a jit-static argument."""
+    """TLS snapshot.  Registered as a pytree (all fields are leaves), so
+    passing it to a jitted kernel traces the fields as int32 scalars —
+    a changed learned model NEVER recompiles the paired pipeline.  On the
+    host the fields are plain ints and the window/model helpers below
+    operate on them directly."""
 
     min: int = 0
     max: int = TEMPLATE_LENGTH_THRESHOLD
@@ -62,6 +71,30 @@ class TlsStatic:
                                      best_models=(self.best0, self.best1))
         s.mate_min, s.mate_max = self.mate_min, self.mate_max
         return s
+
+
+jax.tree_util.register_dataclass(
+    TlsStatic,
+    data_fields=["min", "max", "mate_min", "mate_max", "best0", "best1",
+                 "median"],
+    meta_fields=[])
+
+
+def quantize_rescue_window(span: int, cap: int) -> int:
+    """Round a TLS mate-window span up to a power-of-two bucket (>=256).
+
+    The rescue window sets kernel SHAPES, so it must stay a static jit
+    argument; quantizing it bounds the number of compiled executables to
+    ~5 (256..4096) across all learned TLS models.  When the power of two
+    overshoots `cap` but the span itself still fits, `cap` is used as the
+    final bucket so the enable/disable decision matches the span, not the
+    bucket."""
+    win = 256
+    while win < span:
+        win *= 2
+    if win > cap >= span:
+        win = cap
+    return win
 
 
 def pair_model(pos1, rev1, pos2, rev2):
@@ -290,18 +323,36 @@ def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
 # Shadow rescue
 # ---------------------------------------------------------------------------
 
-def _mate_window_offsets(tls: TlsStatic, read_index: int, read_lengths):
-    """Static per-(read_index, orientation) offsets of the mate window
-    start relative to the orphan position, plus the shadow orientation
-    (TemplateLengthStatistics.cpp:186-240)."""
-    s = tls.to_stats()
-    out = {}
-    for rev in (False, True):
-        mn = s.mate_min_position(read_index, rev, 0, read_lengths)
-        mx = s.mate_max_position(read_index, rev, 0, read_lengths)
-        mo = s.mate_orientation(read_index, rev)
-        out[rev] = (mn, mx, mo)
-    return out
+def mate_window_dynamic(tls, read_index: int, read_lengths, reverse):
+    """Per-row mate-window offsets + shadow orientation, computed with
+    jnp bit-logic from (possibly traced) TLS fields
+    (TemplateLengthStatistics.cpp:186-240 — mateMin/MaxPosition,
+    mateOrientation, with the reference's first-matching-best-model-wins
+    fallback semantics).
+
+    `read_index`/`read_lengths` are static; `reverse` is a [Rb] bool
+    array.  Returns (min_off, max_off, shadow_rev) where the offsets are
+    relative to the orphan position."""
+    rev = jnp.asarray(reverse).astype(jnp.int32)
+    shift = 1 - read_index
+    b0 = jnp.asarray(tls.best0, jnp.int32)
+    b1 = jnp.asarray(tls.best1, jnp.int32)
+    m0 = ((b0 >> shift) & 1) == rev
+    m1 = ((b1 >> shift) & 1) == rev
+    valid = m0 | m1
+    chosen = jnp.where(m0, b0, jnp.where(m1, b1, b0))
+    # firstFragment: model<4 means read 0 leftmost (ReferencePosition bit)
+    first = (chosen < 4) == (read_index == 0)
+    shadow_rev = ((chosen >> read_index) & 1) != 0
+    own_len = read_lengths[read_index]
+    mate_len = read_lengths[1 - read_index]
+    mm = jnp.asarray(tls.mate_min, jnp.int32)
+    mx = jnp.asarray(tls.mate_max, jnp.int32)
+    mn_off = jnp.where(first, mm - mate_len, -mx + own_len)
+    mx_off = jnp.where(first, mx - mate_len, -mm + own_len)
+    zero = jnp.int32(0)
+    return (jnp.where(valid, mn_off, zero), jnp.where(valid, mx_off, zero),
+            shadow_rev)
 
 
 def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
@@ -321,13 +372,12 @@ def rescue_shadows(arrays: IndexArrays, cfg: AlignConfig, tls: TlsStatic,
     """
     rb, l2 = shadow_bases.shape
 
-    # per-row window start + shadow orientation, from static model table
-    tab = _mate_window_offsets(tls, orphan_read_index, read_lengths)
-    mn_f, mx_f, mo_f = tab[False]
-    mn_r, mx_r, mo_r = tab[True]
-    win_start = orphan_start + jnp.where(orphan_rev, mn_r, mn_f)
-    win_end = orphan_start + jnp.where(orphan_rev, mx_r, mx_f)
-    shadow_rev = jnp.where(orphan_rev, mo_r, mo_f)
+    # per-row window start + shadow orientation from the (dynamic) TLS
+    # model — no recompile when the learned model changes
+    mn_off, mx_off, shadow_rev = mate_window_dynamic(
+        tls, orphan_read_index, read_lengths, orphan_rev)
+    win_start = orphan_start + mn_off
+    win_end = orphan_start + mx_off
 
     rc_bases = bitops.revcomp_reads(shadow_bases)
     r_quals = bitops.reverse_quals(shadow_quals)

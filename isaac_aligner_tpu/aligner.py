@@ -37,6 +37,34 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
                 acc[key] = acc.get(key, 0) + int(res[k])
 
 
+def _pipelined_results(dispatched, finish_fn, window: int = 2):
+    """Drive (key, pending) pairs through `finish_fn` on ONE worker
+    thread, `window` batches in flight, yielding (key, result) in order.
+
+    The main thread then only parses + dispatches; the fetch link syncs
+    and the gapped/indel/clipper polish passes run on the worker and
+    overlap the NEXT batches' device compute — the reference's 3-slot
+    load/compute/flush overlap (SelectMatchesTransition.cpp:295-357).
+    Round 3 ran fetch+polish on the dispatch thread and it dominated e2e
+    (align_s 4.85 of 5.5 s vs ~0.9 s device)."""
+    import contextlib
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="isaac-polish")
+    done: deque = deque()
+    with contextlib.ExitStack() as stack:
+        stack.callback(ex.shutdown, wait=True)
+        for key, pending in dispatched:
+            done.append((key, ex.submit(finish_fn, pending)))
+            while len(done) > window:
+                k, fut = done.popleft()
+                yield k, fut.result()
+        while done:
+            k, fut = done.popleft()
+            yield k, fut.result()
+
+
 def _pad_to_seed(bases: np.ndarray, quals: np.ndarray, seed_len: int):
     """Widen a batch narrower than the seed with N columns: its seeds all
     carry N and the reads come out unmapped instead of crashing the
@@ -143,19 +171,13 @@ class Aligner:
         return self._finish(self._dispatch(batch), gapped=gapped)
 
     def align_results_many(self, batches, gapped: bool = True):
-        """Pipelined multi-batch alignment: batch i+1 is dispatched to the
-        device BEFORE batch i's results are fetched and host-polished —
-        the TPU version of the reference's load/compute/flush slot overlap
-        (SelectMatchesTransition.cpp:295-357).  Yields (batch, result
-        arrays) in order."""
-        pending = None
-        for batch in batches:
-            nxt = self._dispatch(batch)
-            if pending is not None:
-                yield pending[4], self._finish(pending, gapped=gapped)
-            pending = nxt
-        if pending is not None:
-            yield pending[4], self._finish(pending, gapped=gapped)
+        """Pipelined multi-batch alignment: the main thread dispatches
+        batch after batch to the device while a worker thread fetches +
+        host-polishes completed ones (see _pipelined_results).  Yields
+        (batch, result arrays) in order."""
+        yield from _pipelined_results(
+            ((p[4], p) for p in (self._dispatch(b) for b in batches)),
+            lambda pending: self._finish(pending, gapped=gapped))
 
     def align_to_sam_many(self, batches, phred_offset: int = 33):
         """Pipelined alignment yielding per-batch SamRecord lists."""
@@ -230,15 +252,17 @@ def _single_packed_jit(arrays, bases, quals, cfg, tail_masked, lengths):
     return pack_device_result(res), res
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tls"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1=None, tm2=None):
     return align_paired_batch(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tls"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _paired_packed_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2, len1, len2):
     """Paired variant of _single_packed_jit (original inputs + on-device
-    adapter masking + per-end output orientation)."""
+    adapter masking + per-end output orientation).  `tls` is a TRACED
+    pytree of int32 scalars — learned-model changes never recompile
+    (the round-3 static-arg design cost ~100 s of recompile per run)."""
     mb1, mq1 = mask_tail_device(b1, q1, tm1)
     mb2, mq2 = mask_tail_device(b2, q2, tm2)
     res = align_paired_batch(arrays, mb1, mq1, mb2, mq2, cfg, tls, tm1, tm2)
@@ -263,7 +287,7 @@ def _ends_summary_jit(arrays, b1, q1, b2, q2, cfg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tls", "orphan_read_index", "read_lengths",
+    jax.jit, static_argnames=("cfg", "orphan_read_index", "read_lengths",
                               "window"))
 def _rescue_jit(arrays, cfg, tls, orphan_read_index, read_lengths,
                 orphan_start, orphan_rev, shadow_bases, shadow_quals, window):
@@ -372,18 +396,14 @@ class PairedAligner:
         return self._finish(self._dispatch(b1, b2))
 
     def align_results_many(self, batches):
-        """Pipelined paired alignment over (b1, b2) batches — dispatch of
-        batch i+1 overlaps batch i's fetch + host polish (the reference's
-        3-slot tile pipeline, SelectMatchesTransition.cpp:295-357).
-        Yields ((b1, b2), result arrays) in order."""
-        pending = None
-        for b1, b2 in batches:
-            nxt = self._dispatch(b1, b2)
-            if pending is not None:
-                yield pending[4], self._finish(pending)
-            pending = nxt
-        if pending is not None:
-            yield pending[4], self._finish(pending)
+        """Pipelined paired alignment over (b1, b2) batches — the main
+        thread dispatches while a worker fetches + polishes (including
+        the rescue kernel round-trips; see _pipelined_results).  Yields
+        ((b1, b2), result arrays) in order."""
+        yield from _pipelined_results(
+            ((p[4], p) for p in (self._dispatch(b1, b2)
+                                 for b1, b2 in batches)),
+            self._finish)
 
     def align_to_sam_many(self, batches, phred_offset: int = 33):
         """Pipelined paired alignment yielding per-batch SamRecord lists."""
@@ -436,8 +456,9 @@ class PairedAligner:
         return res
 
     def _rescue_window(self) -> int:
+        from .align.pairs import quantize_rescue_window
         w = self.tls.mate_max - self.tls.mate_min + 1
-        return -(-w // 128) * 128  # round up to 128
+        return quantize_rescue_window(w, self.max_rescue_window)
 
     def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch):
         """Run shadow rescue for rows where exactly one end aligned and

@@ -176,19 +176,13 @@ class MultiIndexAligner:
         return out
 
     def align_results_many(self, batches):
-        """(batch, merged result) pairs, pipelined: batch i+1's group
-        programs are all dispatched before batch i's results are fetched
-        and merged (host merge overlaps device compute)."""
-        pending = None
-        for batch in batches:
-            nxt = (batch, self._dispatch_all(batch))
-            if pending is not None:
-                b, p = pending
-                yield b, self._merge(b, self._finish_all(p))
-            pending = nxt
-        if pending is not None:
-            b, p = pending
-            yield b, self._merge(b, self._finish_all(p))
+        """(batch, merged result) pairs, pipelined: the main thread
+        dispatches every group's program batch after batch while a worker
+        thread fetches + merges completed ones (aligner._pipelined_results)."""
+        from ..aligner import _pipelined_results
+        yield from _pipelined_results(
+            ((b, (b, self._dispatch_all(b))) for b in batches),
+            lambda bp: self._merge(bp[0], self._finish_all(bp[1])))
 
     def align_to_sam(self, batch: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:
@@ -354,16 +348,11 @@ class MultiIndexPairedAligner:
     def align_results_many(self, batches):
         """((b1, b2), merged result) pairs, pipelined across batches and
         groups (see MultiIndexAligner.align_results_many)."""
-        pending = None
-        for b1, b2 in batches:
-            nxt = ((b1, b2), self._dispatch_all(b1, b2))
-            if pending is not None:
-                (pb1, pb2), p = pending
-                yield (pb1, pb2), self._merge(pb1, pb2, self._finish_all(p))
-            pending = nxt
-        if pending is not None:
-            (pb1, pb2), p = pending
-            yield (pb1, pb2), self._merge(pb1, pb2, self._finish_all(p))
+        from ..aligner import _pipelined_results
+        yield from _pipelined_results(
+            (((b1, b2), (b1, b2, self._dispatch_all(b1, b2)))
+             for b1, b2 in batches),
+            lambda p: self._merge(p[0], p[1], self._finish_all(p[2])))
 
     def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:

@@ -228,7 +228,7 @@ def _gs_hooks(local_gs: IndexArrays, own_lo, own_hi, g_total: int):
     results combine with psum over the `shard` axis — every position is
     owned by exactly one shard, so masked sums reproduce the
     whole-genome values exactly."""
-    from ..align.pairs import _mate_window_offsets, rescue_shadows
+    from ..align.pairs import mate_window_dynamic, rescue_shadows
     from ..align.pipeline import _score_ungapped, semialigned_clip_device
 
     def owns(pos):
@@ -264,8 +264,9 @@ def _gs_hooks(local_gs: IndexArrays, own_lo, own_hi, g_total: int):
     def rescue_fn(_arrays, cfg, tls, orphan_idx, read_lengths, o_start,
                   o_rev, sb, sq, window):
         # owner of the window START (halo covers the whole span)
-        tab = _mate_window_offsets(tls, orphan_idx, read_lengths)
-        win_start = o_start + jnp.where(o_rev, tab[True][0], tab[False][0])
+        mn_off, _, _ = mate_window_dynamic(tls, orphan_idx, read_lengths,
+                                           o_rev)
+        win_start = o_start + mn_off
         own = owns(win_start)
         out = rescue_shadows(local_gs, cfg, tls, orphan_idx, read_lengths,
                              o_start, o_rev, sb, sq, window)
@@ -428,14 +429,15 @@ def _local_index(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
 
 
 def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
-                   b1, q1, b2, q2, rescue_fn=None):
+                   b1, q1, b2, q2, window: int, rescue_fn=None):
     """Vectorized in-program shadow rescue + merge (the SPMD analog of
     PairedAligner._apply_rescue/_merge_rescue, which compact shadow rows
     on the host; here every row runs the window scan — fine for the
-    data-parallel regime where the batch is already device-resident)."""
+    data-parallel regime where the batch is already device-resident).
+    `window` is the shape-setting static scan width (host-quantized);
+    `tls` fields are traced, so learned-model changes never recompile."""
     from ..align.pairs import pair_length, pair_model, rescue_shadows
     l1, l2 = b1.shape[1], b2.shape[1]
-    window = -(-(tls.mate_max - tls.mate_min + 1) // 128) * 128
     for shadow_end, orphan_end in ((1, 2), (2, 1)):
         res[f"rescued_{shadow_end}"] = jnp.zeros(
             res["aligned_1"].shape[0], bool)
@@ -479,15 +481,24 @@ def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
 
 def sharded_align_paired(mesh: Mesh, sharded: ShardedIndexArrays,
                          b1, q1, b2, q2, cfg: AlignConfig, tls,
-                         rescue: bool = True):
+                         rescue: bool = True, window: int | None = None):
     """Jittable SPMD paired-end alignment over the (data, shard) mesh:
     the exact align_paired_batch program (two-pass escalation, device
     quality trim, semialigned clip, pair resolution) with per-shard seed
-    search, plus in-program shadow rescue."""
-    from ..align.pairs import align_paired_batch
+    search, plus in-program shadow rescue.
+
+    `tls` rides through shard_map as a replicated TRACED pytree (no
+    recompile on model change); `window` is the static rescue-scan width
+    — when omitted it is derived from concrete tls fields (callers inside
+    jit with a traced tls must pass it explicitly)."""
+    from ..align.pairs import align_paired_batch, quantize_rescue_window
+
+    if rescue and window is None:
+        window = quantize_rescue_window(
+            int(tls.mate_max) - int(tls.mate_min) + 1, 1 << 30)
 
     def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
-                 gnbits, cstarts, cends, b1, q1, b2, q2):
+                 gnbits, cstarts, cends, tls, b1, q1, b2, q2):
         local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
                              genome, gpack, gnbits, cstarts, cends)
         res = align_paired_batch(local, b1, q1, b2, q2, cfg, tls,
@@ -495,37 +506,45 @@ def sharded_align_paired(mesh: Mesh, sharded: ShardedIndexArrays,
         if rescue:
             mb1, mq1 = mask_tail_device(b1, q1, res["qtrim_1"])
             mb2, mq2 = mask_tail_device(b2, q2, res["qtrim_2"])
-            res = _rescue_inline(local, cfg, tls, res, mb1, mq1, mb2, mq2)
+            res = _rescue_inline(local, cfg, tls, res, mb1, mq1, mb2, mq2,
+                                 window)
         return _split_scalars(res)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=_PLANE_SPECS + (P("data", None),) * 4,
+        in_specs=_PLANE_SPECS + (P(),) + (P("data", None),) * 4,
         out_specs=(P("data"), P()),
         check_vma=False,
     )
-    batch_out, scalars = fn(*_plane_args(sharded), b1, q1, b2, q2)
+    batch_out, scalars = fn(*_plane_args(sharded), tls, b1, q1, b2, q2)
     return {**batch_out, **scalars}
 
 
 def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
                               b1, q1, b2, q2, cfg: AlignConfig, tls,
                               tm1, tm2, len1, len2, rescue: bool = True,
-                              genome_shards: GenomeShards | None = None):
+                              genome_shards: GenomeShards | None = None,
+                              window: int | None = None):
     """The production SPMD paired program: adapter re-mask from counts,
     the full align_paired_batch, in-program shadow rescue on the fully
     masked reads, a post-rescue semialigned re-clip of rescued rows, and
     per-end output-oriented SEQ/QUAL — the shard_map twin of
     aligner._paired_packed_jit (+ the host rescue pass), consumed by
     ShardedPairedAligner.  `genome_shards` position-shards the packed
-    genome planes (see sharded_align_full)."""
-    from ..align.pairs import align_paired_batch
+    genome planes (see sharded_align_full).  `tls` is a traced replicated
+    pytree; `window` is the static rescue width (derived from concrete
+    tls fields when omitted)."""
+    from ..align.pairs import align_paired_batch, quantize_rescue_window
     from ..align.pipeline import semialigned_clip_device
     _check_gs(cfg, genome_shards)
 
+    if rescue and window is None:
+        window = quantize_rescue_window(
+            int(tls.mate_max) - int(tls.mate_min) + 1, 1 << 30)
+
     def local_fn(key_hi, key_lo, pos, nb, buckets, n_real, genome, gpack,
-                 gnbits, cstarts, cends, b1, q1, b2, q2, tm1, tm2, l1v, l2v,
-                 *gs):
+                 gnbits, cstarts, cends, tls, b1, q1, b2, q2, tm1, tm2,
+                 l1v, l2v, *gs):
         local = _local_index(key_hi, key_lo, pos, nb, buckets, n_real,
                              genome, gpack, gnbits, cstarts, cends)
         score_fn = clip_fn = rescue_fn = None
@@ -548,7 +567,7 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
             rb1, rq1 = mask_tail_device(b1, q1, tm1 + res["qtrim_1"])
             rb2, rq2 = mask_tail_device(b2, q2, tm2 + res["qtrim_2"])
             res = _rescue_inline(local, cfg, tls, res, rb1, rq1, rb2, rq2,
-                                 rescue_fn=rescue_fn)
+                                 window, rescue_fn=rescue_fn)
             if cfg.semialigned_clip:
                 # rescued rows were unaligned when the in-batch clip ran:
                 # re-clip them at their rescued placement (host analog:
@@ -574,12 +593,12 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
     gs_specs = (P("shard", None),) * len(gs_args)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=_PLANE_SPECS + (P("data", None),) * 4 + (P("data"),) * 4
-        + gs_specs,
+        in_specs=_PLANE_SPECS + (P(),) + (P("data", None),) * 4
+        + (P("data"),) * 4 + gs_specs,
         out_specs=(P("data"), P()),
         check_vma=False,
     )
-    batch_out, scalars = fn(*_plane_args(sharded), b1, q1, b2, q2,
+    batch_out, scalars = fn(*_plane_args(sharded), tls, b1, q1, b2, q2,
                             tm1, tm2, len1, len2, *gs_args)
     return {**batch_out, **scalars}
 

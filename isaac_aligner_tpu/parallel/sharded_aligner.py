@@ -104,7 +104,7 @@ class ShardedPairedAligner(PairedAligner):
     sharded: ShardedIndexArrays = None
     genome_shards: GenomeShards = None
     _step: object = dataclasses.field(default=None, repr=False)
-    _step_tls: object = dataclasses.field(default=None, repr=False)
+    _step_key: object = dataclasses.field(default=None, repr=False)
 
     @staticmethod
     def create_sharded(index, mesh=None, n_devices: int | None = None,
@@ -125,27 +125,31 @@ class ShardedPairedAligner(PairedAligner):
         return self._rescue_window() <= self.max_rescue_window
 
     def _ensure_step(self):
-        """(Re)build the jitted SPMD step when the TLS model changes —
-        the workflow assigns `aligner.tls` after construction, and tls is
-        trace-static."""
-        if self._step is not None and self._step_tls == self.tls:
-            return self._step
-        mesh, cfg, tls = self.mesh, self.cfg, self.tls
+        """(Re)build the jitted SPMD step only when the SHAPE-setting
+        parameters change: the quantized rescue window and the rescue
+        on/off switch.  The TLS fields themselves ride through as a
+        traced pytree — a new learned model reuses the executable (the
+        round-3 design re-jitted on every TLS change)."""
         rescue = self._rescue_enabled()
+        window = self._rescue_window() if rescue else 0
+        key = (window, rescue)
+        if self._step is not None and self._step_key == key:
+            return self._step
+        mesh, cfg = self.mesh, self.cfg
         if rescue and self.genome_shards is not None:
             # each shard's halo must cover the whole rescue span
-            assert self._rescue_window() + 512 <= GS_HALO, \
-                (self._rescue_window(), GS_HALO)
+            assert window + 512 <= GS_HALO, (window, GS_HALO)
 
-        def step(sh, b1, q1, b2, q2, tm1, tm2, l1, l2, gs_arg):
+        def step(sh, tls, b1, q1, b2, q2, tm1, tm2, l1, l2, gs_arg):
             res = sharded_align_paired_full(mesh, sh, b1, q1, b2, q2, cfg,
                                             tls, tm1, tm2, l1, l2,
                                             rescue=rescue,
-                                            genome_shards=gs_arg)
+                                            genome_shards=gs_arg,
+                                            window=window)
             return pack_device_result(res), res
 
         self._step = jax.jit(step)
-        self._step_tls = tls
+        self._step_key = key
         return self._step
 
     def _dispatch(self, b1: ReadBatch, b2: ReadBatch):
@@ -162,8 +166,8 @@ class ShardedPairedAligner(PairedAligner):
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
             orig.append(_pad_to_seed(b.bases, b.quals, self.cfg.seed_len))
             trims.append(t)
-        out = step(self.sharded, orig[0][0], orig[0][1], orig[1][0],
-                   orig[1][1], trims[0].astype(np.int32),
+        out = step(self.sharded, self.tls, orig[0][0], orig[0][1],
+                   orig[1][0], orig[1][1], trims[0].astype(np.int32),
                    trims[1].astype(np.int32),
                    b1.lengths.astype(np.int32), b2.lengths.astype(np.int32),
                    self.genome_shards)
