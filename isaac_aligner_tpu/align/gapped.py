@@ -258,11 +258,14 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
                 res["log_prob" + s][r] = lp
                 res[key][r] = cigar_to_str(cigar)
                 # re-derive the mapping score with the improved best lp
-                # against the (ungapped) neighborhood mass
+                # against the (ungapped) neighborhood mass (device exports
+                # it exp(-log_scale)-scaled; recover the raw f64 mass)
                 if "others_sum" + s in res:
                     rog = quality.rest_of_genome_correction(
                         genome.total_length, read_len)
-                    nb = float(res["others_sum" + s][r]) + rog
+                    scale = float(res["log_scale" + s][r]) \
+                        if "log_scale" + s in res else 0.0
+                    nb = float(res["others_sum" + s][r]) * np.exp(scale) + rog
                     score = int(np.floor(-10.0 * np.log10(
                         nb / (nb + np.exp(lp)))))
                     if "mapq" + s in res:

@@ -147,7 +147,9 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
             from . import quality as q_mod
             rog = q_mod.rest_of_genome_correction(index.genome.total_length,
                                                   read_len)
-            nb = float(res["others_sum" + s][r]) + rog
+            scale = float(res["log_scale" + s][r]) \
+                if "log_scale" + s in res else 0.0
+            nb = float(res["others_sum" + s][r]) * np.exp(scale) + rog
             score = int(np.floor(-10.0 * np.log10(nb / (nb + np.exp(lp)))))
             if "mapq" + s in res:
                 res["mapq" + s][r] = min(score, cfg.mapq_cap)

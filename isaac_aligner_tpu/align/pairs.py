@@ -112,12 +112,17 @@ def pair_length(pos1, len1, pos2, len2):
 
 
 def resolve_pairs(cfg: AlignConfig, tls: TlsStatic, end1: dict, end2: dict,
-                  rog_template: float):
+                  log_rog_template: float):
     """Dense pair search over both candidate lists.
 
     Each end dict needs: start, orient, valid, cid, log_prob, sw_score,
     obs_len — all [B, C].  Returns a dict with best-pair indices, the
     template score, proper flag and probability sums, all [B]-shaped.
+    Probability mass is computed on the exp(-m) scale (quality.py scaled
+    helpers): raw f32 exponentials underflow for high-mismatch pairs and
+    collapsed the template score to 0 where the reference's double math
+    (TemplateBuilder.cpp:435-447) gives a real value.  `total_prob` in
+    the result is SCALED; `log_scale` carries m for host f64 consumers.
     """
     p1 = end1["start"][:, :, None]
     p2 = end2["start"][:, None, :]
@@ -137,10 +142,12 @@ def resolve_pairs(cfg: AlignConfig, tls: TlsStatic, end1: dict, end2: dict,
     pair_lp = end1["log_prob"][:, :, None] + end2["log_prob"][:, None, :]
     pair_sw = end1["sw_score"][:, :, None] + end2["sw_score"][:, None, :]
 
-    prob = jnp.where(match, jnp.exp(pair_lp), 0.0)
-    total_prob = jnp.sum(prob, axis=(1, 2))
-
     b, c1, c2 = match.shape
+    # scaled pair mass: m = max matched pair lp per row
+    m = jnp.max(jnp.where(match, pair_lp, -jnp.inf).reshape(b, -1), axis=1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    prob = jnp.where(match, jnp.exp(pair_lp - m_safe[:, None, None]), 0.0)
+    total_prob = jnp.sum(prob, axis=(1, 2))
     key = jnp.where(match, pair_sw.astype(jnp.float32) * jnp.float32(1e5) - pair_lp,
                     jnp.float32(jnp.inf)).reshape(b, c1 * c2)
     best_flat = jnp.argmin(key, axis=1)
@@ -158,11 +165,15 @@ def resolve_pairs(cfg: AlignConfig, tls: TlsStatic, end1: dict, end2: dict,
     proper = resolved & ((best_model == tls.best0) | (best_model == tls.best1)) & \
         (best_len >= tls.min) & (best_len <= tls.max)
 
-    # template alignment score (TemplateBuilder.cpp:435-447)
-    p_best = jnp.exp(best_lp)
-    others = jnp.maximum(total_prob - p_best, 0.0) + jnp.float32(rog_template)
-    denom = total_prob + jnp.float32(rog_template)
-    template_score = jnp.floor(-10.0 * jnp.log10(others / denom)).astype(jnp.int32)
+    # template alignment score (TemplateBuilder.cpp:435-447) on the
+    # exp(-m) scale — the scale cancels in the ratio
+    p_best = jnp.where(resolved, jnp.exp(best_lp - m_safe), 0.0)
+    rog_s = quality.rog_scaled(log_rog_template, m_safe)
+    others = jnp.maximum(total_prob - p_best, 0.0) + rog_s
+    denom = total_prob + rog_s
+    template_score = jnp.floor(-10.0 * jnp.log10(
+        jnp.maximum(others / jnp.maximum(denom, 1e-38), 1e-38))
+    ).astype(jnp.int32)
     template_score = jnp.where(resolved, template_score, -1)
 
     return {
@@ -172,23 +183,22 @@ def resolve_pairs(cfg: AlignConfig, tls: TlsStatic, end1: dict, end2: dict,
         "proper": proper,
         "template_length": jnp.where(resolved, best_len, 0),
         "template_score": template_score,
-        "total_prob": total_prob,
+        "total_prob": total_prob,    # scaled by exp(-log_scale)
+        "log_scale": m_safe,
         "best_lp": best_lp,
     }
 
 
-def _mapping_score(best_lp, others_sum, rog_read):
-    neighborhood = others_sum + jnp.float32(rog_read)
-    frac = neighborhood / (neighborhood + jnp.exp(best_lp))
-    return jnp.floor(-10.0 * jnp.log10(jnp.maximum(frac, 1e-38))).astype(jnp.int32)
-
-
-def end_mapping_score(end: dict, best_index, rog_read: float):
-    """alignmentScore of the chosen fragment vs its end's candidates."""
-    probs = jnp.where(end["valid"], jnp.exp(end["log_prob"]), 0.0)
+def end_mapping_score(end: dict, best_index, log_rog_read: float):
+    """alignmentScore of the chosen fragment vs its end's candidates,
+    on the exp(-m) scale.  Returns (score, others_scaled, log_scale)."""
     best_lp = jnp.take_along_axis(end["log_prob"], best_index[:, None], axis=1)[:, 0]
-    others = jnp.maximum(jnp.sum(probs, axis=1) - jnp.exp(best_lp), 0.0)
-    return _mapping_score(best_lp, others, rog_read)
+    total_s, p_best_s, m_safe = quality.scaled_masses(
+        end["log_prob"], end["valid"], best_lp)
+    score = jnp.floor(quality.mapping_quality_scaled(
+        total_s, p_best_s, quality.rog_scaled(log_rog_read, m_safe))
+    ).astype(jnp.int32)
+    return score, jnp.maximum(total_s - p_best_s, 0.0), m_safe
 
 
 def align_paired_batch(arrays: IndexArrays, bases1, quals1, bases2, quals2,
@@ -243,11 +253,11 @@ def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
     """Pair resolution + scoring from two scored end dicts (the tail of
     align_paired_batch; the SPMD path builds its ends from per-shard hit
     lists and reuses this verbatim)."""
-    rog_template = quality.rest_of_genome_correction(g, l1 + l2)
-    rog1 = quality.rest_of_genome_correction(g, l1)
-    rog2 = quality.rest_of_genome_correction(g, l2)
+    log_rog_t = quality.log_rest_of_genome_correction(g, l1 + l2)
+    log_rog1 = quality.log_rest_of_genome_correction(g, l1)
+    log_rog2 = quality.log_rest_of_genome_correction(g, l2)
 
-    pairs = resolve_pairs(cfg, tls, end1, end2, rog_template)
+    pairs = resolve_pairs(cfg, tls, end1, end2, log_rog_t)
 
     def se_best(end):
         key = jnp.where(end["valid"],
@@ -264,23 +274,26 @@ def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
                                  idx[:, None], axis=1)[:, 0]
         return jnp.where(wa == 1, score, 0)
 
-    score1 = _gate(end1, idx1, end_mapping_score(end1, idx1, rog1))
-    score2 = _gate(end2, idx2, end_mapping_score(end2, idx2, rog2))
+    raw1, others1, scale1 = end_mapping_score(end1, idx1, log_rog1)
+    raw2, others2, scale2 = end_mapping_score(end2, idx2, log_rog2)
+    score1 = _gate(end1, idx1, raw1)
+    score2 = _gate(end2, idx2, raw2)
     # dodgy repeats (scored-candidate overflow): forced score, optional
     # unaligned marking — reference --dodgy-alignment-score semantics
     score1 = jnp.where(end1["dodgy"], jnp.int32(cfg.dodgy_mapq), score1)
     score2 = jnp.where(end2["dodgy"], jnp.int32(cfg.dodgy_mapq), score2)
 
-    def end_out(end, idx, frag_score, suffix):
+    def end_out(end, idx, frag_score, others, scale, suffix):
         take = lambda x: jnp.take_along_axis(x, idx[:, None], axis=1)[:, 0]
         aligned = jnp.any(end["valid"], axis=1)
         if cfg.dodgy_unaligned:
             aligned = aligned & ~end["dodgy"]
-        probs = jnp.where(end["valid"], jnp.exp(end["log_prob"]), 0.0)
-        others = jnp.maximum(jnp.sum(probs, axis=1)
-                             - jnp.exp(take(end["log_prob"])), 0.0)
         return {
+            # SCALED neighborhood mass + its log scale: host consumers
+            # (gapped/indel polish, multi-index merge) recover the raw
+            # f64 mass as others_sum * exp(log_scale)
             f"others_sum{suffix}": others,
+            f"log_scale{suffix}": scale,
             f"cand_start{suffix}": end["start"],
             f"cand_orient{suffix}": end["orient"],
             f"cand_valid{suffix}": end["valid"],
@@ -296,15 +309,17 @@ def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
         }
 
     out = {}
-    out.update(end_out(end1, idx1, score1, "_1"))
-    out.update(end_out(end2, idx2, score2, "_2"))
+    out.update(end_out(end1, idx1, score1, others1, scale1, "_1"))
+    out.update(end_out(end2, idx2, score2, others2, scale2, "_2"))
     for sfx, end in (("_1", end1), ("_2", end2)):
         for k, v in end.get("finder_stats", {}).items():
             out[f"{k}{sfx}"] = v
     out["pair_resolved"] = pairs["resolved"]
     # probability-mass components for host-side cross-group merging
-    # (parallel/multi_index.py): template score re-derives from these
+    # (parallel/multi_index.py): template score re-derives from these;
+    # pair_total_prob is exp(-pair_log_scale)-scaled
     out["pair_total_prob"] = pairs["total_prob"]
+    out["pair_log_scale"] = pairs["log_scale"]
     out["pair_best_lp"] = pairs["best_lp"]
     out["proper_pair"] = pairs["proper"]
     out["template_length"] = pairs["template_length"]

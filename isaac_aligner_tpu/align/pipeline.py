@@ -68,6 +68,10 @@ class IndexArrays(NamedTuple):
     # (parallel/sharded.py shard_genome_planes) sets each device's slice
     # origin so every packed-plane gather indexes locally.
     plane_base: "jax.Array | int" = 0
+    # 64-mer LongKmerType middle key planes (bases 16..32, 32..48):
+    # empty tuple for 16/32-mer indexes (reference include/oligo/Kmer.hh
+    # :32-38 — __uint128 keys become four int32 words here)
+    key_mids: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +86,13 @@ class AlignConfig:
 
     seed_len: int = 32
     seed_offsets: tuple[int, ...] = (0, 32)
+    # seed length of the INDEX records (set by Aligner.create from the
+    # index).  None = min(seed_len, 32): the compatibility default for
+    # directly-built configs.  seed_len=64 over a 32-mer index runs
+    # 32-mer search + extension verify; over a TRUE 64-mer index
+    # (index_seed_len=64) the search compares all four key words, so
+    # repeat suppression happens at 64-mer granularity.
+    index_seed_len: int | None = None
     max_hits_per_seed: int = 10      # gather capacity == align repeat threshold
     repeat_threshold: int = 10
     max_candidates: int = 32
@@ -289,6 +300,9 @@ def prepare_index(index: SeedIndex, upload_codes: bool = True) -> IndexArrays:
     i32max = np.int32(2**31 - 1)
     key_hi = np.concatenate([index.key_hi, np.full(pad, i32max, np.int32)])
     key_lo = np.concatenate([index.key_lo, np.full(pad, i32max, np.int32)])
+    key_mids = tuple(
+        jnp.asarray(np.concatenate([m, np.full(pad, i32max, np.int32)]))
+        for m in index.key_mids)
     pos = np.concatenate([index.pos, np.full(pad, TOO_MANY_POS, np.int32)])
     nb = (index.has_neighbors if index.has_neighbors is not None
           else np.zeros(n, np.uint8))
@@ -307,6 +321,7 @@ def prepare_index(index: SeedIndex, upload_codes: bool = True) -> IndexArrays:
         genome_nbits=jnp.asarray(nbits),
         key_hi=jnp.asarray(key_hi),
         key_lo=jnp.asarray(key_lo),
+        key_mids=key_mids,
         pos=jnp.asarray(pos),
         n_real=jnp.int32(n),
         genome=(jnp.asarray(index.genome.codes) if upload_codes
@@ -369,30 +384,43 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     """
     b, read_len = bases.shape
     k = cfg.seed_len
-    # seeds longer than the 32-mer index are searched on their 32-mer
+    idx_k = cfg.index_seed_len or min(k, 32)
+    # seeds longer than the INDEX k are searched on their idx_k-mer
     # prefix, then each hit verifies the remaining ext bases against the
-    # packed genome — the 64-mer (LongKmerType) mode without a separate
-    # 64-mer index (reference: include/oligo/Kmer.hh:32-38 builds one
-    # index per seed length instead)
-    k_search = min(k, 32)
+    # packed genome — the fallback 64-mer mode over a 32-mer index.  With
+    # a true 64-mer LongKmerType index (idx_k == 64, four key planes) the
+    # search compares the full key, so 32-mer repeats over the threshold
+    # never suppress a 64-mer-unique seed
+    # (reference include/oligo/Kmer.hh:32-38, ReferenceSorter.cpp:104-176).
+    k_search = min(k, idx_k)
     k_ext = k - k_search
+    n_words = max(k_search // 16, 2)    # 16/32 -> (hi, lo); 64 -> 4 words
     rc_bases = bitops.revcomp_reads(bases)
     seed_list = seed_table(read_len, cfg)
 
-    hips, lops, nmask, extws = [], [], [], []
+    wordps: list[list] = [[] for _ in range(n_words)]
+    nmask, extws = [], []
     w_ext = -(-k_ext // 16)
     for orient, qoff in seed_list:
         q = bases if orient == 0 else rc_bases
-        hi, lo, has_n = bitops.pack_seed(q, qoff, k_search)
+        if k_search <= 32:
+            hi, lo, has_n = bitops.pack_seed(q, qoff, k_search)
+            ws = [hi, lo]
+        else:
+            hi, m1, n1 = bitops.pack_seed(q, qoff, 32)
+            m2, lo, n2 = bitops.pack_seed(q, qoff + 32, 32)
+            has_n = n1 | n2
+            ws = [hi, m1, m2, lo]
         if k_ext:
             ext = q[:, qoff + k_search : qoff + k]
             has_n = has_n | jnp.any(ext >= dna.NUM_BASES, axis=1)
             extws.append(pack_reads(ext))           # [B, We] zero-padded
-        hips.append(hi)
-        lops.append(lo)
+        for i, w in enumerate(ws):
+            wordps[i].append(w)
         nmask.append(has_n)
-    q_hi = jnp.stack(hips, axis=1)          # [B, S]
-    q_lo = jnp.stack(lops, axis=1)
+    q_words = [jnp.stack(wp, axis=1) for wp in wordps]    # each [B, S]
+    q_hi, q_lo = q_words[0], q_words[-1]
+    q_mids = tuple(q_words[1:-1])
     seed_has_n = jnp.stack(nmask, axis=1)
     q_ext = jnp.stack(extws, axis=1) if k_ext else None   # [B, S, We]
     qoff_arr = jnp.asarray(np.array([s[1] for s in seed_list], np.int32))
@@ -407,10 +435,13 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
         begin, count = search.sorted_range_bucketed(
             arrays.key_hi, arrays.key_lo, q_hi, q_lo, arrays.n_real,
             arrays.bucket_starts, cfg.bucket_width, cfg.bucket_log2,
-            count_cap_log2=cap_log2)
+            count_cap_log2=cap_log2,
+            key_mids=arrays.key_mids, q_mids=q_mids)
     else:
         begin, count = search.sorted_range(arrays.key_hi, arrays.key_lo,
-                                           q_hi, q_lo, arrays.n_real)
+                                           q_hi, q_lo, arrays.n_real,
+                                           key_mids=arrays.key_mids,
+                                           q_mids=q_mids)
     count = jnp.where(seed_has_n, 0, count)
 
     first_pos = arrays.pos[jnp.minimum(begin, arrays.key_hi.shape[0] - 1)]
@@ -1082,12 +1113,18 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
 
     aligned = jnp.any(cand_valid, axis=1)
     best_lp = take(log_prob)
-    probs = jnp.where(cand_valid, jnp.exp(log_prob), 0.0)
-    others_sum = jnp.sum(probs, axis=1) - jnp.where(aligned, jnp.exp(best_lp), 0.0)
+    # exp(-m)-scaled masses: raw f32 exponentials underflow for
+    # high-mismatch placements (lp < ~-87) and the rog prior underflows
+    # past ~60bp reads; the reference computes these in double
+    # (TemplateBuilder.cpp:233-286)
+    total_s, p_best_s, m_scale = quality.scaled_masses(
+        log_prob, cand_valid, best_lp)
+    others_sum = jnp.maximum(total_s - p_best_s, 0.0)
 
-    rog = quality.rest_of_genome_correction(genome_len_of(arrays, cfg),
-                                            read_len)
-    mapq_f = quality.mapping_quality(best_lp, others_sum, jnp.float32(rog))
+    log_rog = quality.log_rest_of_genome_correction(
+        genome_len_of(arrays, cfg), read_len)
+    mapq_f = quality.mapping_quality_scaled(
+        total_s, p_best_s, quality.rog_scaled(log_rog, m_scale))
     mapq = jnp.clip(jnp.floor(mapq_f), 0, cfg.mapq_cap).astype(jnp.int32)
     mapq = jnp.where(aligned, mapq, 0)
     dodgy = dropped
@@ -1114,9 +1151,12 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
         "mismatches": take(mismatches),
         "edit_distance": take(edit_distance),
         "log_prob": best_lp,
-        # neighborhood probability mass (non-best candidates) — lets the
-        # host re-derive MAPQ after gapped polish updates the best lp
+        # neighborhood probability mass (non-best candidates), SCALED by
+        # exp(-log_scale) — hosts recover the raw f64 mass as
+        # others_sum * exp(log_scale); lets the host re-derive MAPQ after
+        # gapped polish updates the best lp
         "others_sum": others_sum,
+        "log_scale": m_scale,
         "num_candidates": diag["num_candidates"],
         "candidate_overflow": diag["candidate_overflow"],
         # full candidate lists: the host-side long-indel polish pairs up

@@ -83,9 +83,51 @@ def mapping_quality(best_log_prob, others_prob_sum, rog_correction):
     All args broadcastable jnp arrays; returns float (caller floors/casts).
     neighborhood = rog + sum(exp(lp_i) for non-best candidates)
     mapq = -10*log10(neighborhood / (neighborhood + exp(best_lp)))
+
+    NOTE: raw exp() here underflows float32 for log probs below ~-87
+    (high-mismatch placements) and rog underflows for reads past ~60bp
+    on small genomes; the device paths use the *_scaled variants below.
+    This raw form stays for host f64 callers.
     """
     neighborhood = rog_correction + others_prob_sum
     p_best = jnp.exp(best_log_prob)
     frac = neighborhood / (neighborhood + p_best)
     # frac in (0,1]; guard the log for frac==0 (cannot happen with rog>0)
+    return -10.0 * jnp.log10(jnp.maximum(frac, 1e-38))
+
+
+# -- float32-safe scaled-exponential forms -----------------------------------
+# The reference computes all probability-mass sums in C++ double
+# (TemplateBuilder::updateMappingScore, TemplateBuilder.cpp:233-286); on
+# TPU the float64 path is slow, so the device kernels scale every mass by
+# exp(-m) with m the row-max log prob — the same trick the rescue kernel
+# has always used — which keeps the ratios exact in float32 where the raw
+# exponentials underflow (found by the paired f64 parity oracle: a
+# 20-mismatch end has lp ~ -156, exp underflows, and the template score
+# collapsed to 0 where the double math gives 52).
+
+def scaled_masses(lp, valid, best_lp):
+    """(total_scaled, p_best_scaled, m_safe): probability masses scaled
+    by exp(-m), m = per-row max of the valid log probs (last axis)."""
+    m = jnp.max(jnp.where(valid, lp, -jnp.inf), axis=-1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    total = jnp.sum(jnp.where(valid, jnp.exp(lp - m_safe[..., None]), 0.0),
+                    axis=-1)
+    p_best = jnp.where(jnp.isfinite(best_lp) & jnp.isfinite(m),
+                       jnp.exp(best_lp - m_safe), 0.0)
+    return total, p_best, m_safe
+
+
+def rog_scaled(log_rog, m_safe):
+    """The rest-of-genome prior on the exp(-m) scale; the clip bounds the
+    exponent to the f32-representable band (outside it the score is far
+    beyond the MAPQ cap either way)."""
+    return jnp.exp(jnp.clip(jnp.float32(log_rog) - m_safe, -87.0, 88.0))
+
+
+def mapping_quality_scaled(total_scaled, p_best_scaled, rog_s):
+    """mapping_quality over exp(-m)-scaled masses (scale cancels in the
+    ratio)."""
+    nb = jnp.maximum(total_scaled - p_best_scaled, 0.0) + rog_s
+    frac = nb / jnp.maximum(nb + p_best_scaled, 1e-38)
     return -10.0 * jnp.log10(jnp.maximum(frac, 1e-38))

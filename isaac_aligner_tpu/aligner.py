@@ -82,7 +82,15 @@ def _pad_to_seed(bases: np.ndarray, quals: np.ndarray, seed_len: int):
 def _with_bucket_log2(cfg: AlignConfig, index: SeedIndex) -> AlignConfig:
     """Fill in static index-derived parameters (bucket table + N flag +
     genome length — the latter lets prepare_index skip uploading the raw
-    codes plane)."""
+    codes plane; index_seed_len routes 64-mer seeds to the 4-word search
+    when the index is a true LongKmerType one)."""
+    if index.seed_len == 64 and cfg.seed_len != 64:
+        raise ValueError(
+            f"a 64-mer LongKmerType index only supports 64-mer seeds "
+            f"(cfg.seed_len={cfg.seed_len}); build a 16/32-mer index for "
+            f"shorter seeds")
+    if cfg.index_seed_len is None:
+        cfg = dataclasses.replace(cfg, index_seed_len=index.seed_len)
     if cfg.genome_len == 0:
         cfg = dataclasses.replace(cfg,
                                   genome_len=index.genome.total_length)
@@ -142,12 +150,13 @@ class Aligner:
     def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
         """Sync half: fetch device results, run host polish passes."""
         ((pi, pu), handle), bases, quals, trims, batch = pending
-        # two packed buffers -> two link syncs per batch (fetching the
-        # raw ~26-array dict paid one ~25 ms sync PER ARRAY);
-        # jax.device_get, NOT np.asarray — the remote-TPU tunnel's
-        # __array__ fetch path is pathologically slow
-        res = unpack_device_result(result_spec(handle),
-                                   jax.device_get(pi), jax.device_get(pu))
+        # ONE device_get for both packed buffers -> one link round-trip
+        # per batch (fetching the raw ~26-array dict paid one ~25 ms sync
+        # PER ARRAY; round 3 still paid two).  jax.device_get, NOT
+        # np.asarray — the remote-TPU tunnel's __array__ path is
+        # pathologically slow
+        hi, hu = jax.device_get((pi, pu))
+        res = unpack_device_result(result_spec(handle), hi, hu)
         total_trims = clippers.apply_quality_trim_masks(
             bases, quals, trims, res.pop("qtrim"))
         clippers.apply_masked_tail_cigar(res, "", total_trims, batch.read_len)
@@ -412,10 +421,10 @@ class PairedAligner:
 
     def _finish(self, pending) -> dict[str, np.ndarray]:
         ((pi, pu), handle), m1, m2, trims, (b1, b2) = pending
-        # two packed buffers -> two link syncs (see Aligner._finish);
-        # the unpacked views are writable, so rescue merging can mutate
-        res = unpack_device_result(result_spec(handle),
-                                   jax.device_get(pi), jax.device_get(pu))
+        # one batched device_get (see Aligner._finish); the unpacked
+        # views are writable, so rescue merging can mutate
+        hi, hu = jax.device_get((pi, pu))
+        res = unpack_device_result(result_spec(handle), hi, hu)
         total1 = clippers.apply_quality_trim_masks(
             m1.bases, m1.quals, trims[0], res.pop("qtrim_1"))
         total2 = clippers.apply_quality_trim_masks(
@@ -500,9 +509,8 @@ class PairedAligner:
                 (pi, pu), handle = _rescue_jit(
                     self.arrays, self.cfg, self.tls, orphan_end - 1,
                     read_lengths, o_start, o_rev, sb, sq, window)
-                out = unpack_device_result(result_spec(handle),
-                                           jax.device_get(pi),
-                                           jax.device_get(pu))
+                hi_, hu_ = jax.device_get((pi, pu))
+                out = unpack_device_result(result_spec(handle), hi_, hu_)
                 out = {k: v[: chunk.size] for k, v in out.items()}
                 hit = self._merge_rescue(res, chunk, shadow_end, orphan_end,
                                          out, read_lengths)

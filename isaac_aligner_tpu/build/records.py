@@ -242,6 +242,119 @@ def concat(batches: list[FragmentBatch]) -> FragmentBatch:
     return FragmentBatch(**cols, rg_names=tuple(rg_names))
 
 
+def _scan_chunk(path):
+    """(field -> (shape, dtype), rg_names) from a chunk's headers only —
+    array payloads are seeked over, not read.  None for legacy .npz."""
+    import json
+    import struct
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic == b"PK\x03\x04":      # legacy .npz chunk (resume compat)
+            return None
+        (hlen,) = struct.unpack("<I", magic)
+        names = json.loads(f.read(hlen).decode("ascii"))
+        info: dict = {}
+        rg: tuple = ()
+        for nm_ in names:
+            ver = np.lib.format.read_magic(f)
+            if ver == (1, 0):
+                shape, _fort, dtype = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, _fort, dtype = np.lib.format.read_array_header_2_0(f)
+            count = int(np.prod(shape)) if shape else 1
+            if nm_ == "rg_names":
+                data = np.fromfile(f, dtype=dtype, count=count)
+                rg = tuple(s.decode("ascii") for s in data)
+            else:
+                f.seek(count * dtype.itemsize, 1)
+                info[nm_] = (shape, dtype)
+        return info, rg
+
+
+def concat_chunk_files(paths) -> FragmentBatch:
+    """Load + concatenate saved chunk files with ~one-chunk transient RAM.
+
+    `load_bin` previously materialized every chunk, then concatenated —
+    a transient 2x-bin-RAM spike inside the Build loader thread.  Here a
+    header-only scan sizes the output columns first, then each chunk is
+    loaded once and written straight into its row slice of the
+    preallocated output.  Reference analog: Build's memory-aware bin
+    admission (include/build/Build.hh:163-183) — the bin budget is the
+    bound, not 2x the bin.
+    """
+    paths = list(paths)
+    if len(paths) == 1:
+        return FragmentBatch.load(paths[0])
+    scans = [_scan_chunk(p) for p in paths]
+    if any(s is None for s in scans):   # legacy chunks present: old path
+        return concat([FragmentBatch.load(p) for p in paths])
+    infos = [s[0] for s in scans]
+    rgs = [s[1] for s in scans]
+    rows = [int(info["flag"][0][0]) for info in infos]
+    total = sum(rows)
+    nw = max(info["name_bytes"][0][1] for info in infos)
+    cw = max(max(info["cigar_ops"][0][1], info["mc_ops"][0][1])
+             for info in infos)
+    lw = max(info["seq"][0][1] for info in infos)
+    bw = max((info["bc"][0][1] for info in infos if "bc" in info), default=0)
+    any_oc = any("oc" in info for info in infos)
+    rg_names: list[str] = []
+    for rg in rgs:
+        for nm_ in rg:
+            if nm_ not in rg_names:
+                rg_names.append(nm_)
+
+    widths = {"name_bytes": (nw, 0), "cigar_ops": (cw, 0), "mc_ops": (cw, 0),
+              "seq": (lw, 4), "qual": (lw, 0)}
+    cols: dict = {}
+    for f in dataclasses.fields(FragmentBatch):
+        nm_ = f.name
+        if nm_ == "rg_names":
+            continue
+        if nm_ == "oc":
+            cols[nm_] = np.full(total, None, object) if any_oc else None
+            continue
+        if nm_ == "bc":
+            cols[nm_] = np.zeros((total, bw), np.uint8) if bw else None
+            continue
+        if not all(nm_ in info for info in infos):
+            cols[nm_] = None            # matches concat(): any-None -> None
+            continue
+        shape, dtype = infos[0][nm_]
+        if nm_ in widths:
+            w, fill = widths[nm_]
+            cols[nm_] = np.full((total, w), fill, dtype)
+        else:
+            cols[nm_] = np.empty((total,) + tuple(shape[1:]), dtype)
+
+    r0 = 0
+    for p in paths:
+        b = FragmentBatch.load(p)
+        r1 = r0 + len(b)
+        for f in dataclasses.fields(FragmentBatch):
+            nm_ = f.name
+            if nm_ == "rg_names" or cols.get(nm_) is None:
+                continue
+            out = cols[nm_]
+            v = getattr(b, nm_)
+            if nm_ == "rg":
+                remap = np.array([rg_names.index(r) for r in b.rg_names]
+                                 or [0], np.int32)
+                out[r0:r1] = np.where(v >= 0, remap[np.maximum(v, 0)], v)
+            elif nm_ == "oc":
+                if v is not None:
+                    out[r0:r1] = v
+            elif nm_ == "bc":
+                if v is not None and v.shape[1]:
+                    out[r0:r1, : v.shape[1]] = v
+            elif out.ndim == 2:
+                out[r0:r1, : v.shape[1]] = v
+            else:
+                out[r0:r1] = v
+        r0 = r1
+    return FragmentBatch(**cols, rg_names=tuple(rg_names))
+
+
 # ---------------------------------------------------------------------------
 # CIGAR codecs (string <-> packed ops), vectorized over unique values
 # ---------------------------------------------------------------------------

@@ -509,8 +509,10 @@ class BinnedFragmentStore:
 
     @staticmethod
     def load_bin(bin_dir: Path) -> FragmentBatch:
+        """One-pass-sized load: header scan + preallocated output columns
+        (R.concat_chunk_files) — no transient 2x-bin concat spike."""
         chunks = sorted(bin_dir.glob("chunk_*.*"))
-        return R.concat([FragmentBatch.load(c) for c in chunks])
+        return R.concat_chunk_files(chunks)
 
     @staticmethod
     def iter_chunk_groups(bin_dir: Path, max_records: int):

@@ -18,7 +18,13 @@ TPU-first redesign decisions (NOT a translation):
   with position sentinel TOO_MANY_POS, mirroring the reference's TooManyMatch
   (src/c++/include/reference/ReferencePosition.hh:55-75) so the matcher can
   distinguish "repeat-suppressed" from "absent".
-- Supported seed lengths: 16 (key_lo == 0) and 32. Positions are flat int32,
+- Supported seed lengths: 16 (key_lo == 0), 32, and 64.  The 64-mer
+  LongKmerType index (reference include/oligo/Kmer.hh:32-38, __uint128
+  keys) stores TWO extra middle planes (`key_mids`) and applies
+  repeat_threshold at 64-mer granularity — a 32-mer repeat whose 64-mer
+  extension is unique stays searchable, which the older
+  32-mer-search + extension-verify mode could not do (the 32-mer record
+  was already collapsed to TOO_MANY_POS).  Positions are flat int32,
   so a single index shard addresses < 2^31 bases — whole-genome scale runs
   shard the k-mer space across a device mesh (parallel/), each shard holding
   a < 2 Gbase view, exactly the reference's mask-file sharding axis
@@ -68,6 +74,10 @@ class SeedIndex:
     # per-record "has <=4-mismatch neighbors" bit (reference
     # ReferencePosition neighbor flag); zeros when not annotated
     has_neighbors: np.ndarray | None = None
+    # 64-mer LongKmerType middle words (bases 16..32 and 32..48), biased
+    # int32; empty for 16/32-mer indexes.  Sort order is
+    # (key_hi, key_mids[0], key_mids[1], key_lo).
+    key_mids: tuple = ()
 
     @property
     def num_records(self) -> int:
@@ -81,6 +91,8 @@ class SeedIndex:
         d.mkdir(parents=True, exist_ok=True)
         np.save(d / "key_hi.npy", self.key_hi)
         np.save(d / "key_lo.npy", self.key_lo)
+        for i, m in enumerate(self.key_mids):
+            np.save(d / f"key_m{i + 1}.npy", m)
         np.save(d / "pos.npy", self.pos)
         np.save(d / "genome.npy", self.genome.codes)
         if self.has_neighbors is not None:
@@ -137,12 +149,18 @@ class SeedIndex:
         meta = json.loads((d / "sorted-reference.json").read_text())
         contigs = [ContigMeta(**c) for c in meta["contigs"]]
         genome = Genome(codes=np.load(d / "genome.npy"), contigs=contigs)
+        mids = []
+        for i in (1, 2):
+            p = d / f"key_m{i}.npy"
+            if p.exists():
+                mids.append(np.load(p, mmap_mode=mode))
         index = SeedIndex(
             seed_len=meta["seed_len"],
             repeat_threshold=meta["repeat_threshold"],
             genome=genome,
             key_hi=np.load(d / "key_hi.npy", mmap_mode=mode),
             key_lo=np.load(d / "key_lo.npy", mmap_mode=mode),
+            key_mids=tuple(mids),
             pos=np.load(d / "pos.npy", mmap_mode=mode),
             total_kmers=meta["total_kmers"],
             collapsed_kmers=meta["collapsed_kmers"],
@@ -173,8 +191,8 @@ def build_index(
     base, and any crossing a contig boundary (reference excludes these the
     same way by streaming per-contig).
     """
-    if seed_len not in (16, 32):
-        raise ValueError("seed_len must be 16 or 32")
+    if seed_len not in (16, 32, 64):
+        raise ValueError("seed_len must be 16, 32 or 64")
     codes = genome.codes
     g = codes.shape[0]
     if g >= 2**31:
@@ -196,21 +214,26 @@ def build_index(
 
     positions = np.nonzero(valid)[0].astype(np.int32)
 
-    hi = _rolling_kmers_u32(codes, 0, 16, n_windows)[positions]
-    if seed_len == 32:
-        lo = _rolling_kmers_u32(codes, 16, 16, n_windows)[positions]
-    else:
-        lo = np.zeros_like(hi)
+    # key words outer->inner: hi, mids..., lo (16 bases each)
+    n_words = max(seed_len // 16, 2)
+    words = [_rolling_kmers_u32(codes, 16 * w, 16, n_windows)[positions]
+             if 16 * (w + 1) <= seed_len else
+             np.zeros(positions.shape[0], np.uint32)
+             for w in range(n_words)]
 
-    order = np.lexsort((positions, lo, hi))
-    hi, lo, positions = hi[order], lo[order], positions[order]
-    total = int(hi.shape[0])
+    order = np.lexsort((positions, *reversed(words)))
+    words = [w[order] for w in words]
+    positions = positions[order]
+    total = int(positions.shape[0])
 
     # repeat collapse: group identical k-mers, collapse groups > threshold
     if total:
         new_group = np.empty(total, dtype=bool)
         new_group[0] = True
-        new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        diff = words[0][1:] != words[0][:-1]
+        for w in words[1:]:
+            diff = diff | (w[1:] != w[:-1])
+        new_group[1:] = diff
         group_id = np.cumsum(new_group) - 1
         counts = np.bincount(group_id)
         too_many = counts > repeat_threshold              # per group
@@ -218,12 +241,11 @@ def build_index(
         # one sentinel record per collapsed group (at the group head)
         sentinel = new_group & too_many[group_id]
         out_mask = keep | sentinel
-        out_hi, out_lo = hi[out_mask], lo[out_mask]
+        out_words = [w[out_mask] for w in words]
         out_pos = np.where(sentinel[out_mask], TOO_MANY_POS, positions[out_mask]).astype(np.int32)
         collapsed = int(too_many.sum())
     else:
-        out_hi = hi
-        out_lo = lo
+        out_words = words
         out_pos = positions
         collapsed = 0
 
@@ -231,13 +253,19 @@ def build_index(
         seed_len=seed_len,
         repeat_threshold=repeat_threshold,
         genome=genome,
-        key_hi=bias_u32_to_i32(out_hi),
-        key_lo=bias_u32_to_i32(out_lo),
+        key_hi=bias_u32_to_i32(out_words[0]),
+        key_lo=bias_u32_to_i32(out_words[-1]),
+        key_mids=tuple(bias_u32_to_i32(w) for w in out_words[1:-1]),
         pos=out_pos,
         total_kmers=total,
         collapsed_kmers=collapsed,
     )
     if annotate_neighbors:
+        if seed_len == 64:
+            raise ValueError(
+                "neighbor annotation supports 16/32-mer indexes (64-mer "
+                "seeds are specific enough that the reference's <=4-"
+                "mismatch neighbor pass is gated off for them too)")
         from .neighbors import annotate_index
         index.has_neighbors = annotate_index(index.key_hi, index.key_lo,
                                              k=seed_len).astype(np.uint8)
@@ -266,7 +294,9 @@ def _raw_to_npy(raw_path: Path, npy_path: Path, dtype: np.dtype) -> int:
 
 def _chunk_windows_arrays(codes: np.ndarray, contigs, seed_len: int,
                           start: int, stop: int):
-    """(hi, lo, pos) of all valid seed windows with start in [start, stop)."""
+    """(key words outer->inner, pos) of all valid seed windows with start
+    in [start, stop).  Words: (hi, lo) for 16/32-mers, (hi, m1, m2, lo)
+    for the 64-mer LongKmerType index."""
     span = codes[start : stop + seed_len - 1]
     n_local = stop - start
     is_n = (span >= dna.NUM_BASES).astype(np.int32)
@@ -279,12 +309,12 @@ def _chunk_windows_arrays(codes: np.ndarray, contigs, seed_len: int,
             valid[lo_b - start : hi_b - start] = False
     local = np.nonzero(valid)[0]
     pos = (local + start).astype(np.int32)
-    hi = _rolling_kmers_u32(span, 0, 16, n_local)[local]
-    if seed_len == 32:
-        lo = _rolling_kmers_u32(span, 16, 16, n_local)[local]
-    else:
-        lo = np.zeros_like(hi)
-    return hi, lo, pos
+    n_words = max(seed_len // 16, 2)
+    words = [_rolling_kmers_u32(span, 16 * w, 16, n_local)[local]
+             if 16 * (w + 1) <= seed_len else
+             np.zeros(local.shape[0], np.uint32)
+             for w in range(n_words)]
+    return words, pos
 
 
 def build_index_streaming(
@@ -325,8 +355,8 @@ def build_index_streaming(
     ``out_dir`` in the standard save() layout; the returned SeedIndex holds
     memory-mapped planes.
     """
-    if seed_len not in (16, 32):
-        raise ValueError("seed_len must be 16 or 32")
+    if seed_len not in (16, 32, 64):
+        raise ValueError("seed_len must be 16, 32 or 64")
     codes = genome.codes
     g = codes.shape[0]
     if g >= 2**31:
@@ -341,6 +371,9 @@ def build_index_streaming(
     out.mkdir(parents=True, exist_ok=True)
     n_buckets = 1 << mask_width
     shift = np.uint32(32 - mask_width)
+    n_words = max(seed_len // 16, 2)
+    plane_names = (["key_hi"] + [f"key_m{i}" for i in range(1, n_words - 1)]
+                   + ["key_lo"])
 
     with tempfile.TemporaryDirectory(
             dir=str(work_dir) if work_dir else None) as tmp_name:
@@ -352,16 +385,16 @@ def build_index_streaming(
         # stdio buffers would blow both ulimit -n and the memory bound
         for start in range(0, n_windows, chunk_windows):
             stop = min(start + chunk_windows, n_windows)
-            hi, lo, pos = _chunk_windows_arrays(codes, genome.contigs,
-                                                seed_len, start, stop)
-            if hi.shape[0] == 0:
+            words, pos = _chunk_windows_arrays(codes, genome.contigs,
+                                               seed_len, start, stop)
+            if pos.shape[0] == 0:
                 continue
-            bucket = (hi >> shift).astype(np.int64)
+            bucket = (words[0] >> shift).astype(np.int64)
             order = np.argsort(bucket, kind="stable")
-            recs = np.empty((hi.shape[0], 3), dtype=np.uint32)
-            recs[:, 0] = hi[order]
-            recs[:, 1] = lo[order]
-            recs[:, 2] = pos[order].view(np.uint32)
+            recs = np.empty((pos.shape[0], n_words + 1), dtype=np.uint32)
+            for i, w in enumerate(words):
+                recs[:, i] = w[order]
+            recs[:, n_words] = pos[order].view(np.uint32)
             bounds = np.searchsorted(bucket[order], np.arange(n_buckets + 1))
             for m in range(n_buckets):
                 b, e = bounds[m], bounds[m + 1]
@@ -370,27 +403,30 @@ def build_index_streaming(
                         f.write(recs[b:e].tobytes())
 
         # -- pass 2: per-bucket sort + repeat collapse -> raw planes -------
-        raw = {name: tmp / f"{name}.raw" for name in ("key_hi", "key_lo", "pos")}
+        raw = {name: tmp / f"{name}.raw" for name in plane_names + ["pos"]}
         total = 0
         collapsed = 0
-        with open(raw["key_hi"], "wb") as f_hi, \
-             open(raw["key_lo"], "wb") as f_lo, \
-             open(raw["pos"], "wb") as f_pos:
+        files = {name: open(rp, "wb") for name, rp in raw.items()}
+        try:
             for m in range(n_buckets):
                 p = bucket_paths[m]
                 if not p.exists() or p.stat().st_size == 0:
                     continue
-                arr = np.fromfile(p, dtype=np.uint32).reshape(-1, 3)
+                arr = np.fromfile(p, dtype=np.uint32).reshape(-1, n_words + 1)
                 p.unlink()
-                hi, lo = arr[:, 0], arr[:, 1]
-                pos = arr[:, 2].view(np.int32)
-                order = np.lexsort((pos, lo, hi))
-                hi, lo, pos = hi[order], lo[order], pos[order]
-                n = hi.shape[0]
+                words = [arr[:, i] for i in range(n_words)]
+                pos = arr[:, n_words].view(np.int32)
+                order = np.lexsort((pos, *reversed(words)))
+                words = [w[order] for w in words]
+                pos = pos[order]
+                n = pos.shape[0]
                 total += n
                 new_group = np.empty(n, dtype=bool)
                 new_group[0] = True
-                new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                diff = words[0][1:] != words[0][:-1]
+                for w in words[1:]:
+                    diff = diff | (w[1:] != w[:-1])
+                new_group[1:] = diff
                 group_id = np.cumsum(new_group) - 1
                 counts = np.bincount(group_id)
                 too_many = counts > repeat_threshold
@@ -399,10 +435,13 @@ def build_index_streaming(
                 out_mask = keep | sentinel
                 out_pos = np.where(sentinel[out_mask], TOO_MANY_POS,
                                    pos[out_mask]).astype(np.int32)
-                f_hi.write(bias_u32_to_i32(hi[out_mask]).tobytes())
-                f_lo.write(bias_u32_to_i32(lo[out_mask]).tobytes())
-                f_pos.write(out_pos.tobytes())
+                for name, w in zip(plane_names, words):
+                    files[name].write(bias_u32_to_i32(w[out_mask]).tobytes())
+                files["pos"].write(out_pos.tobytes())
                 collapsed += int(too_many.sum())
+        finally:
+            for f in files.values():
+                f.close()
 
         for name, rp in raw.items():
             _raw_to_npy(rp, out / f"{name}.npy", np.int32)
@@ -422,6 +461,10 @@ def build_index_streaming(
     (out / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
 
     index = SeedIndex.load(out, mmap=True)
+    if annotate_neighbors and seed_len == 64:
+        raise ValueError(
+            "neighbor annotation supports 16/32-mer indexes (64-mer "
+            "mode: pass --dont-annotate)")
     if annotate_neighbors:
         from ..utils import tracing
         from .neighbors import annotate_index_chunked

@@ -68,7 +68,9 @@ def merge_indexes(parts: list[SeedIndex]) -> SeedIndex:
     contigs: list[ContigMeta] = []
     codes = []
     offset = 0
+    n_mids = len(parts[0].key_mids)
     key_hi, key_lo, pos, nb = [], [], [], []
+    key_mids: list[list] = [[] for _ in range(n_mids)]
     for p in parts:
         for c in p.genome.contigs:
             contigs.append(ContigMeta(index=len(contigs), name=c.name,
@@ -77,6 +79,8 @@ def merge_indexes(parts: list[SeedIndex]) -> SeedIndex:
         codes.append(p.genome.codes)
         key_hi.append(p.key_hi)
         key_lo.append(p.key_lo)
+        for i in range(n_mids):
+            key_mids[i].append(p.key_mids[i])
         shifted = p.pos.astype(np.int64) + offset
         shifted[p.pos == TOO_MANY_POS] = TOO_MANY_POS
         pos.append(shifted.astype(np.int32))
@@ -86,16 +90,18 @@ def merge_indexes(parts: list[SeedIndex]) -> SeedIndex:
 
     hi = np.concatenate(key_hi)
     lo = np.concatenate(key_lo)
+    mids = [np.concatenate(km) for km in key_mids]
     po = np.concatenate(pos)
     nbits = np.concatenate(nb)
     # keys are bias-encoded: SIGNED comparison is the canonical order
-    order = np.lexsort((po, lo, hi))
+    order = np.lexsort((po, lo, *reversed(mids), hi))
     genome = Genome(codes=np.concatenate(codes), contigs=contigs)
     return SeedIndex(
         seed_len=seed_len,
         repeat_threshold=parts[0].repeat_threshold,
         genome=genome,
-        key_hi=hi[order], key_lo=lo[order], pos=po[order],
+        key_hi=hi[order], key_lo=lo[order],
+        key_mids=tuple(m[order] for m in mids), pos=po[order],
         total_kmers=sum(p.total_kmers for p in parts),
         collapsed_kmers=sum(p.collapsed_kmers for p in parts),
         has_neighbors=nbits[order] if nbits.any() else None,
@@ -131,6 +137,7 @@ def reorder_reference(index: SeedIndex, contig_order: list[str]) -> SeedIndex:
         repeat_threshold=index.repeat_threshold,
         genome=genome,
         key_hi=index.key_hi.copy(), key_lo=index.key_lo.copy(),
+        key_mids=tuple(m.copy() for m in index.key_mids),
         pos=new_pos.astype(np.int32),
         total_kmers=index.total_kmers,
         collapsed_kmers=index.collapsed_kmers,

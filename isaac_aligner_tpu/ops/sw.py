@@ -31,6 +31,32 @@ Row 0 enters free at any d (G[0,d] = W[0,d]).  Final score =
 max_d G[L-1,d]; the exit/entry offsets give the position adjustment.
 State preference on ties is G > E > F, matching the reference's
 comparison order (BandedSmithWaterman.cpp:140-190).
+
+ROOFLINE (BASELINE.md "banded SW at per-chip roofline").  The kernel is
+VPU-COMPUTE-bound, not HBM-bound:
+
+* HBM traffic per cell: inputs are 4+4 bytes of int32 codes per
+  (pair, row) amortized over 16 band cells (~0.5 B/cell) and the packed
+  traceback write is one int32 per TB_PACK=5 rows x 16 lanes
+  (4/5 B/cell) — ~1.3 B/cell total.  At v5e's ~819 GB/s that bounds
+  ~630 GCUPS, an order of magnitude above what compute allows; fusing
+  further or int8 scores would NOT raise the ceiling.
+* VPU issue per cell (counted from row_math): substitution select (2),
+  G 3-max + tie selects (~7), F shift+3-max+selects (~12), the E
+  prefix-max scan log2(16)=4 steps of roll+add+max+mask (~20), tb
+  encode/pack (~4) => ~45 f32 lane-ops/cell.  TPU VPUs are 32-bit
+  lanes ((8,128) x 4 ALUs x ~0.94 GHz => ~3.9e12 lane-op/s/chip), so
+  the issue bound is ~85 GCUPS/chip; int16 scores would NOT double it
+  (no double-rate int16 lanes on the VPU, unlike the reference's SSE2
+  epi16 path which packs 8 lanes/xmm, BandedSmithWaterman.cpp).
+* Measured (bench.py sw_gcups section, chained-slope methodology):
+  ~67-73 GCUPS => ~0.8x of the issue bound.  The residual gap is
+  Mosaic scheduling of the cross-sublane rolls (every shift_down/up is
+  a real shuffle op) — already minimized by keeping the band on the
+  sublane axis and pairs on lanes.
+* Context: the reference's SSE2 kernel retires ~1 cell/cycle/core in
+  the best case (~3 GCUPS on a 24-core node); one v5e chip at 70 GCUPS
+  is ~23x a full reference node on this kernel.
 """
 
 from __future__ import annotations

@@ -138,12 +138,17 @@ class MultiIndexAligner:
 
         lp = np.stack([np.where(r["aligned"], r["log_prob"], -np.inf)
                        for r in results])                  # [G, B]
-        others = np.stack([r["others_sum"] for r in results])
+        # others_sum is device-exported exp(-log_scale)-scaled; recover
+        # the raw mass in f64 (host math never underflows)
+        others = np.stack([
+            r["others_sum"].astype(np.float64)
+            * np.exp(r.get("log_scale", np.zeros(n)).astype(np.float64))
+            for r in results])
         best_g = np.argmax(lp, axis=0)
         any_aligned = np.isfinite(lp).any(axis=0)
         ar = np.arange(n)
-        best_lp = lp[best_g, ar]
-        exp_lp = np.where(np.isfinite(lp), np.exp(lp), 0.0)
+        best_lp = lp[best_g, ar].astype(np.float64)
+        exp_lp = np.where(np.isfinite(lp), np.exp(lp.astype(np.float64)), 0.0)
         others_total = others.sum(axis=0) + exp_lp.sum(axis=0) \
             - np.where(any_aligned, np.exp(best_lp), 0.0)
 
@@ -151,8 +156,7 @@ class MultiIndexAligner:
                                                 batch.read_len)
         safe_lp = np.where(any_aligned, best_lp, 0.0)
         mapq_f = np.asarray(quality.mapping_quality(
-            safe_lp.astype(np.float32), others_total.astype(np.float32),
-            np.float32(rog)))
+            safe_lp, others_total, np.float64(rog)))
         cap = self.cfg.mapq_cap
         merged_mapq = np.clip(np.floor(mapq_f), 0, cap).astype(np.int32)
 
@@ -308,7 +312,11 @@ class MultiIndexPairedAligner:
                 + np.where(out[f"aligned_{e}"], goff[best_g], 0)
 
         # merged template score over the summed cross-group pair mass
-        pair_total = np.stack([r["pair_total_prob"] for r in results]).sum(0)
+        # (device exports exp(-pair_log_scale)-scaled; recover raw in f64)
+        pair_total = np.stack([
+            r["pair_total_prob"].astype(np.float64)
+            * np.exp(r["pair_log_scale"].astype(np.float64))
+            for r in results]).sum(0)
         resolved = out["pair_resolved"].astype(bool)
         p_best = np.exp(out["pair_best_lp"].astype(np.float64))
         others = np.maximum(pair_total - p_best, 0.0) + rog_t
@@ -326,18 +334,22 @@ class MultiIndexPairedAligner:
         rogs = [quality.rest_of_genome_correction(g_total, l)
                 for l in read_lens]
         for e_idx, e in enumerate((1, 2)):
-            o = np.stack([r[f"others_sum_{e}"] for r in results])
+            o = np.stack([
+                r[f"others_sum_{e}"].astype(np.float64)
+                * np.exp(r[f"log_scale_{e}"].astype(np.float64))
+                for r in results])
             lp = np.stack([np.where(r[f"aligned_{e}"], r[f"log_prob_{e}"],
-                                    neg_inf) for r in results])
+                                    neg_inf) for r in results]
+                          ).astype(np.float64)
             exp_lp = np.where(np.isfinite(lp), np.exp(lp), 0.0)
             best_lp = lp[best_g, ar]
             aligned = out[f"aligned_{e}"].astype(bool)
             others_total = o.sum(0) + exp_lp.sum(0) \
                 - np.where(aligned, np.exp(best_lp), 0.0)
             mq = np.asarray(quality.mapping_quality(
-                np.where(aligned, best_lp, 0.0).astype(np.float32),
-                np.maximum(others_total, 0.0).astype(np.float32),
-                np.float32(rogs[e_idx])))
+                np.where(aligned, best_lp, 0.0),
+                np.maximum(others_total, 0.0),
+                np.float64(rogs[e_idx])))
             merged = np.clip(np.floor(mq), 0, cap).astype(np.int64)
             in_group = _pick_rows(results, f"frag_score_{e}", best_g)
             # in-group gate (dodgy / not well-anchored -> 0) wins

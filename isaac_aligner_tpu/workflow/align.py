@@ -533,6 +533,7 @@ class AlignWorkflow:
                  "proper_pairs": 0, "mapq_hist": np.zeros(61, np.int64)}
         per_tile: dict[tuple[str, str], dict] = {}
         demux_counts = np.zeros(len(rg_names) or 1, np.int64)
+        batch_no = [0]   # synthesized tile counter for FASTQ/BAM inputs
 
         def emit(fb, read_names: list[str]) -> None:
             mapped = (fb.flag & sam.FLAG_UNMAPPED) == 0
@@ -553,6 +554,14 @@ class AlignWorkflow:
                 rec_names = np.repeat(np.asarray(read_names, dtype="U"),
                                       len(fb) // max(len(read_names), 1))
                 self._tile_agg(rec_names, fb, mapped, per_tile, rg_names)
+            else:
+                # FASTQ/BAM inputs: synthesize one tile per batch — the
+                # reference synthesizes <=clustersAtATime-cluster tiles
+                # for FASTQ and reports the same tile histograms
+                # (include/workflow/alignWorkflow/FastqDataSource.hh:41-118)
+                self._tile_agg(None, fb, mapped, per_tile, rg_names,
+                               synth_tile=("1", f"{batch_no[0]:04d}"))
+            batch_no[0] += 1
             store.add(fb)
 
         # the barcode/name sidecar rides a queue so the pipelined aligner
@@ -683,16 +692,24 @@ class AlignWorkflow:
 
     @staticmethod
     def _tile_agg(names, fb, mapped, per_tile: dict,
-                  rg_names: tuple[str, ...]) -> None:
+                  rg_names: tuple[str, ...], synth_tile=None) -> None:
         """Per-(lane, tile, barcode/sample, read#) yield aggregation from
         Illumina read names (vectorized prefix grouping; the reference's
         tile x barcode x read histograms, MatchSelectorStatsXml.cpp /
-        TileBarcodeStats.hh).  `names` is one entry per RECORD."""
+        TileBarcodeStats.hh).  `names` is one entry per RECORD.
+        `synth_tile=(lane, tile)` bypasses name parsing for inputs
+        without Illumina names (FASTQ/BAM): the whole batch lands in one
+        synthesized tile, mirroring FastqDataSource.hh:41-118."""
         import numpy as np
-        names = np.asarray(names, dtype="U")
-        pre = np.char.rpartition(
-            np.char.rpartition(names, ":")[:, 0], ":")[:, 0]
-        uniq, inv = np.unique(pre, return_inverse=True)
+        if synth_tile is not None:
+            lane, tile = synth_tile
+            uniq = np.asarray([f"synth:0:0:{lane}:{tile}"], dtype="U")
+            inv = np.zeros(len(fb), np.int64)
+        else:
+            names = np.asarray(names, dtype="U")
+            pre = np.char.rpartition(
+                np.char.rpartition(names, ":")[:, 0], ":")[:, 0]
+            uniq, inv = np.unique(pre, return_inverse=True)
         n_rg = max(len(rg_names), 1)
         rg = (np.clip(fb.rg, 0, n_rg - 1) if rg_names
               else np.zeros(len(fb), np.int64)).astype(np.int64)

@@ -75,6 +75,11 @@ def test_paired_pipeline_compiles_once_across_tls(ref):
     assert al.max_rescue_window >= 512
 
     b1, b2 = _make_pairs(seq, rng, 64, drop_r1={3, 9})
+    # deltas, not absolutes: other tests may share the module-level jit caches
+    before = {
+        "paired": aligner_mod._paired_packed_jit._cache_size(),
+        "rescue": aligner_mod._rescue_jit._cache_size(),
+    }
     results = []
     sizes = {}
     for tls in (tls_a, tls_b):
@@ -85,9 +90,16 @@ def test_paired_pipeline_compiles_once_across_tls(ref):
                 "paired": aligner_mod._paired_packed_jit._cache_size(),
                 "rescue": aligner_mod._rescue_jit._cache_size(),
             }
-    assert aligner_mod._paired_packed_jit._cache_size() == sizes["paired"] == 1
+    after = {
+        "paired": aligner_mod._paired_packed_jit._cache_size(),
+        "rescue": aligner_mod._rescue_jit._cache_size(),
+    }
+    # the decisive property: run 2 (different TLS values) added ZERO new
+    # executables over run 1; and run 1 added at most one (zero when an
+    # earlier test already compiled the same shapes)
+    assert after["paired"] == sizes["paired"] <= before["paired"] + 1
     # rescue ran (shadow rows exist) and did not recompile
-    assert aligner_mod._rescue_jit._cache_size() == sizes["rescue"] == 1
+    assert after["rescue"] == sizes["rescue"] <= before["rescue"] + 1
     # and the model change actually reached the kernel: proper-pair flags
     # follow the active model set (tls_b swaps best1 to FFp)
     assert results[0]["pair_resolved"].sum() > 0

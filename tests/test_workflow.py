@@ -111,6 +111,14 @@ def test_fastq_input_streams(run_dir, tmp_path):
     assert wf._reads_cache is None, "streaming path must not load all reads"
     _, _, records = read_bam(out / "sorted.bam")
     assert len(records) == 2 * n
+    # FASTQ inputs get SYNTHESIZED tile stats (one tile per batch —
+    # reference FastqDataSource.hh:41-118 synthesizes tiles the same way)
+    stats = json.loads(
+        (out / "Stats" / "MatchSelectorStats.json").read_text())
+    tiles = stats.get("tiles", [])
+    assert tiles, "FASTQ runs must report synthesized tile stats"
+    assert sum(t["total"] for t in tiles) == 2 * n
+    assert {t["read"] for t in tiles} == {1, 2}
 
 
 def test_streaming_output_matches_batchsize_variation(run_dir, tmp_path):
