@@ -1,3 +1,4 @@
 from .cli import main
+from .utils.errors import run
 
-raise SystemExit(main())
+raise SystemExit(run(main))

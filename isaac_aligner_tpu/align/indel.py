@@ -41,12 +41,16 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
                          bases: np.ndarray, suffix: str = "",
                          trigger: int = 6,
                          quals: np.ndarray | None = None,
-                         gs: GapScoring = BWA) -> None:
+                         gs: GapScoring = BWA,
+                         max_gap: int = MAX_GAP) -> None:
     """Detect single long indels for rows still poorly aligned; mutate res.
 
     Runs AFTER the banded-SW polish: rows whose best alignment still has
-    > trigger mismatches and no gapped CIGAR are examined.
+    > trigger mismatches and no gapped CIGAR are examined.  `max_gap` is
+    the reference --semialigned-gap-limit (default 100; 0 disables).
     """
+    if max_gap <= 0:
+        return
     s = suffix
     aligned = res["aligned" + s]
     key = "cigar" + s
@@ -91,7 +95,7 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
                 for b in range(len(cands)):
                     s1, s2 = cands[a], cands[b]
                     gap = s2 - s1
-                    if gap == 0 or abs(gap) > MAX_GAP:
+                    if gap == 0 or abs(gap) > max_gap:
                         continue
                     if profiles[s1] is None:
                         profiles[s1] = _mm_profile(genome, s1, seq)

@@ -331,6 +331,13 @@ def paired_from_ends(g: int, l1: int, l2: int, cfg: AlignConfig,
     # mate the "shadow"; shadow_1 == end 1 is the shadow)
     out["shadow_1"] = out["aligned_2"] & ~out["aligned_1"]
     out["shadow_2"] = out["aligned_1"] & ~out["aligned_2"]
+    # disjoined rows: both ends aligned but no TLS-compatible pair — the
+    # reference re-anchors a rescue at EACH end and adopts the best
+    # rescued template (TemplateBuilder::buildDisjoinedTemplate,
+    # TemplateBuilder.cpp:716-866); the driver routes these through the
+    # same rescue kernel, once per anchoring direction
+    out["disjoined"] = out["aligned_1"] & out["aligned_2"] \
+        & ~out["pair_resolved"]
     return out
 
 

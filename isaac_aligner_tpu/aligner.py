@@ -29,12 +29,20 @@ from .utils import tracing
 
 
 def _accumulate_finder_stats(acc: dict, res: dict) -> None:
-    """Tally MatchFinder-style seed outcome scalars out of a result dict."""
+    """Tally MatchFinder-style seed outcome scalars out of a result dict.
+
+    Alongside the global totals, a per-batch tally list is kept — one
+    entry per batch == one synthesized tile — reproducing the reference's
+    per-(iteration, tile) MatchTally (include/alignment/MatchTally.hh)."""
+    tally = {}
     for key in ("seeds_no_match", "seeds_too_many", "pass2_reads",
                 "pass2_dropped"):
         for k in (key, key + "_1", key + "_2"):
             if k in res:
                 acc[key] = acc.get(key, 0) + int(res[k])
+                tally[key] = tally.get(key, 0) + int(res[k])
+    if tally:
+        acc.setdefault("tally", []).append(tally)
 
 
 def _pipelined_results(dispatched, finish_fn, window: int = 2):
@@ -111,6 +119,12 @@ class Aligner:
     clip_semialigned: bool = True
     adapters: tuple[str, ...] = ()
     gap_scoring: GapScoring = BWA
+    # reference --gapped-mismatches (=5): ungapped mismatch count that
+    # triggers the banded-SW polish (GappedAligner mismatchesCutoff)
+    gapped_mismatches: int = 5
+    # reference --semialigned-gap-limit (=100; 0 disables): long-indel
+    # polish gap bound (SimpleIndelAligner semialignedGapLimit)
+    semialigned_gap_limit: int = 100
     # accumulated MatchFinder-style seed stats (statistics lib analog)
     finder_stats: dict = dataclasses.field(default_factory=dict)
 
@@ -165,9 +179,12 @@ class Aligner:
             from .align.gapped import polish_gapped
             from .align.indel import polish_simple_indels
             polish_gapped(self.index, self.cfg, res, bases, quals=quals,
-                          gs=self.gap_scoring)
+                          gs=self.gap_scoring,
+                          trigger=self.gapped_mismatches)
             polish_simple_indels(self.index, self.cfg, res, bases, quals=quals,
-                                 gs=self.gap_scoring)
+                                 gs=self.gap_scoring,
+                                 trigger=max(6, self.gapped_mismatches + 1),
+                                 max_gap=self.semialigned_gap_limit)
         if self.clip_semialigned:
             clippers.apply_semialigned_device(res, "", bases.shape[1])
         _accumulate_finder_stats(self.finder_stats, res)
@@ -322,6 +339,12 @@ class PairedAligner:
     tls: TlsStatic = dataclasses.field(default_factory=TlsStatic)
     rescue_capacity: int = 512      # rows per rescue kernel call
     max_rescue_window: int = 4096   # skip rescue when TLS window exceeds this
+    # reference --shadow-scan-range (=-1): -1 scans the full template
+    # min..max window; >=0 scans median +- range (manual.md:524-527)
+    shadow_scan_range: int = -1
+    # reference --gapped-mismatches / --semialigned-gap-limit (see Aligner)
+    gapped_mismatches: int = 5
+    semialigned_gap_limit: int = 100
     # clipping options (reference defaults: AlignOptions.cpp:109,119-120)
     base_quality_cutoff: int = 25
     clip_semialigned: bool = True
@@ -437,14 +460,18 @@ class PairedAligner:
         from .align.gapped import polish_gapped
         from .align.indel import polish_simple_indels
         gs = self.gap_scoring
+        trig = self.gapped_mismatches
+        itrig = max(6, trig + 1)
         polish_gapped(self.index, self.cfg, res, m1.bases, "_1",
-                      quals=m1.quals, gs=gs)
+                      quals=m1.quals, gs=gs, trigger=trig)
         polish_gapped(self.index, self.cfg, res, m2.bases, "_2",
-                      quals=m2.quals, gs=gs)
+                      quals=m2.quals, gs=gs, trigger=trig)
         polish_simple_indels(self.index, self.cfg, res, m1.bases, "_1",
-                             quals=m1.quals, gs=gs)
+                             quals=m1.quals, gs=gs, trigger=itrig,
+                             max_gap=self.semialigned_gap_limit)
         polish_simple_indels(self.index, self.cfg, res, m2.bases, "_2",
-                             quals=m2.quals, gs=gs)
+                             quals=m2.quals, gs=gs, trigger=itrig,
+                             max_gap=self.semialigned_gap_limit)
         g_codes = self.index.genome.codes
         if self.clip_semialigned:
             # device clip covers rows aligned at device time; rescued
@@ -460,28 +487,80 @@ class PairedAligner:
         if self.clip_overlapping:
             clippers.clip_overlapping(res, m1, m2, g_codes)
         _accumulate_finder_stats(self.finder_stats, res)
+        # anomalous-pair accounting (reference MatchSelectorStats tracks
+        # nominal vs anomalous alignment models per tile): both ends
+        # aligned but no proper pair even after disjoined rescue
+        both = res["aligned_1"] & res["aligned_2"]
+        self.finder_stats["anomalous_pairs"] = \
+            self.finder_stats.get("anomalous_pairs", 0) \
+            + int((both & ~res["proper_pair"]).sum())
         tracing.trace_batch(b1.names, res, "_1")
         tracing.trace_batch(b2.names, res, "_2")
         return res
 
+    def _rescue_tls(self) -> TlsStatic:
+        """TLS used for the rescue window: --shadow-scan-range >= 0 clamps
+        the scan to median +- range without touching the pairing model."""
+        if self.shadow_scan_range < 0:
+            return self.tls
+        t = self.tls
+        return dataclasses.replace(
+            t, mate_min=max(t.mate_min, t.median - self.shadow_scan_range),
+            mate_max=min(t.mate_max, t.median + self.shadow_scan_range))
+
     def _rescue_window(self) -> int:
         from .align.pairs import quantize_rescue_window
-        w = self.tls.mate_max - self.tls.mate_min + 1
+        t = self._rescue_tls()
+        w = t.mate_max - t.mate_min + 1
         return quantize_rescue_window(w, self.max_rescue_window)
 
+    def _run_rescue_chunks(self, res, rows, orphan_end, shadow_batch,
+                           read_lengths, window):
+        """Run the rescue kernel over `rows` in fixed-capacity chunks;
+        returns concatenated per-row output arrays."""
+        cap = self.rescue_capacity
+        outs = []
+        for lo in range(0, rows.size, cap):
+            chunk = rows[lo : lo + cap]
+            pad = cap - chunk.size
+            rr = np.concatenate([chunk, np.zeros(pad, np.int64)])
+            o_start = res[f"start_{orphan_end}"][rr].astype(np.int32)
+            o_rev = res[f"reverse_{orphan_end}"][rr]
+            sb = shadow_batch.bases[rr]
+            sq = shadow_batch.quals[rr]
+            (pi, pu), handle = _rescue_jit(
+                self.arrays, self.cfg, self._rescue_tls(), orphan_end - 1,
+                read_lengths, o_start, o_rev, sb, sq, window)
+            hi_, hu_ = jax.device_get((pi, pu))
+            out = unpack_device_result(result_spec(handle), hi_, hu_)
+            outs.append({k: v[: chunk.size] for k, v in out.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
     def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch):
-        """Run shadow rescue for rows where exactly one end aligned and
-        merge results back into the batch result dict (host side of
-        TemplateBuilder::rescueShadow).  Returns per-end boolean masks of
-        rescued rows (the host semialigned clip covers them)."""
+        """Shadow + disjoined-template rescue, merged back into the batch
+        result dict.
+
+        Shadow rows (one end unaligned): TemplateBuilder::rescueShadow.
+        Disjoined rows (both ends aligned, no TLS-compatible pair): the
+        reference re-anchors a rescue at EACH end and adopts the best
+        rescued template by (summed mismatch score, then summed log
+        probability) — buildDisjoinedTemplate, TemplateBuilder.cpp:716-866
+        (we anchor at each end's BEST candidate; the reference also tries
+        non-best orphan candidates within a probability slack).
+        Returns per-end boolean masks of rescued rows (the host
+        semialigned clip covers them)."""
         n_rows = res["aligned_1"].shape[0]
         rescued = {1: np.zeros(n_rows, bool), 2: np.zeros(n_rows, bool)}
         window = self._rescue_window()
+        disjoined = res.get("disjoined")
+        if disjoined is None:
+            disjoined = np.zeros(n_rows, bool)
         if window > self.max_rescue_window:
             # NOT silent: an over-wide TLS window disables rescue for the
             # whole batch — log once and count the skipped shadows so the
             # degradation shows up in MatchFinderStats
-            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum())
+            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum()
+                         + disjoined.sum())
             if n_skip:
                 if not self.finder_stats.get("rescue_skipped"):
                     tracing.log(
@@ -497,24 +576,39 @@ class PairedAligner:
             if rows.size == 0:
                 continue
             shadow_batch = b1 if shadow_end == 1 else b2
-            cap = self.rescue_capacity
-            for lo in range(0, rows.size, cap):
-                chunk = rows[lo : lo + cap]
-                pad = cap - chunk.size
-                rr = np.concatenate([chunk, np.zeros(pad, np.int64)])
-                o_start = res[f"start_{orphan_end}"][rr].astype(np.int32)
-                o_rev = res[f"reverse_{orphan_end}"][rr]
-                sb = shadow_batch.bases[rr]
-                sq = shadow_batch.quals[rr]
-                (pi, pu), handle = _rescue_jit(
-                    self.arrays, self.cfg, self.tls, orphan_end - 1,
-                    read_lengths, o_start, o_rev, sb, sq, window)
-                hi_, hu_ = jax.device_get((pi, pu))
-                out = unpack_device_result(result_spec(handle), hi_, hu_)
-                out = {k: v[: chunk.size] for k, v in out.items()}
-                hit = self._merge_rescue(res, chunk, shadow_end, orphan_end,
-                                         out, read_lengths)
+            out = self._run_rescue_chunks(res, rows, orphan_end,
+                                          shadow_batch, read_lengths, window)
+            hit = self._merge_rescue(res, rows, shadow_end, orphan_end,
+                                     out, read_lengths)
+            rescued[shadow_end][hit] = True
+
+        d_rows = np.nonzero(disjoined)[0]
+        if d_rows.size:
+            outs = {}
+            keys = {}
+            for orphan_end in (1, 2):
+                shadow_end = 3 - orphan_end
+                shadow_batch = b1 if shadow_end == 1 else b2
+                o = self._run_rescue_chunks(res, d_rows, orphan_end,
+                                            shadow_batch, read_lengths,
+                                            window)
+                outs[orphan_end] = o
+                mm_o = res[f"mismatches_{orphan_end}"][d_rows].astype(np.float64)
+                lp_o = res[f"log_prob_{orphan_end}"][d_rows].astype(np.float64)
+                key = (mm_o + o["mismatches"]) * 1e5 - (lp_o + o["log_prob"])
+                keys[orphan_end] = np.where(o["found"], key, np.inf)
+            # direction 1 wins ties (the reference's orphan-index scan
+            # order with strict improvement)
+            use2 = keys[2] < keys[1]
+            for orphan_end, sel_dir in ((1, ~use2), (2, use2)):
+                o = dict(outs[orphan_end])
+                o["found"] = o["found"] & sel_dir
+                shadow_end = 3 - orphan_end
+                hit = self._merge_rescue(res, d_rows, shadow_end, orphan_end,
+                                         o, read_lengths)
                 rescued[shadow_end][hit] = True
+                disjoined[hit] = False
+            res["disjoined"] = disjoined
         return rescued[1], rescued[2]
 
     def _merge_rescue(self, res, rows, shadow_end, orphan_end, out,

@@ -146,7 +146,7 @@ def _dup_classes(fb):
     return cls
 
 
-def mark_duplicates_collective(fb, mesh, keep: bool = True):
+def mark_duplicates_collective(fb, mesh, keep: bool = True, lib=None):
     """SPMD duplicate marking over every device of `mesh` — the same
     (class, library, own anchor, mate anchor) grouping + rank/tie pick as
     mark_duplicates_batch, executed by parallel.sharded.collective_dedup
@@ -167,7 +167,9 @@ def mark_duplicates_collective(fb, mesh, keep: bool = True):
     if n == 0:
         return fb
     cls = _dup_classes(fb)
-    lib = fb.rg.astype(np.int64)
+    # --single-library-samples 0: caller passes per-(sample, lane) library
+    # ids; default = per-sample (reference default 1, manual.md:528-531)
+    lib = fb.rg.astype(np.int64) if lib is None else np.asarray(lib, np.int64)
     devices = np.asarray(mesh.devices).reshape(-1)
     n_dev = devices.size
     mesh1d = Mesh(devices, ("dev",))
@@ -196,7 +198,8 @@ def mark_duplicates_collective(fb, mesh, keep: bool = True):
     return fb.take(np.nonzero(~dup)[0])
 
 
-def mark_duplicates_batch(fb, contig_offsets, keep: bool = True):
+def mark_duplicates_batch(fb, contig_offsets, keep: bool = True,
+                          lib=None):
     """Vectorized per-bin duplicate marking on a FragmentBatch.
 
     Reference semantics (DuplicateFragmentIndexFiltering.hh:43-180):
@@ -215,7 +218,7 @@ def mark_duplicates_batch(fb, contig_offsets, keep: bool = True):
     if n == 0:
         return fb
     cls = _dup_classes(fb)
-    lib = fb.rg.astype(np.int64)
+    lib = fb.rg.astype(np.int64) if lib is None else np.asarray(lib, np.int64)
     dup = np.zeros(n, bool)
     ci = np.nonzero(cls >= 0)[0]
     if ci.size:

@@ -299,11 +299,12 @@ def _collect_gaps_columnar(fb, donor_rows: np.ndarray):
     return np.unique(recs, axis=0)    # lexsorted: (ref, pos, len, ins)
 
 
-def _combo_masks(n_gaps: int) -> np.ndarray:
+def _combo_masks(n_gaps: int, max_gaps: int = MAX_GAPS_AT_A_TIME
+                 ) -> np.ndarray:
     """Bitmasks of all 1..MAX_GAPS_AT_A_TIME-subsets of n_gaps gaps, in
     the legacy enumeration order (size ascending, lexicographic)."""
     out = []
-    for r_ in range(1, min(n_gaps, MAX_GAPS_AT_A_TIME) + 1):
+    for r_ in range(1, min(n_gaps, max_gaps) + 1):
         for combo in itertools.combinations(range(n_gaps), r_):
             m = 0
             for j in combo:
@@ -376,8 +377,8 @@ def _eval_choices(seq_rows, gpos, glen, gins, n_gaps, start, read_span,
     return mm, invalid, seg_roff, seg_rpos, seg_len
 
 
-def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None
-                  ) -> int:
+def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None,
+                  max_gaps: int = MAX_GAPS_AT_A_TIME) -> int:
     """Gap-realign a FragmentBatch in place — fully columnar.
 
     Reference semantics (GapRealigner.cpp:494-1053) preserved exactly
@@ -528,7 +529,7 @@ def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None
         w_mask: list[np.ndarray] = []
         w_ord: list[np.ndarray] = []
         for g in np.unique(n_over):
-            masks = _combo_masks(int(g))
+            masks = _combo_masks(int(g), max_gaps)
             rsel = np.nonzero(n_over == g)[0]
             w_row.append(np.repeat(rsel, masks.size))
             w_mask.append(np.tile(masks, rsel.size))

@@ -120,15 +120,21 @@ def _apply_aux(fb: FragmentBatch, aux: AuxColumns | None) -> None:
 
 
 def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
-                       aux: AuxColumns | None = None) -> FragmentBatch:
+                       aux: AuxColumns | None = None,
+                       mapq_threshold: int = 0) -> FragmentBatch:
     """Vectorized single-end result -> FragmentBatch
-    (aligner.Aligner._records_from_res semantics)."""
+    (aligner.Aligner._records_from_res semantics).  `mapq_threshold`
+    drops fragments below the MAPQ bar (reference --mapq-threshold,
+    manual.md:421-424): they become unaligned records."""
     names = batch.names
     valid = ~np.array([n.startswith("__pad") for n in names], bool)
     idx = np.nonzero(valid)[0]
     n = idx.size
     lengths = batch.lengths[idx].astype(np.int32)
     aligned = np.asarray(res["aligned"])[idx].astype(bool)
+    if mapq_threshold > 0:
+        aligned = aligned & (np.asarray(res["mapq"])[idx].astype(np.int64)
+                             >= mapq_threshold)
     rev = aligned & np.asarray(res["reverse"])[idx].astype(bool)
     start = np.asarray(res["start"])[idx].astype(np.int64)
 
@@ -161,7 +167,8 @@ def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
 
 def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
                        aux: AuxColumns | None = None,
-                       pessimistic: bool = False) -> FragmentBatch:
+                       pessimistic: bool = False,
+                       mapq_threshold: int = 0) -> FragmentBatch:
     """Vectorized paired result -> FragmentBatch, rows interleaved
     (R1_0, R2_0, R1_1, R2_1, ...).  Field mapping matches
     aligner._pair_records (FragmentAccessorBamAdapter analog) exactly.
@@ -215,6 +222,27 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
                         np.where(proper & (tscore >= 0), boosted, base), 0)
 
     mapq = {1: end_mapq(1), 2: end_mapq(2)}
+
+    if mapq_threshold > 0:
+        # reference --mapq-threshold: only TEMPLATES whose mapping
+        # quality clears the bar are reported (manual.md:421-424); both
+        # ends of a failing template become unaligned records
+        keep = np.maximum(mapq[1], mapq[2]) >= mapq_threshold
+        for e in (1, 2):
+            end[e]["aligned"] = end[e]["aligned"] & keep
+            end[e]["rev"] = end[e]["rev"] & keep
+            end[e]["n_ops"] = np.where(keep, end[e]["n_ops"], 0) \
+                .astype(np.int16)
+        a1, a2 = end[1]["aligned"], end[2]["aligned"]
+        proper = proper & keep
+        both = a1 & a2
+        same_ref = both & (end[1]["rid"] == end[2]["rid"])
+        tlen_mag = np.where(
+            same_ref,
+            tls_mod.template_length(end[1]["start"], end[1]["obs"],
+                                    end[2]["start"], end[2]["obs"]), 0)
+        tscore = np.where(keep, tscore, -1)
+        mapq = {e: np.where(keep, mapq[e], 0) for e in (1, 2)}
 
     parts = []
     for e in (1, 2):

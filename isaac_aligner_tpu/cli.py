@@ -105,6 +105,23 @@ def _cmd_align(args) -> int:
         memory_limit=args.memory_limit,
         devices=args.devices,
         shard_genome=args.shard_genome,
+        keep_unaligned=args.keep_unaligned,
+        mapq_threshold=args.mapq_threshold,
+        gapped_mismatches=args.gapped_mismatches,
+        semialigned_gap_limit=args.semialigned_gap_limit,
+        shadow_scan_range=args.shadow_scan_range,
+        realigned_gaps_per_fragment=args.realigned_gaps_per_fragment,
+        single_library_samples=bool(args.single_library_samples),
+        qscore_bin=bool(args.qscore_bin),
+        variable_read_length=args.variable_fastq_read_length,
+        bin_regex=args.bin_regex,
+        bam_header_tags=tuple(
+            t.replace("\\t", "\t") for t in (args.bam_header_tag or ())),
+        compression_level=args.bam_gzip_level,
+        input_parallel_load=args.input_parallel_load,
+        output_parallel_save=args.output_parallel_save,
+        **({"qscore_bin_values": args.qscore_bin_values}
+           if args.qscore_bin_values else {}),
     )
     wf = AlignWorkflow(opts)
     wf.run(start_from=args.start_from, stop_at=args.stop_at,
@@ -116,6 +133,11 @@ def _cmd_align(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="isaac_aligner_tpu")
+    p.add_argument("--version", action="version",
+                   version="isaac_aligner_tpu 0.1.0")
+    p.add_argument("-v", "--verbosity", type=int, default=None,
+                   help="0 silences phase logs; >=1 enables them "
+                        "(equivalent to ISAAC_TPU_LOG=1)")
     sub = p.add_subparsers(dest="command", required=True)
 
     sr = sub.add_parser("sort-reference",
@@ -123,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("-g", "--genome-file", required=True)
     sr.add_argument("-o", "--output-directory", required=True)
     sr.add_argument("-s", "--seed-length", type=int, default=32,
-                    choices=(16, 32))
+                    choices=(16, 32, 64),
+                    help="64 builds the true LongKmerType index (4 key "
+                         "planes; requires --dont-annotate)")
     sr.add_argument("--repeat-threshold", type=int, default=1000)
     sr.add_argument("--dont-annotate", action="store_true",
                     help="skip the <=4-mismatch neighbor annotation "
@@ -225,6 +249,51 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("no", "sample", "project", "all"),
                     help="realign reads against indels seen in other reads"
                          " (gap-sharing scope)")
+    al.add_argument("--keep-unaligned", default="back",
+                    choices=("discard", "front", "back"),
+                    help="placement of clusters with no aligned end "
+                         "(manual.md:199-206)")
+    al.add_argument("--mapq-threshold", type=int, default=0,
+                    help="report only templates with MAPQ >= this "
+                         "(manual.md:421-424)")
+    al.add_argument("--gapped-mismatches", type=int, default=5,
+                    help="ungapped mismatches that trigger banded-SW "
+                         "realignment (manual.md:392)")
+    al.add_argument("--semialigned-gap-limit", type=int, default=100,
+                    help="max long-indel length for the simple-indel "
+                         "aligner; 0 disables (manual.md:520-523)")
+    al.add_argument("--shadow-scan-range", type=int, default=-1,
+                    help="-1: rescue over template min..max; >=0: "
+                         "median +- range (manual.md:524-527)")
+    al.add_argument("--realigned-gaps-per-fragment", type=int, default=4,
+                    help="max known gaps combined per realignment choice")
+    al.add_argument("--single-library-samples", type=int, default=1,
+                    choices=(0, 1),
+                    help="1: dedup across the sample; 0: each lane is "
+                         "its own library (manual.md:528-531)")
+    al.add_argument("--qscore-bin", type=int, default=0, choices=(0, 1),
+                    help="bin input qualities before processing "
+                         "(manual.md:459-460)")
+    al.add_argument("--qscore-bin-values", default=None,
+                    help="override the default quality bins, e.g. "
+                         "0:0,1:1,2-9:6,... (manual.md:461-464)")
+    al.add_argument("--variable-fastq-read-length", action="store_true",
+                    help="accept ragged FASTQ read lengths (shorter "
+                         "reads pad with N); without it they error")
+    al.add_argument("--bin-regex", default="all",
+                    help="all | unaligned | regex over 'contig:first-"
+                         "last' bin descriptions (manual.md:317-323)")
+    al.add_argument("--bam-header-tag", action="append", default=None,
+                    help="extra literal BAM header line; '\\t' becomes a "
+                         "tab (repeatable; manual.md:277-278)")
+    al.add_argument("--bam-gzip-level", type=int, default=1,
+                    help="BGZF compression level of the output BAM")
+    al.add_argument("--input-parallel-load", type=int, default=2,
+                    help="input parse prefetch depth (reference IO "
+                         "thread knob)")
+    al.add_argument("--output-parallel-save", type=int, default=2,
+                    help="in-flight window of the ordered convert/"
+                         "serialize stages")
     al.add_argument("--start-from", default=None,
                     help="rewind to this state before running")
     al.add_argument("--stop-at", default="BamDone")
@@ -264,6 +333,12 @@ def main(argv: list[str] | None = None) -> int:
     up.set_defaults(fn=lambda a: (_unpack(a), 0)[1])
 
     args = p.parse_args(argv)
+    if args.verbosity is not None:
+        import os
+
+        from .utils import tracing
+        os.environ["ISAAC_TPU_LOG"] = "1" if args.verbosity > 0 else "0"
+        tracing._enabled = args.verbosity > 0
     return args.fn(args)
 
 

@@ -80,14 +80,18 @@ class SamRecord:
 
 
 def header_lines(contigs, sample: str = "sample", program: str = "isaac_aligner_tpu",
-                 version: str = "0.1.0") -> list[str]:
+                 version: str = "0.1.0",
+                 extra_tags: tuple[str, ...] = ()) -> list[str]:
     """@HD/@SQ/@RG/@PG header (reference: bam::serializeHeader,
-    src/c++/include/bam/Bam.hh:94)."""
+    src/c++/include/bam/Bam.hh:94).  `extra_tags` carries literal
+    additional header lines (reference --bam-header-tag; '\\t' in the
+    flag value is already expanded by the CLI)."""
     lines = ["@HD\tVN:1.6\tSO:coordinate"]
     for c in contigs:
         lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}\tM5:{c.md5}")
     lines.append(f"@RG\tID:0\tSM:{sample}")
     lines.append(f"@PG\tID:{program}\tPN:{program}\tVN:{version}")
+    lines.extend(extra_tags)
     return lines
 
 

@@ -106,7 +106,18 @@ class MultiIndexAligner:
         merged: dict = {}
         for a in self.aligners:
             for k, v in a.finder_stats.items():
-                merged[k] = merged.get(k, 0) + v
+                if k == "tally":
+                    # per-batch tallies: groups see the same batches, so
+                    # merge per batch index
+                    acc = merged.setdefault("tally", [])
+                    for i, t in enumerate(v):
+                        if i >= len(acc):
+                            acc.append(dict(t))
+                        else:
+                            for tk, tv in t.items():
+                                acc[i][tk] = acc[i].get(tk, 0) + tv
+                else:
+                    merged[k] = merged.get(k, 0) + v
         return merged
 
     @property
@@ -232,7 +243,18 @@ class MultiIndexPairedAligner:
         merged: dict = {}
         for a in self.aligners:
             for k, v in a.finder_stats.items():
-                merged[k] = merged.get(k, 0) + v
+                if k == "tally":
+                    # per-batch tallies: groups see the same batches, so
+                    # merge per batch index
+                    acc = merged.setdefault("tally", [])
+                    for i, t in enumerate(v):
+                        if i >= len(acc):
+                            acc.append(dict(t))
+                        else:
+                            for tk, tv in t.items():
+                                acc[i][tk] = acc[i].get(tk, 0) + tv
+                else:
+                    merged[k] = merged.get(k, 0) + v
         return merged
 
     @property
@@ -355,6 +377,11 @@ class MultiIndexPairedAligner:
             # in-group gate (dodgy / not well-anchored -> 0) wins
             out[f"frag_score_{e}"] = np.where(
                 aligned & (in_group > 0), merged, in_group)
+        # disjoined recomputes from the MERGED state (both ends aligned
+        # across any groups, no pair) so the host disjoined rescue runs
+        out["disjoined"] = (out["aligned_1"].astype(bool)
+                            & out["aligned_2"].astype(bool)
+                            & ~out["pair_resolved"].astype(bool))
         return out
 
     def align_results_many(self, batches):

@@ -473,7 +473,8 @@ def _local_index(keys, pos, nb, buckets, n_real, genome, gpack,
 
 
 def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
-                   b1, q1, b2, q2, window: int, rescue_fn=None):
+                   b1, q1, b2, q2, window: int, rescue_fn=None,
+                   rescue_tls=None):
     """Vectorized in-program shadow rescue + merge (the SPMD analog of
     PairedAligner._apply_rescue/_merge_rescue).
 
@@ -490,18 +491,40 @@ def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
     `tls` fields are traced, so learned-model changes never recompile."""
     from ..align.pairs import pair_length, pair_model, rescue_shadows
     l1, l2 = b1.shape[1], b2.shape[1]
-    for shadow_end, orphan_end in ((1, 2), (2, 1)):
-        res[f"rescued_{shadow_end}"] = jnp.zeros(
-            res["aligned_1"].shape[0], bool)
+    n = res["aligned_1"].shape[0]
+    for shadow_end in (1, 2):
+        res[f"rescued_{shadow_end}"] = jnp.zeros(n, bool)
+
+    # both directions computed up-front from the ORIGINAL placements:
+    # outs[shadow_end] rescues that end anchored at the other end's pick
+    outs = {}
     for shadow_end, orphan_end in ((1, 2), (2, 1)):
         sb, sq = (b1, q1) if shadow_end == 1 else (b2, q2)
         o_start = res[f"start_{orphan_end}"].astype(jnp.int32)
         o_rev = res[f"reverse_{orphan_end}"]
-        out = (rescue_fn or rescue_shadows)(
-            local, cfg, tls, orphan_end - 1, (l1, l2),
-            o_start, o_rev, sb, sq, window)
+        outs[shadow_end] = (rescue_fn or rescue_shadows)(
+            local, cfg, rescue_tls if rescue_tls is not None else tls,
+            orphan_end - 1, (l1, l2), o_start, o_rev, sb, sq, window)
+
+    # disjoined-template direction choice (buildDisjoinedTemplate,
+    # TemplateBuilder.cpp:716-866): best (summed mismatch score, then
+    # summed log probability) wins; orphan 1 wins ties (scan order)
+    disjoined = res.get("disjoined", jnp.zeros(n, bool))
+    keys = {}
+    for orphan_end in (1, 2):
+        o = outs[3 - orphan_end]
+        key = (res[f"mismatches_{orphan_end}"].astype(jnp.float32)
+               + o["mismatches"].astype(jnp.float32)) * jnp.float32(1e5) \
+            - (res[f"log_prob_{orphan_end}"] + o["log_prob"])
+        keys[orphan_end] = jnp.where(o["found"], key, jnp.float32(jnp.inf))
+    use2 = keys[2] < keys[1]
+
+    for shadow_end, orphan_end in ((1, 2), (2, 1)):
+        out = outs[shadow_end]
         se = f"_{shadow_end}"
-        hit = res["shadow" + se] & out["found"]
+        dir_sel = use2 if orphan_end == 2 else ~use2
+        hit = out["found"] & (res["shadow" + se]
+                              | (disjoined & dir_sel))
         res["rescued" + se] = hit
         res["aligned" + se] = res["aligned" + se] | hit
         for key, val in (("start", out["start"]),
@@ -528,6 +551,8 @@ def _rescue_inline(local: IndexArrays, cfg: AlignConfig, tls, res,
         res["template_length"] = jnp.where(
             hit, length.astype(res["template_length"].dtype),
             res["template_length"])
+    if "disjoined" in res:
+        res["disjoined"] = disjoined & ~res["rescued_1"] & ~res["rescued_2"]
     return res
 
 
@@ -576,7 +601,7 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
                               b1, q1, b2, q2, cfg: AlignConfig, tls,
                               tm1, tm2, len1, len2, rescue: bool = True,
                               genome_shards: GenomeShards | None = None,
-                              window: int | None = None):
+                              window: int | None = None, rescue_tls=None):
     """The production SPMD paired program: adapter re-mask from counts,
     the full align_paired_batch, in-program shadow rescue on the fully
     masked reads, a post-rescue semialigned re-clip of rescued rows, and
@@ -595,8 +620,8 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
             int(tls.mate_max) - int(tls.mate_min) + 1, 1 << 30)
 
     def local_fn(keys, pos, nb, buckets, n_real, genome, gpack,
-                 gnbits, cstarts, cends, tls, b1, q1, b2, q2, tm1, tm2,
-                 l1v, l2v, *gs):
+                 gnbits, cstarts, cends, tls, rtls, b1, q1, b2, q2, tm1,
+                 tm2, l1v, l2v, *gs):
         local = _local_index(keys, pos, nb, buckets, n_real,
                              genome, gpack, gnbits, cstarts, cends)
         score_fn = clip_fn = rescue_fn = None
@@ -619,7 +644,8 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
             rb1, rq1 = mask_tail_device(b1, q1, tm1 + res["qtrim_1"])
             rb2, rq2 = mask_tail_device(b2, q2, tm2 + res["qtrim_2"])
             res = _rescue_inline(local, cfg, tls, res, rb1, rq1, rb2, rq2,
-                                 window, rescue_fn=rescue_fn)
+                                 window, rescue_fn=rescue_fn,
+                                 rescue_tls=rtls)
             if cfg.semialigned_clip:
                 # rescued rows were unaligned when the in-batch clip ran:
                 # re-clip them at their rescued placement (host analog:
@@ -645,13 +671,14 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
     gs_specs = (P("shard", None),) * len(gs_args)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=_PLANE_SPECS + (P(),) + (P("data", None),) * 4
+        in_specs=_PLANE_SPECS + (P(), P()) + (P("data", None),) * 4
         + (P("data"),) * 4 + gs_specs,
         out_specs=(P("data"), P()),
         check_vma=False,
     )
-    batch_out, scalars = fn(*_plane_args(sharded), tls, b1, q1, b2, q2,
-                            tm1, tm2, len1, len2, *gs_args)
+    batch_out, scalars = fn(*_plane_args(sharded), tls,
+                            rescue_tls if rescue_tls is not None else tls,
+                            b1, q1, b2, q2, tm1, tm2, len1, len2, *gs_args)
     return {**batch_out, **scalars}
 
 

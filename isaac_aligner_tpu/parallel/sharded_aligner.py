@@ -140,12 +140,12 @@ class ShardedPairedAligner(PairedAligner):
             # each shard's halo must cover the whole rescue span
             assert window + 512 <= GS_HALO, (window, GS_HALO)
 
-        def step(sh, tls, b1, q1, b2, q2, tm1, tm2, l1, l2, gs_arg):
+        def step(sh, tls, rtls, b1, q1, b2, q2, tm1, tm2, l1, l2, gs_arg):
             res = sharded_align_paired_full(mesh, sh, b1, q1, b2, q2, cfg,
                                             tls, tm1, tm2, l1, l2,
                                             rescue=rescue,
                                             genome_shards=gs_arg,
-                                            window=window)
+                                            window=window, rescue_tls=rtls)
             return pack_device_result(res), res
 
         self._step = jax.jit(step)
@@ -166,9 +166,9 @@ class ShardedPairedAligner(PairedAligner):
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
             orig.append(_pad_to_seed(b.bases, b.quals, self.cfg.seed_len))
             trims.append(t)
-        out = step(self.sharded, self.tls, orig[0][0], orig[0][1],
-                   orig[1][0], orig[1][1], trims[0].astype(np.int32),
-                   trims[1].astype(np.int32),
+        out = step(self.sharded, self.tls, self._rescue_tls(), orig[0][0],
+                   orig[0][1], orig[1][0], orig[1][1],
+                   trims[0].astype(np.int32), trims[1].astype(np.int32),
                    b1.lengths.astype(np.int32), b2.lengths.astype(np.int32),
                    self.genome_shards)
         return out, masked[0], masked[1], trims, (b1, b2)
@@ -181,7 +181,9 @@ class ShardedPairedAligner(PairedAligner):
         stranded shadows exactly like the host path."""
         n = res["aligned_1"].shape[0]
         if not self._rescue_enabled():
-            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum())
+            dis = res.get("disjoined")
+            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum()
+                         + (dis.sum() if dis is not None else 0))
             if n_skip:
                 if not self.finder_stats.get("rescue_skipped"):
                     tracing.log(

@@ -155,6 +155,57 @@ class WorkflowOptions:
     # each device holds G/S + halo bases instead of the whole genome
     # (the >HBM whole-genome regime; requires 32-mer seeds)
     shard_genome: bool = False
+    # reference --keep-unaligned (=back): discard | front | back placement
+    # of clusters where no end aligned (manual.md:199-206,412-418)
+    keep_unaligned: str = "back"
+    # reference --mapq-threshold (=0): only templates with a mapping
+    # quality >= threshold are reported (manual.md:421-424)
+    mapq_threshold: int = 0
+    # reference --gapped-mismatches (=5) / --semialigned-gap-limit (=100)
+    gapped_mismatches: int = 5
+    semialigned_gap_limit: int = 100
+    # reference --shadow-scan-range (=-1): clamp rescue to median+-range
+    shadow_scan_range: int = -1
+    # reference --realigned-gaps-per-fragment: max known gaps combined
+    # into one realignment choice (we default to 4 = the realigner's
+    # internal combination bound; the reference uses the flag for buffer
+    # estimation with default 1)
+    realigned_gaps_per_fragment: int = 4
+    # reference --single-library-samples (=1): dedup across the whole
+    # sample; 0 treats each LANE as its own library (manual.md:528-531)
+    single_library_samples: bool = True
+    # reference --qscore-bin / --qscore-bin-values (manual.md:459-464)
+    qscore_bin: bool = False
+    qscore_bin_values: str = ("0:0,1:1,2-9:6,10-19:15,20-24:22,25-29:27,"
+                              "30-34:33,35-39:37,40-63:40")
+    # reference --variable-fastq-read-length (=0): error on ragged FASTQ
+    # read lengths unless set (shorter reads then pad with N)
+    variable_read_length: bool = False
+    # reference --bin-regex (=all): all | unaligned | a regex matched
+    # against each aligned bin's "contig:first-last" description
+    bin_regex: str = "all"
+    # reference --bam-header-tag: extra literal header lines (repeatable)
+    bam_header_tags: tuple[str, ...] = ()
+    # reference IO-parallelism knobs: --input-parallel-load (prefetch
+    # depth of the parse stage) and --output-parallel-save (in-flight
+    # window of the ordered convert/serialize stages)
+    input_parallel_load: int = 2
+    output_parallel_save: int = 2
+
+    def qscore_table(self) -> "np.ndarray | None":
+        """64-entry quality remap table from --qscore-bin-values."""
+        if not self.qscore_bin:
+            return None
+        import numpy as np
+        t = np.arange(64, dtype=np.uint8)
+        for part in self.qscore_bin_values.split(","):
+            rng, _, val = part.strip().partition(":")
+            if not val:
+                raise ValueError(f"--qscore-bin-values: bad entry {part!r}")
+            a, _, b = rng.partition("-")
+            lo_, hi_ = int(a), int(b or a)
+            t[lo_ : hi_ + 1] = int(val)
+        return t
 
     def excluded_tags(self) -> frozenset[str]:
         spec = (self.bam_exclude_tags or "none").strip()
@@ -239,9 +290,16 @@ class _DistributionBinStore:
         self._buffer = []
 
     def finalize(self) -> None:
-        """Flush (small runs never hit the sample cap)."""
+        """Flush (small runs never hit the sample cap); persist the bin
+        boundaries so the Build phase can describe each bin for
+        --bin-regex filtering."""
         if self._inner is None:
             self._freeze()
+        inner = self._inner
+        doc = {"bin_bp": int(inner.bin_bp), "n_bins": int(inner.n_bins)}
+        if inner.boundaries is not None:
+            doc["boundaries"] = [int(x) for x in inner.boundaries]
+        (inner.dir / "boundaries.json").write_text(json.dumps(doc))
 
     @property
     def records(self) -> int:
@@ -511,7 +569,9 @@ class AlignWorkflow:
         clip_kw = dict(base_quality_cutoff=o.base_quality_cutoff,
                        clip_semialigned=o.clip_semialigned,
                        adapters=tuple(o.adapters),
-                       gap_scoring=GapScoring.parse(o.gap_scoring))
+                       gap_scoring=GapScoring.parse(o.gap_scoring),
+                       gapped_mismatches=o.gapped_mismatches,
+                       semialigned_gap_limit=o.semialigned_gap_limit)
         cfg = self._align_config(read_len, index)
         genome = self._genome()
         indexes = self._load_indexes()
@@ -607,7 +667,8 @@ class AlignWorkflow:
                     index, mesh=mesh, read_len=read_len, cfg=cfg,
                     genome_sharded=o.shard_genome,
                     clip_overlapping=o.clip_overlapping,
-                    pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
+                    pessimistic_mapq=o.pessimistic_mapq,
+                    shadow_scan_range=o.shadow_scan_range, **clip_kw)
                 if self.tls is not None:
                     aligner.tls = self.tls
             else:
@@ -621,7 +682,8 @@ class AlignWorkflow:
                 aligner = MultiIndexPairedAligner.create(
                     indexes, read_len=read_len, cfg=cfg,
                     clip_overlapping=o.clip_overlapping,
-                    pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
+                    pessimistic_mapq=o.pessimistic_mapq,
+                    shadow_scan_range=o.shadow_scan_range, **clip_kw)
                 if self.tls is not None:
                     aligner.tls = self.tls
             else:
@@ -631,7 +693,8 @@ class AlignWorkflow:
             aligner = PairedAligner.create(
                 index, read_len=read_len, cfg=cfg,
                 clip_overlapping=o.clip_overlapping,
-                pessimistic_mapq=o.pessimistic_mapq, **clip_kw)
+                pessimistic_mapq=o.pessimistic_mapq,
+                shadow_scan_range=o.shadow_scan_range, **clip_kw)
             if self.tls is not None:
                 aligner.tls = self.tls
         else:
@@ -654,18 +717,21 @@ class AlignWorkflow:
                 fb = fstore.from_paired_result(
                     genome, inputs[0], inputs[1], res,
                     mapq_cap=aligner.cfg.mapq_cap, aux=aux,
-                    pessimistic=o.pessimistic_mapq)
+                    pessimistic=o.pessimistic_mapq,
+                    mapq_threshold=o.mapq_threshold)
             else:
                 fb = fstore.from_single_result(
                     genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
-                    aux=aux)
+                    aux=aux, mapq_threshold=o.mapq_threshold)
             emit(fb, valid)
             t_host["convert"] += time.perf_counter() - t1
 
-        writer = OrderedStage(convert_emit, window=2, name="isaac-convert")
+        writer = OrderedStage(convert_emit,
+                      window=max(1, o.output_parallel_save),
+                      name="isaac-convert")
         try:
             for inputs, res in aligner.align_results_many(
-                    prefetch_iter(feed(), depth=2)):
+                    prefetch_iter(feed(), depth=max(1, o.input_parallel_load))):
                 writer.submit(inputs, res)
         finally:
             writer.close()
@@ -817,6 +883,31 @@ class AlignWorkflow:
         return self._load_all_reads()[0].count
 
     def _batch_stream(self):
+        """Yield (b1, b2 | None, barcode_bases | None) padded batches
+        with input-side postprocessing: --qscore-bin quality remapping
+        and the --variable-fastq-read-length uniformity check."""
+        o = self.opts
+        qtab = o.qscore_table()
+        for b1, b2, bc in self._raw_batch_stream():
+            for b in (b1, b2):
+                if b is None:
+                    continue
+                if not o.variable_read_length:
+                    pad = np.char.startswith(np.asarray(b.names, "U"),
+                                             "__pad")
+                    ln = b.lengths[~pad]
+                    if ln.size and int(ln.min()) != int(ln.max()):
+                        raise ValueError(
+                            f"variable read lengths ({int(ln.min())}.."
+                            f"{int(ln.max())}) in the input; pass "
+                            f"--variable-fastq-read-length to accept "
+                            f"(shorter reads pad with N)")
+                if qtab is not None:
+                    np.minimum(b.quals, 63, out=b.quals)
+                    b.quals[:] = qtab[b.quals]
+            yield b1, b2, bc
+
+    def _raw_batch_stream(self):
         """Yield (b1, b2 | None, barcode_bases | None) padded batches.
         FASTQ inputs stream record by record, BCL run folders tile by
         tile (the reference's RAM-fit tile batching, SeedMemoryManager /
@@ -901,6 +992,65 @@ class AlignWorkflow:
         reports.write_html_report(self._stats,
                                   self.stats_dir / "AlignmentReport.html")
 
+    def _bin_regex_filter(self, genome):
+        """--bin-regex: None (all) or a predicate over aligned-bin dirs.
+
+        Each aligned bin is described as "contig:first-last" (the contig
+        holding the bin's start); "unaligned" excludes every aligned bin
+        (manual.md:317-323)."""
+        import re
+
+        spec = self.opts.bin_regex
+        if spec in ("all", "", None):
+            return None
+        if spec == "unaligned":
+            return lambda d: False
+        bdoc_path = self.temp / "bins" / "boundaries.json"
+        bin_bp = None
+        boundaries = None
+        if bdoc_path.exists():
+            doc = json.loads(bdoc_path.read_text())
+            bin_bp = doc["bin_bp"]
+            if "boundaries" in doc:
+                boundaries = np.asarray(doc["boundaries"], np.int64)
+        rx = re.compile(spec)
+        offs = genome.contig_offsets
+        names = [c.name for c in genome.contigs]
+
+        def describe(d) -> str:
+            i = int(d.name.split("_")[1])
+            if boundaries is not None:
+                lo = int(boundaries[i])
+                hi = int(boundaries[i + 1]) if i + 1 < len(boundaries) \
+                    else genome.total_length
+            elif bin_bp:
+                lo, hi = i * bin_bp, (i + 1) * bin_bp
+            else:
+                lo, hi = 0, genome.total_length
+            ci = int(np.searchsorted(offs, lo, side="right") - 1)
+            ci = min(max(ci, 0), len(names) - 1)
+            return f"{names[ci]}:{lo - offs[ci]}-{hi - offs[ci]}"
+
+        return lambda d: bool(rx.search(describe(d)))
+
+    def _library_ids(self, fb):
+        """--single-library-samples 0: per-(sample, lane) library ids for
+        duplicate marking; lanes parse from Illumina read names (BCL
+        runs).  Default (1): per-sample (fb.rg, the dedup default)."""
+        import numpy as np
+
+        if self.opts.single_library_samples or not self.opts.run_folder:
+            return None
+        names = np.asarray(fb.names(), dtype="U")
+        parts = np.char.partition(
+            np.char.partition(np.char.partition(names, ":")[:, 2],
+                              ":")[:, 2], ":")[:, 2]
+        lane_s = np.char.partition(parts, ":")[:, 0]
+        lanes = np.zeros(len(fb), np.int64)
+        ok = np.char.isdigit(lane_s)
+        lanes[ok] = lane_s[ok].astype(np.int64)
+        return fb.rg.astype(np.int64) * 64 + lanes
+
     def _process_bin_fb(self, fb, genome):
         """Sort + dedup + realign one bin, columnar (BinSorter::process)."""
         import numpy as np
@@ -908,14 +1058,16 @@ class AlignWorkflow:
         from ..build.dedup import coordinate_sort_order, mark_duplicates_batch
         fb = fb.take(coordinate_sort_order(fb))
         if self.opts.mark_duplicates:
+            lib = self._library_ids(fb)
             mesh = self._mesh()
             if mesh is not None:
                 from ..build.dedup import mark_duplicates_collective
                 fb = mark_duplicates_collective(
-                    fb, mesh, keep=self.opts.keep_duplicates)
+                    fb, mesh, keep=self.opts.keep_duplicates, lib=lib)
             else:
                 fb = mark_duplicates_batch(fb, genome.contig_offsets,
-                                           keep=self.opts.keep_duplicates)
+                                           keep=self.opts.keep_duplicates,
+                                           lib=lib)
         realigned = 0
         if self.opts.realign_gaps != "no":
             from ..build.realign import realign_batch
@@ -926,7 +1078,9 @@ class AlignWorkflow:
                 scopes = [np.nonzero(fb.rg == v)[0]
                           for v in np.unique(fb.rg)]
             for rows in scopes:
-                realigned += realign_batch(fb, genome, rows)
+                realigned += realign_batch(
+                    fb, genome, rows,
+                    max_gaps=self.opts.realigned_gaps_per_fragment)
         return fb, realigned
 
     def _emit_fb(self, fb, writers: dict, contigs) -> None:
@@ -950,7 +1104,8 @@ class AlignWorkflow:
                     sample_name = key
                 w = BamWriter(path, contigs,
                               compression_level=self.opts.compression_level,
-                              sample=sample_name)
+                              sample=sample_name,
+                              extra_tags=tuple(self.opts.bam_header_tags))
                 writers[key] = w
             return w
 
@@ -996,16 +1151,33 @@ class AlignWorkflow:
         writers: dict = {}
         realigned = dup = n_records = max_bin = 0
 
-        def jobs():
-            for d in bin_dirs:
-                yield True, BinnedFragmentStore.load_bin(d)
-            if unal.is_dir():
+        o = self.opts
+        keep_unal = o.keep_unaligned
+        if keep_unal not in ("discard", "front", "back"):
+            raise ValueError(
+                f"--keep-unaligned {keep_unal!r}: want discard|front|back")
+        bin_filter = self._bin_regex_filter(genome)
+
+        def unal_jobs():
+            if keep_unal != "discard" and unal.is_dir():
                 for fb in BinnedFragmentStore.iter_chunk_groups(unal, cap):
                     yield False, fb
 
+        def jobs():
+            # --keep-unaligned front: unaligned clusters lead the BAM
+            # (the reference crafts its .bai to skip them, manual.md:204)
+            if keep_unal == "front":
+                yield from unal_jobs()
+            for d in bin_dirs:
+                if bin_filter is not None and not bin_filter(d):
+                    continue
+                yield True, BinnedFragmentStore.load_bin(d)
+            if keep_unal == "back":
+                yield from unal_jobs()
+
         emit = OrderedStage(
             lambda fb: self._emit_fb(fb, writers, genome.contigs),
-            window=2, name="isaac-bam")
+            window=max(1, o.output_parallel_save), name="isaac-bam")
         try:
             for is_bin, fb in prefetch_iter(jobs(), depth=1):
                 if is_bin:
@@ -1057,8 +1229,28 @@ class AlignWorkflow:
             fn()
         self.state = next_state
 
+    def _fit_batch_size(self) -> None:
+        """RAM-fit batch selection (reference SeedMemoryManager
+        selectTiles, include/alignment/SeedMemoryManager.hh:40-60): cap
+        the batch so in-flight device inputs + host result buffers stay
+        inside a slice of --memory-limit.  Per row (250bp worst case):
+        ~2 ends x 250 B bases/quals x ~4 copies (original, masked,
+        oriented, result) + ~600 B of result columns ~ 5 KB; 3 batches
+        are in flight (dispatch window + polish + convert)."""
+        o = self.opts
+        if not o.memory_limit:
+            return
+        per_row = 5_000 * 3
+        fit = max(256, int(o.memory_limit * 1e9 * 0.15 / per_row))
+        if fit < o.batch_size:
+            from ..utils import tracing
+            tracing.log(f"--memory-limit {o.memory_limit}G: "
+                        f"batch_size {o.batch_size} -> {fit}")
+            self.opts = dataclasses.replace(o, batch_size=fit)
+
     def run(self, start_from: str | None = None, stop_at: str = "BamDone",
             resume: bool = False) -> None:
+        self._fit_batch_size()
         if resume:
             self.load_state()
         if start_from:

@@ -89,14 +89,25 @@ def write_demultiplexing_stats_xml(counts: dict[str, int],
 
 def write_match_finder_stats_xml(finder: dict, path: str | Path) -> None:
     """Seed-matching outcome tallies (statistics lib analog:
-    include/statistics/MatchFinderTileStats.hh)."""
+    include/statistics/MatchFinderTileStats.hh): one Tile element per
+    batch tally (reference MatchTally per (iteration, tile)) plus the
+    run totals."""
+    keys = ("seeds_no_match", "seeds_too_many", "pass2_reads",
+            "pass2_dropped")
+    tag_of = lambda k: "".join(w.capitalize() for w in k.split("_"))
     root = ET.Element("Stats")
-    tile = ET.SubElement(root, "Tile", number="0")
-    for k in ("seeds_no_match", "seeds_too_many", "pass2_reads",
-              "pass2_dropped"):
+    for i, t in enumerate(finder.get("tally") or [finder]):
+        tile = ET.SubElement(root, "Tile", number=str(i))
+        for k in keys:
+            if k in t:
+                ET.SubElement(tile, tag_of(k)).text = str(int(t[k]))
+    total = ET.SubElement(root, "Total")
+    for k in keys:
         if k in finder:
-            tag = "".join(w.capitalize() for w in k.split("_"))
-            ET.SubElement(tile, tag).text = str(int(finder[k]))
+            ET.SubElement(total, tag_of(k)).text = str(int(finder[k]))
+    if "anomalous_pairs" in finder:
+        ET.SubElement(total, "AnomalousPairs").text = \
+            str(int(finder["anomalous_pairs"]))
     _write(root, Path(path))
 
 

@@ -1,0 +1,138 @@
+"""Round-4 option breadth: --keep-unaligned, --mapq-threshold,
+--qscore-bin, --variable-fastq-read-length, --bin-regex,
+--bam-header-tag, --gapped-mismatches/--semialigned-gap-limit plumbing,
+--version (reference AlignOptions flag set, manual.md:489-590)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from isaac_aligner_tpu.cli import main as cli_main
+from isaac_aligner_tpu.io.bam import read_bam
+from isaac_aligner_tpu.io import sam
+from isaac_aligner_tpu.workflow.align import AlignWorkflow, WorkflowOptions
+
+
+@pytest.fixture(scope="module")
+def case(tmp_path_factory):
+    td = tmp_path_factory.mktemp("opts")
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 9000))
+    (td / "ref.fa").write_text(f">cA\n{seq[:5000]}\n>cB\n{seq[5000:]}\n")
+    with open(td / "r1.fq", "w") as f:
+        for i in range(24):
+            p = int(rng.integers(0, 8900))
+            s = seq[p : p + 70]
+            if i % 6 == 1:               # unalignable junk
+                s = "".join("ACGT"[(j * 7 + i) % 4] for j in range(70))
+            f.write(f"@u{i}\n{s}\n+\n{'I' * 70}\n")
+    return td, seq
+
+
+def _run(td, name, **kw):
+    out = td / name
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(td / "ref.fa"), output_dir=str(out),
+        fastq1=str(td / "r1.fq"), batch_size=8, realign_gaps="no", **kw))
+    wf.run()
+    return out, wf
+
+
+def test_keep_unaligned_placement(case):
+    td, _ = case
+    out_b, _ = _run(td, "kb")                     # back (default)
+    _, _, rec_b = read_bam(out_b / "sorted.bam")
+    unmapped = [i for i, r in enumerate(rec_b) if r.flag & sam.FLAG_UNMAPPED]
+    assert unmapped and min(unmapped) > 0
+    assert unmapped == list(range(len(rec_b) - len(unmapped), len(rec_b)))
+
+    out_d, _ = _run(td, "kd", keep_unaligned="discard")
+    _, _, rec_d = read_bam(out_d / "sorted.bam")
+    assert all(not (r.flag & sam.FLAG_UNMAPPED) for r in rec_d)
+    assert len(rec_d) == len(rec_b) - len(unmapped)
+
+    out_f, _ = _run(td, "kf", keep_unaligned="front")
+    _, _, rec_f = read_bam(out_f / "sorted.bam")
+    got = [r.flag & sam.FLAG_UNMAPPED != 0 for r in rec_f]
+    assert got[: len(unmapped)] == [True] * len(unmapped)
+    assert not any(got[len(unmapped) :])
+
+
+def test_mapq_threshold_filters_templates(case):
+    td, _ = case
+    out_all, _ = _run(td, "mq0")
+    _, _, rec_all = read_bam(out_all / "sorted.bam")
+    out_f, _ = _run(td, "mq40", mapq_threshold=40)
+    _, _, rec_f = read_bam(out_f / "sorted.bam")
+    kept = [r for r in rec_f if not (r.flag & sam.FLAG_UNMAPPED)]
+    assert kept and all(r.mapq >= 40 for r in kept)
+    low = [r for r in rec_all if not (r.flag & sam.FLAG_UNMAPPED)
+           and r.mapq < 40]
+    # every below-bar record became unaligned, none silently vanished
+    assert len(kept) == len([r for r in rec_all
+                             if not (r.flag & sam.FLAG_UNMAPPED)]) - len(low)
+
+
+def test_qscore_bin_table():
+    o = WorkflowOptions(reference="x", output_dir="y", qscore_bin=True)
+    t = o.qscore_table()
+    assert t[2] == 6 and t[9] == 6 and t[15] == 15 and t[37] == 37
+    assert t[40] == 40 and t[63] == 40
+    o2 = WorkflowOptions(reference="x", output_dir="y", qscore_bin=True,
+                         qscore_bin_values="0-63:20")
+    assert (np.asarray(o2.qscore_table()) == 20).all()
+
+
+def test_variable_read_length_guard(case, tmp_path):
+    td, seq = case
+    with open(tmp_path / "ragged.fq", "w") as f:
+        f.write(f"@a\n{seq[100:170]}\n+\n{'I' * 70}\n")
+        f.write(f"@b\n{seq[300:340]}\n+\n{'I' * 40}\n")
+    out = tmp_path / "rg"
+    kw = dict(reference=str(td / "ref.fa"), output_dir=str(out),
+              fastq1=str(tmp_path / "ragged.fq"), batch_size=8,
+              realign_gaps="no")
+    with pytest.raises(ValueError, match="variable-fastq-read-length"):
+        AlignWorkflow(WorkflowOptions(**kw)).run()
+    AlignWorkflow(WorkflowOptions(
+        **{**kw, "output_dir": str(tmp_path / "rg2")},
+        variable_read_length=True)).run()
+    _, _, recs = read_bam(tmp_path / "rg2" / "sorted.bam")
+    assert len(recs) == 2
+
+
+def test_bin_regex_and_header_tags(case):
+    td, _ = case
+    out_all, _ = _run(td, "brx_all", records_per_bin=8,
+                      keep_unaligned="discard")
+    _, _, rec_all = read_bam(out_all / "sorted.bam")
+    out, _ = _run(td, "brx", bin_regex="cA:.*", records_per_bin=8,
+                  keep_unaligned="discard",
+                  bam_header_tags=("@CO\tround4-test",))
+    header, _, recs = read_bam(out / "sorted.bam")
+    assert "@CO\tround4-test" in header
+    assert recs and any(r.rname == "cA" for r in recs)
+    # bins described as cB:* were dropped; every missing record is a cB
+    # one (a bin STARTING in cA may straddle into cB — its description is
+    # the start contig's, like the reference's per-bin descriptions)
+    assert len(recs) < len(rec_all)
+    got = {(r.qname, r.rname, r.pos) for r in recs}
+    missing = [r for r in rec_all if (r.qname, r.rname, r.pos) not in got]
+    assert missing and all(r.rname == "cB" for r in missing)
+
+
+def test_gapped_knob_plumbing(case):
+    td, _ = case
+    # absurd trigger disables gapped polish; run must still complete
+    out, wf = _run(td, "gk", gapped_mismatches=250,
+                   semialigned_gap_limit=0)
+    _, _, recs = read_bam(out / "sorted.bam")
+    assert recs
+
+
+def test_version_flag(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli_main(["--version"])
+    assert e.value.code == 0
+    assert "isaac_aligner_tpu" in capsys.readouterr().out

@@ -312,75 +312,108 @@ def _oracle_row(g, offs, ends, cfg, tls, cands, scores, quals_pair,
     return out
 
 
-def _oracle_rescue(g, cfg, tls, out, reads_pair, quals_pair, window):
-    """Brute-force f64 TLS-window scan for the shadow end of one row."""
+def _scan_window(g, cfg, tls, out, orphan_end, reads_pair, quals_pair,
+                 window):
+    """One brute-force f64 TLS-window scan anchored at `orphan_end`'s
+    current placement, rescuing the other end.  Returns None (no found)
+    or a dict of best-offset results."""
     s = tls.to_stats()
     g_len = g.shape[0]
+    shadow_end = 3 - orphan_end
+    o_start = out[f"start_{orphan_end}"]
+    o_rev = out[f"reverse_{orphan_end}"]
+    ri = orphan_end - 1
+    mn = s.mate_min_position(ri, o_rev, 0, (READ_LEN, READ_LEN))
+    mx = s.mate_max_position(ri, o_rev, 0, (READ_LEN, READ_LEN))
+    srev = s.mate_orientation(ri, o_rev)
+    win_start = o_start + mn
+    win_end = o_start + mx
+    shadow = reads_pair[shadow_end - 1]
+    qv = quals_pair[shadow_end - 1].astype(np.int64)
+    seq = np.where(shadow < 4, 3 - shadow, shadow)[::-1] if srev else shadow
+    q = qv[::-1] if srev else qv
+    lps = np.full(window, -np.inf)
+    mms = np.zeros(window, np.int64)
+    edits = np.zeros(window, np.int64)
+    ok = np.zeros(window, bool)
+    for w in range(window):
+        start = win_start + w
+        if start < 0 or start + READ_LEN > g_len or start > win_end:
+            continue
+        ok[w] = True
+        ref = g[start : start + READ_LEN]
+        read_n = seq >= 4
+        ref_n = ref >= 4
+        ne = seq != ref
+        is_match = read_n | (~ne & ~ref_n)
+        mms[w] = int((~is_match).sum())
+        edits[w] = int((read_n | ref_n | ne).sum())
+        lps[w] = float(np.where(is_match, LOG_MATCH_F64[q],
+                                LOG_MISMATCH_F64[q]).sum())
+    if not ok.any():
+        return None
+    key = np.where(ok, mms * 1e5 - lps, np.inf)
+    w = int(np.argmin(key))
+    max_mm = int(READ_LEN * cfg.rescue_max_mismatch_frac)
+    if mms[w] > max_mm:
+        return None
+    nb = max(np.exp(lps[ok]).sum() - np.exp(lps[w]), 0.0) \
+        + _rog(g_len, 2 * READ_LEN)
+    score = int(min(max(_floor_score(nb, np.exp(lps[w])), 0), cfg.mapq_cap))
+    return {"start": win_start + w, "reverse": bool(srev),
+            "mismatches": int(mms[w]), "edit_distance": int(edits[w]),
+            "log_prob": float(lps[w]), "score": score}
+
+
+def _merge_rescued(out, tls, shadow_end, best):
+    sfx = f"_{shadow_end}"
+    out["aligned" + sfx] = True
+    out["start" + sfx] = best["start"]
+    out["reverse" + sfx] = best["reverse"]
+    out["mismatches" + sfx] = best["mismatches"]
+    out["edit_distance" + sfx] = best["edit_distance"]
+    out["log_prob" + sfx] = best["log_prob"]
+    out["shadow" + sfx] = False
+    out["rescued" + sfx] = True
+    out["frag_score" + sfx] = best["score"]
+    out["template_score"] = best["score"]
+    p1, p2 = out["start_1"], out["start_2"]
+    r1, r2 = out["reverse_1"], out["reverse_2"]
+    model = (0 if p1 <= p2 else 4) | (int(r1) << 1) | int(r2)
+    lo_first = p1 < p2
+    length = max(p2 + READ_LEN - p1, READ_LEN) if lo_first else \
+        max(p1 + READ_LEN - p2, READ_LEN)
+    out["pair_resolved"] = True
+    out["proper_pair"] = (model in (tls.best0, tls.best1)
+                          and tls.min <= length <= tls.max)
+    out["template_length"] = int(length)
+
+
+def _oracle_rescue(g, cfg, tls, out, reads_pair, quals_pair, window):
+    """Shadow + disjoined rescue for one row (f64 window scans)."""
     for shadow_end, orphan_end in ((1, 2), (2, 1)):
         if not out.get(f"shadow_{shadow_end}"):
             continue
-        o_start = out[f"start_{orphan_end}"]
-        o_rev = out[f"reverse_{orphan_end}"]
-        ri = orphan_end - 1
-        mn = s.mate_min_position(ri, o_rev, 0, (READ_LEN, READ_LEN))
-        mx = s.mate_max_position(ri, o_rev, 0, (READ_LEN, READ_LEN))
-        srev = s.mate_orientation(ri, o_rev)
-        win_start = o_start + mn
-        win_end = o_start + mx
-        shadow = reads_pair[shadow_end - 1]
-        qv = quals_pair[shadow_end - 1].astype(np.int64)
-        seq = np.where(shadow < 4, 3 - shadow, shadow)[::-1] if srev else shadow
-        q = qv[::-1] if srev else qv
-        lps = np.full(window, -np.inf)
-        mms = np.zeros(window, np.int64)
-        edits = np.zeros(window, np.int64)
-        ok = np.zeros(window, bool)
-        for w in range(window):
-            start = win_start + w
-            if start < 0 or start + READ_LEN > g_len or start > win_end:
+        best = _scan_window(g, cfg, tls, out, orphan_end, reads_pair,
+                            quals_pair, window)
+        if best is not None:
+            _merge_rescued(out, tls, shadow_end, best)
+    # disjoined: both ends aligned, no TLS pair — rescue anchored at each
+    # end, best (summed mm, then summed lp) template wins, dir 1 on ties
+    # (buildDisjoinedTemplate, TemplateBuilder.cpp:716-866)
+    if out["aligned_1"] and out["aligned_2"] and not out["pair_resolved"]:
+        cands = {}
+        for orphan_end in (1, 2):
+            best = _scan_window(g, cfg, tls, out, orphan_end, reads_pair,
+                                quals_pair, window)
+            if best is None:
                 continue
-            ok[w] = True
-            ref = g[start : start + READ_LEN]
-            read_n = seq >= 4
-            ref_n = ref >= 4
-            ne = seq != ref
-            is_match = read_n | (~ne & ~ref_n)
-            mms[w] = int((~is_match).sum())
-            edits[w] = int((read_n | ref_n | ne).sum())
-            lps[w] = float(np.where(is_match, LOG_MATCH_F64[q],
-                                    LOG_MISMATCH_F64[q]).sum())
-        if not ok.any():
-            continue
-        key = np.where(ok, mms * 1e5 - lps, np.inf)
-        w = int(np.argmin(key))
-        max_mm = int(READ_LEN * cfg.rescue_max_mismatch_frac)
-        if mms[w] > max_mm:
-            continue
-        sfx = f"_{shadow_end}"
-        out["aligned" + sfx] = True
-        out["start" + sfx] = win_start + w
-        out["reverse" + sfx] = bool(srev)
-        out["mismatches" + sfx] = int(mms[w])
-        out["edit_distance" + sfx] = int(edits[w])
-        out["log_prob" + sfx] = float(lps[w])
-        out["shadow" + sfx] = False
-        out["rescued" + sfx] = True
-        nb = max(np.exp(lps[ok]).sum() - np.exp(lps[w]), 0.0) \
-            + _rog(g_len, 2 * READ_LEN)
-        score = int(min(max(_floor_score(nb, np.exp(lps[w])), 0),
-                        cfg.mapq_cap))
-        out["frag_score" + sfx] = score
-        out["template_score"] = score
-        p1, p2 = out["start_1"], out["start_2"]
-        r1, r2 = out["reverse_1"], out["reverse_2"]
-        model = (0 if p1 <= p2 else 4) | (int(r1) << 1) | int(r2)
-        lo_first = p1 < p2
-        length = max(p2 + READ_LEN - p1, READ_LEN) if lo_first else \
-            max(p1 + READ_LEN - p2, READ_LEN)
-        out["pair_resolved"] = True
-        out["proper_pair"] = (model in (tls.best0, tls.best1)
-                              and tls.min <= length <= tls.max)
-        out["template_length"] = int(length)
+            key = (out[f"mismatches_{orphan_end}"] + best["mismatches"]) \
+                * 1e5 - (out[f"log_prob_{orphan_end}"] + best["log_prob"])
+            cands[orphan_end] = (key, best)
+        if cands:
+            win_oe = min(cands, key=lambda oe: (cands[oe][0], oe))
+            _merge_rescued(out, tls, 3 - win_oe, cands[win_oe][1])
 
 
 def _rescore_f64(g, start, seq, quals, cigar, gs):
