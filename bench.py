@@ -260,6 +260,41 @@ def main() -> None:
 
     em.run("se_device", 420, sec_se_device)
 
+    # -- section 1b: the FULL packed product program (compute + fetch) -------
+    def sec_se_packed():
+        """The production single-end program exactly as the workflow runs
+        it (_single_packed_jit: device trim/clip/align + compacted packed
+        result) INCLUDING the full result fetch per batch — the
+        device+link capability of the product path.  The e2e figure below
+        divides out host CPU (a 2-core bench-host bound), so this is the
+        honest 'what the chip+link sustain' number."""
+        from isaac_aligner_tpu.aligner import Aligner, _single_packed_jit
+        from isaac_aligner_tpu.io.fastq import ReadBatch
+
+        al = Aligner.create(index, read_len=READ_LEN)
+        n_timed = 8
+        batches = []
+        for i in range(n_timed):
+            r, qq = make_reads(seq_codes, np.random.default_rng(500 + i),
+                               BATCH)
+            batches.append(ReadBatch([f"r{j}" for j in range(BATCH)], r, qq,
+                                     np.full(BATCH, READ_LEN, np.int32)))
+
+        def run_once():
+            outs = [al._dispatch(b)[0][0] for b in batches]
+            t0 = time.time()
+            for o in outs:
+                jax.device_get(o)
+            return time.time() - t0
+
+        run_once()                       # compile + flush
+        dt = min(run_once() for _ in range(2))
+        rps = n_timed * BATCH / dt
+        det["se_packed_reads_per_sec"] = round(rps, 1)
+        _log(f"single-end packed (compute+full fetch): {rps:.0f} reads/s")
+
+    em.run("se_packed", 240, sec_se_packed)
+
     # -- sections 2+3: end-to-end FASTQ -> sorted BAM ------------------------
     import tempfile
     from pathlib import Path

@@ -62,6 +62,25 @@ def polish_simple_indels(index: SeedIndex, cfg: AlignConfig, res: dict,
     rows = np.nonzero(aligned & (res["mismatches" + s] > trigger))[0]
     if rows.size == 0:
         return
+    comp_rows = res.get("cand_rows" + s)
+    if comp_rows is not None:
+        # compacted candidate block (compact_cand_result): map global row
+        # -> slot; rows beyond the capacity were counted in cand_dropped
+        # and skip this optional polish
+        slot_of = {int(r_): i for i, r_ in enumerate(np.asarray(comp_rows))
+                   if r_ >= 0}
+        sel = np.array([slot_of.get(int(r_), -1) for r_ in rows])
+        rows = rows[sel >= 0]
+        idx = sel[sel >= 0]
+        if rows.size == 0:
+            return
+        remap = np.zeros(aligned.shape[0], np.int64)
+        remap[rows] = idx
+        cand_start = cand_start[remap]
+        cand_orient = cand_orient[remap]
+        cand_valid = np.zeros((aligned.shape[0], cand_valid.shape[1]),
+                              bool)
+        cand_valid[rows] = np.asarray(res["cand_valid" + s])[idx]
     genome = index.genome.codes
     read_len = bases.shape[1]
     if quals is None:

@@ -1211,9 +1211,60 @@ def orient_output_device(bases, quals, lengths, rev):
 # (Reference analog: MatchSelector keeps results in one contiguous fragment
 # buffer rather than per-field allocations, FragmentCollector.hh.)
 
+def compact_cand_result(res: dict, suffix: str = "", cap_div: int = 8,
+                        trigger: int = 5):
+    """Shrink the fetched payload: the full [B, C] candidate planes are
+    only consumed by the host long-indel polish, which examines rows
+    still carrying > trigger mismatches — compact those rows into a
+    [B/cap_div, C] block plus a row-index map, cutting the device->host
+    link traffic by ~2x (the tunnel fetch was the e2e wall: ~256 B/read
+    of candidate planes against ~80 B of core fields).  Rows beyond the
+    static capacity are counted in cand_dropped (surfaced via
+    MatchFinderStats) and skip the OPTIONAL indel polish — never a
+    wrong result, only a missed improvement, and only in pathological
+    all-high-mismatch batches.  `trigger` must stay <= the host indel
+    trigger (max(6, gapped_mismatches+1) > 5 always)."""
+    if "cand_start" + suffix not in res:
+        return res
+    b = res["aligned" + suffix].shape[0]
+    bc = min(max(b // cap_div, 8), b)
+    need = res["aligned" + suffix] & (res["mismatches" + suffix] > trigger)
+    if "disjoined" in res:
+        # disjoined-replaced ends may exceed the trigger only after the
+        # host rescue merge — keep their candidate rows fetchable
+        need = need | res["disjoined"]
+    (rows,) = jnp.nonzero(need, size=bc, fill_value=b)
+    ok = rows < b
+    safe = jnp.minimum(rows, b - 1)
+    res["cand_rows" + suffix] = jnp.where(ok, rows, -1).astype(jnp.int32)
+    for nm in ("cand_start", "cand_orient", "cand_valid", "cand_mismatches"):
+        k = nm + suffix
+        if k in res:
+            res[k] = res[k][safe]
+    res["cand_dropped" + suffix] = jnp.maximum(
+        jnp.sum(need.astype(jnp.int32)) - bc, 0)
+    return res
+
+
+#: result keys excluded from the packed device->host fetch: the host
+#: re-derives output-oriented SEQ/QUAL from the reads it already holds
+#: (storage._oriented_from_result falls back) — fetching them cost
+#: ~200 B/read over the link for data the host parsed in the first place
+FETCH_EXCLUDE_SUFFIXES = ("seq_out", "qual_out", "orient_rev")
+
+
+def strip_fetch_excluded(res: dict) -> dict:
+    return {k: v for k, v in res.items()
+            if not any(k.startswith(p) for p in FETCH_EXCLUDE_SUFFIXES)}
+
+
 def pack_device_result(res: dict):
-    """Inside jit: dict of arrays -> (int32 vec, uint8 vec), sorted-key
-    order.  float32/uint32 are bitcast (lossless); smaller ints widen."""
+    """Inside jit: dict of arrays -> ONE int32 vector, sorted-key order.
+    float32/uint32 are bitcast (lossless); smaller ints widen; uint8
+    arrays pack 4-per-word at the tail.  ONE buffer means ONE host fetch
+    round-trip per batch — the tunneled link charges ~120 ms of latency
+    per fetch regardless of size (round-4 profile), so buffer count, not
+    bytes, is the e2e wall."""
     i32, u8 = [], []
     for k in sorted(res):
         a = res[k]
@@ -1223,8 +1274,14 @@ def pack_device_result(res: dict):
             i32.append(jax.lax.bitcast_convert_type(a, jnp.int32).reshape(-1))
         else:
             i32.append(a.astype(jnp.int32).reshape(-1))
-    return (jnp.concatenate(i32) if i32 else jnp.zeros(0, jnp.int32),
-            jnp.concatenate(u8) if u8 else jnp.zeros(0, jnp.uint8))
+    iv = jnp.concatenate(i32) if i32 else jnp.zeros(0, jnp.int32)
+    uv = jnp.concatenate(u8) if u8 else jnp.zeros(0, jnp.uint8)
+    pad = (-uv.shape[0]) % 4
+    if pad:
+        uv = jnp.concatenate([uv, jnp.zeros(pad, jnp.uint8)])
+    uw = jax.lax.bitcast_convert_type(uv.reshape(-1, 4), jnp.int32) \
+        if uv.shape[0] else jnp.zeros(0, jnp.int32)
+    return jnp.concatenate([iv, uw])
 
 
 def result_spec(res: dict) -> dict:
@@ -1233,16 +1290,24 @@ def result_spec(res: dict) -> dict:
     return {k: (tuple(v.shape), np.dtype(v.dtype)) for k, v in res.items()}
 
 
-def unpack_device_result(spec: dict, i32: np.ndarray, u8: np.ndarray) -> dict:
-    """Rebuild the host result dict from the two fetched vectors.  int32/
-    float32/uint32 values are writable views into the fetched buffers
-    (one memcpy of each vector — device_get returns read-only memory and
-    downstream passes mutate results in place); bools and narrow ints are
-    restored by a cast."""
-    if not i32.flags.writeable:
-        i32 = i32.copy()
-    if not u8.flags.writeable:
-        u8 = u8.copy()
+def unpack_device_result(spec: dict, buf: np.ndarray) -> dict:
+    """Rebuild the host result dict from the single fetched vector.
+    int32/float32/uint32 values are writable views into the buffer (one
+    memcpy — device_get returns read-only memory and downstream passes
+    mutate results in place); bools and narrow ints restore by a cast;
+    uint8 fields view the packed word tail."""
+    if not buf.flags.writeable:
+        buf = buf.copy()
+    n_i32 = 0
+    n_u8 = 0
+    for shape, dtype in spec.values():
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if dtype == np.uint8:
+            n_u8 += n
+        else:
+            n_i32 += n
+    i32 = buf[:n_i32]
+    u8 = buf[n_i32:].view(np.uint8)[:n_u8]
     out, oi, ou = {}, 0, 0
     for k in sorted(spec):
         shape, dtype = spec[k]

@@ -18,8 +18,8 @@ from .align import tls as tls_mod
 from .align.gapped import BWA, GapScoring
 from .align.pairs import TlsStatic, align_paired_batch, rescue_shadows
 from .align.pipeline import AlignConfig, IndexArrays, align_batch, \
-    align_batch_jit, bucket_params_for, default_seed_offsets, \
-    genome_has_n_for, mask_tail_device, orient_output_device, \
+    align_batch_jit, bucket_params_for, compact_cand_result, \
+    default_seed_offsets, genome_has_n_for, mask_tail_device, \
     pack_device_result, prepare_index, result_spec, score_end, \
     unpack_device_result
 from .index.build import SeedIndex
@@ -36,7 +36,7 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
     per-(iteration, tile) MatchTally (include/alignment/MatchTally.hh)."""
     tally = {}
     for key in ("seeds_no_match", "seeds_too_many", "pass2_reads",
-                "pass2_dropped"):
+                "pass2_dropped", "cand_dropped"):
         for k in (key, key + "_1", key + "_2"):
             if k in res:
                 acc[key] = acc.get(key, 0) + int(res[k])
@@ -45,21 +45,27 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
         acc.setdefault("tally", []).append(tally)
 
 
-def _pipelined_results(dispatched, finish_fn, window: int = 2):
-    """Drive (key, pending) pairs through `finish_fn` on ONE worker
-    thread, `window` batches in flight, yielding (key, result) in order.
+def _pipelined_results(dispatched, finish_fn, window: int = 3,
+                       workers: int = 3):
+    """Drive (key, pending) pairs through `finish_fn` on `workers`
+    threads, `window` batches in flight, yielding (key, result) in order.
 
     The main thread then only parses + dispatches; the fetch link syncs
-    and the gapped/indel/clipper polish passes run on the worker and
+    and the gapped/indel/clipper polish passes run on the workers and
     overlap the NEXT batches' device compute — the reference's 3-slot
     load/compute/flush overlap (SelectMatchesTransition.cpp:295-357).
-    Round 3 ran fetch+polish on the dispatch thread and it dominated e2e
-    (align_s 4.85 of 5.5 s vs ~0.9 s device)."""
+    MULTIPLE workers matter because the tunneled TPU link charges
+    ~120-230 ms of latency per fetch round-trip (round-4 profile): with
+    2-3 fetches per batch (result buffer + polish kernels), one worker
+    serializes ~0.5 s/batch of pure wait; three workers overlap it.
+    finish_fn must therefore avoid ordered side effects — stats and
+    tracing happen at the (ordered) yield site, see _record_stats."""
     import contextlib
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="isaac-polish")
+    ex = ThreadPoolExecutor(max_workers=max(1, workers),
+                            thread_name_prefix="isaac-polish")
     done: deque = deque()
     with contextlib.ExitStack() as stack:
         stack.callback(ex.shutdown, wait=True)
@@ -127,6 +133,12 @@ class Aligner:
     semialigned_gap_limit: int = 100
     # accumulated MatchFinder-style seed stats (statistics lib analog)
     finder_stats: dict = dataclasses.field(default_factory=dict)
+    # per-stage wall accumulators (dispatch / fetch / polish seconds) —
+    # surfaced by the workflow as stage_seconds for perf forensics
+    timings: dict = dataclasses.field(default_factory=dict)
+
+    def _t(self, key: str, dt: float) -> None:
+        self.timings[key] = self.timings.get(key, 0.0) + dt
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -148,6 +160,8 @@ class Aligner:
     def _dispatch(self, batch: ReadBatch):
         """Async half: adapter-mask on host, launch the device program
         (quality trimming + semialigned clipping happen on device)."""
+        import time as _time
+        t0 = _time.perf_counter()
         bases = batch.bases.copy()
         quals = batch.quals.copy()
         trims = clippers.adapter_trim_batch(bases, quals, list(self.adapters))
@@ -159,18 +173,22 @@ class Aligner:
         out = _single_packed_jit(self.arrays, ob, oq, self.cfg,
                                  trims.astype(np.int32),
                                  batch.lengths.astype(np.int32))
+        self._t("dispatch", _time.perf_counter() - t0)
         return out, bases, quals, trims, batch
 
     def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
         """Sync half: fetch device results, run host polish passes."""
-        ((pi, pu), handle), bases, quals, trims, batch = pending
-        # ONE device_get for both packed buffers -> one link round-trip
-        # per batch (fetching the raw ~26-array dict paid one ~25 ms sync
-        # PER ARRAY; round 3 still paid two).  jax.device_get, NOT
-        # np.asarray — the remote-TPU tunnel's __array__ path is
-        # pathologically slow
-        hi, hu = jax.device_get((pi, pu))
-        res = unpack_device_result(result_spec(handle), hi, hu)
+        import time as _time
+        (packed, handle), bases, quals, trims, batch = pending
+        # ONE packed buffer -> ONE link round-trip per batch (the tunnel
+        # charges ~120 ms latency per fetch regardless of size).
+        # jax.device_get, NOT np.asarray — the remote-TPU tunnel's
+        # __array__ path is pathologically slow
+        t0 = _time.perf_counter()
+        res = unpack_device_result(result_spec(handle),
+                                   jax.device_get(packed))
+        t1 = _time.perf_counter()
+        self._t("fetch", t1 - t0)
         total_trims = clippers.apply_quality_trim_masks(
             bases, quals, trims, res.pop("qtrim"))
         clippers.apply_masked_tail_cigar(res, "", total_trims, batch.read_len)
@@ -187,23 +205,32 @@ class Aligner:
                                  max_gap=self.semialigned_gap_limit)
         if self.clip_semialigned:
             clippers.apply_semialigned_device(res, "", bases.shape[1])
+        self._t("polish", _time.perf_counter() - t1)
+        return res
+
+    def _record_stats(self, batch: ReadBatch, res: dict) -> None:
+        """Ordered side effects of one finished batch (called at the
+        yield site, not on the finish workers — see _pipelined_results)."""
         _accumulate_finder_stats(self.finder_stats, res)
         tracing.trace_batch(batch.names, res)
-        return res
 
     def align_batch_arrays(self, batch: ReadBatch,
                            gapped: bool = True) -> dict[str, np.ndarray]:
         """Run the device pipeline; returns host numpy result arrays."""
-        return self._finish(self._dispatch(batch), gapped=gapped)
+        res = self._finish(self._dispatch(batch), gapped=gapped)
+        self._record_stats(batch, res)
+        return res
 
     def align_results_many(self, batches, gapped: bool = True):
         """Pipelined multi-batch alignment: the main thread dispatches
-        batch after batch to the device while a worker thread fetches +
-        host-polishes completed ones (see _pipelined_results).  Yields
+        batch after batch to the device while worker threads fetch +
+        host-polish completed ones (see _pipelined_results).  Yields
         (batch, result arrays) in order."""
-        yield from _pipelined_results(
-            ((p[4], p) for p in (self._dispatch(b) for b in batches)),
-            lambda pending: self._finish(pending, gapped=gapped))
+        for batch, res in _pipelined_results(
+                ((p[4], p) for p in (self._dispatch(b) for b in batches)),
+                lambda pending: self._finish(pending, gapped=gapped)):
+            self._record_stats(batch, res)
+            yield batch, res
 
     def align_to_sam_many(self, batches, phred_offset: int = 33):
         """Pipelined alignment yielding per-batch SamRecord lists."""
@@ -263,18 +290,20 @@ class Aligner:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _single_packed_jit(arrays, bases, quals, cfg, tail_masked, lengths):
-    """align_batch + on-device output orientation + result packing.
+    """align_batch + fetch-payload slimming + result packing.
 
     `bases`/`quals` are the ORIGINAL (un-masked) batch; the adapter tail
-    mask is re-applied on device from the counts so the output path can
-    carry original bases in SAM SEQ while the scorer sees masked ones.
-    The returned raw dict is never fetched — it only carries shapes/
-    dtypes for the host unpack."""
+    mask is re-applied on device from the counts.  Output orientation is
+    NOT computed on device any more: the host already holds the reads and
+    re-orients them on the (off-main-thread) convert stage — fetching
+    seq/qual back over the tunnel was the e2e wall (round-4 profile:
+    device_get dominated at ~500 B/read).  Candidate planes fetch
+    compacted to the polish-triggered rows (compact_cand_result).  The
+    returned raw dict is never fetched — it only carries shapes/dtypes
+    for the host unpack."""
     mb, mq = mask_tail_device(bases, quals, tail_masked)
     res = align_batch(arrays, mb, mq, cfg, tail_masked)
-    rev = res["aligned"] & res["reverse"].astype(bool)
-    seq_out, qual_out = orient_output_device(bases, quals, lengths, rev)
-    res["seq_out"], res["qual_out"], res["orient_rev"] = seq_out, qual_out, rev
+    res = compact_cand_result(res)
     return pack_device_result(res), res
 
 
@@ -286,17 +315,15 @@ def _paired_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1=None, tm2=None):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _paired_packed_jit(arrays, b1, q1, b2, q2, cfg, tls, tm1, tm2, len1, len2):
     """Paired variant of _single_packed_jit (original inputs + on-device
-    adapter masking + per-end output orientation).  `tls` is a TRACED
-    pytree of int32 scalars — learned-model changes never recompile
-    (the round-3 static-arg design cost ~100 s of recompile per run)."""
+    adapter masking; orientation host-side, candidate planes compacted —
+    see _single_packed_jit).  `tls` is a TRACED pytree of int32 scalars —
+    learned-model changes never recompile (the round-3 static-arg design
+    cost ~100 s of recompile per run)."""
     mb1, mq1 = mask_tail_device(b1, q1, tm1)
     mb2, mq2 = mask_tail_device(b2, q2, tm2)
     res = align_paired_batch(arrays, mb1, mq1, mb2, mq2, cfg, tls, tm1, tm2)
-    for sfx, (bb, qq, ll) in (("_1", (b1, q1, len1)), ("_2", (b2, q2, len2))):
-        rev = res["aligned" + sfx] & res["reverse" + sfx].astype(bool)
-        s, q = orient_output_device(bb, qq, ll, rev)
-        res["seq_out" + sfx], res["qual_out" + sfx] = s, q
-        res["orient_rev" + sfx] = rev
+    for sfx in ("_1", "_2"):
+        res = compact_cand_result(res, sfx)
     return pack_device_result(res), res
 
 
@@ -354,6 +381,11 @@ class PairedAligner:
     # reference --bam-pessimistic-mapq (manual.md:279)
     pessimistic_mapq: bool = False
     finder_stats: dict = dataclasses.field(default_factory=dict)
+    # per-stage wall accumulators (see Aligner.timings)
+    timings: dict = dataclasses.field(default_factory=dict)
+
+    def _t(self, key: str, dt: float) -> None:
+        self.timings[key] = self.timings.get(key, 0.0) + dt
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -402,6 +434,8 @@ class PairedAligner:
     def _dispatch(self, b1: ReadBatch, b2: ReadBatch):
         """Async half: adapter-mask both ends on host, launch the device
         program (quality trim + semialigned clip happen on device)."""
+        import time as _time
+        t0 = _time.perf_counter()
         masked = []
         orig = []
         trims = []
@@ -422,20 +456,25 @@ class PairedAligner:
             self.cfg, self.tls,
             trims[0].astype(np.int32), trims[1].astype(np.int32),
             b1.lengths.astype(np.int32), b2.lengths.astype(np.int32))
+        self._t("dispatch", _time.perf_counter() - t0)
         return out, m1, m2, trims, (b1, b2)
 
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict[str, np.ndarray]:
-        return self._finish(self._dispatch(b1, b2))
+        res = self._finish(self._dispatch(b1, b2))
+        self._record_stats(b1, b2, res)
+        return res
 
     def align_results_many(self, batches):
         """Pipelined paired alignment over (b1, b2) batches — the main
-        thread dispatches while a worker fetches + polishes (including
-        the rescue kernel round-trips; see _pipelined_results).  Yields
+        thread dispatches while workers fetch + polish (including the
+        rescue kernel round-trips; see _pipelined_results).  Yields
         ((b1, b2), result arrays) in order."""
-        yield from _pipelined_results(
-            ((p[4], p) for p in (self._dispatch(b1, b2)
-                                 for b1, b2 in batches)),
-            self._finish)
+        for (b1, b2), res in _pipelined_results(
+                ((p[4], p) for p in (self._dispatch(b1, b2)
+                                     for b1, b2 in batches)),
+                self._finish):
+            self._record_stats(b1, b2, res)
+            yield (b1, b2), res
 
     def align_to_sam_many(self, batches, phred_offset: int = 33):
         """Pipelined paired alignment yielding per-batch SamRecord lists."""
@@ -443,11 +482,15 @@ class PairedAligner:
             yield self._records_from_res(b1, b2, res, phred_offset)
 
     def _finish(self, pending) -> dict[str, np.ndarray]:
-        ((pi, pu), handle), m1, m2, trims, (b1, b2) = pending
-        # one batched device_get (see Aligner._finish); the unpacked
+        import time as _time
+        (packed, handle), m1, m2, trims, (b1, b2) = pending
+        # one packed-buffer fetch (see Aligner._finish); the unpacked
         # views are writable, so rescue merging can mutate
-        hi, hu = jax.device_get((pi, pu))
-        res = unpack_device_result(result_spec(handle), hi, hu)
+        t0 = _time.perf_counter()
+        res = unpack_device_result(result_spec(handle),
+                                   jax.device_get(packed))
+        t1 = _time.perf_counter()
+        self._t("fetch", t1 - t0)
         total1 = clippers.apply_quality_trim_masks(
             m1.bases, m1.quals, trims[0], res.pop("qtrim_1"))
         total2 = clippers.apply_quality_trim_masks(
@@ -486,6 +529,12 @@ class PairedAligner:
                                           row_mask=rescued2)
         if self.clip_overlapping:
             clippers.clip_overlapping(res, m1, m2, g_codes)
+        self._t("polish", _time.perf_counter() - t1)
+        return res
+
+    def _record_stats(self, b1: ReadBatch, b2: ReadBatch, res: dict) -> None:
+        """Ordered side effects of one finished pair batch (yield site,
+        not the finish workers — see _pipelined_results)."""
         _accumulate_finder_stats(self.finder_stats, res)
         # anomalous-pair accounting (reference MatchSelectorStats tracks
         # nominal vs anomalous alignment models per tile): both ends
@@ -496,7 +545,6 @@ class PairedAligner:
             + int((both & ~res["proper_pair"]).sum())
         tracing.trace_batch(b1.names, res, "_1")
         tracing.trace_batch(b2.names, res, "_2")
-        return res
 
     def _rescue_tls(self) -> TlsStatic:
         """TLS used for the rescue window: --shadow-scan-range >= 0 clamps
@@ -528,11 +576,11 @@ class PairedAligner:
             o_rev = res[f"reverse_{orphan_end}"][rr]
             sb = shadow_batch.bases[rr]
             sq = shadow_batch.quals[rr]
-            (pi, pu), handle = _rescue_jit(
+            packed, handle = _rescue_jit(
                 self.arrays, self.cfg, self._rescue_tls(), orphan_end - 1,
                 read_lengths, o_start, o_rev, sb, sq, window)
-            hi_, hu_ = jax.device_get((pi, pu))
-            out = unpack_device_result(result_spec(handle), hi_, hu_)
+            out = unpack_device_result(result_spec(handle),
+                                       jax.device_get(packed))
             outs.append({k: v[: chunk.size] for k, v in out.items()})
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 

@@ -135,12 +135,18 @@ class MultiIndexAligner:
         (aligner.py align_results_many), applied across groups."""
         return [a._dispatch(batch) for a in self.aligners]
 
-    def _finish_all(self, pendings: list) -> list[dict]:
-        return [a._finish(p) for a, p in zip(self.aligners, pendings)]
+    def _finish_all(self, batch: ReadBatch, pendings: list) -> list[dict]:
+        out = []
+        for a, p in zip(self.aligners, pendings):
+            res = a._finish(p)
+            a._record_stats(batch, res)
+            out.append(res)
+        return out
 
     def align_batch_arrays(self, batch: ReadBatch) -> dict:
         """Merged result dict in concatenated-genome coordinates."""
-        return self._merge(batch, self._finish_all(self._dispatch_all(batch)))
+        return self._merge(batch,
+                           self._finish_all(batch, self._dispatch_all(batch)))
 
     def _merge(self, batch: ReadBatch, results: list[dict]) -> dict:
         n = batch.bases.shape[0]
@@ -197,7 +203,8 @@ class MultiIndexAligner:
         from ..aligner import _pipelined_results
         yield from _pipelined_results(
             ((b, (b, self._dispatch_all(b))) for b in batches),
-            lambda bp: self._merge(bp[0], self._finish_all(bp[1])))
+            lambda bp: self._merge(bp[0], self._finish_all(bp[0], bp[1])),
+            workers=1)   # per-group stats recording needs ordered finish
 
     def align_to_sam(self, batch: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:
@@ -288,13 +295,19 @@ class MultiIndexPairedAligner:
         """Launch every group's paired device program before fetching any."""
         return [a._dispatch(b1, b2) for a in self.aligners]
 
-    def _finish_all(self, pendings: list) -> list[dict]:
-        return [a._finish(p) for a, p in zip(self.aligners, pendings)]
+    def _finish_all(self, b1: ReadBatch, b2: ReadBatch,
+                    pendings: list) -> list[dict]:
+        out = []
+        for a, p in zip(self.aligners, pendings):
+            res = a._finish(p)
+            a._record_stats(b1, b2, res)
+            out.append(res)
+        return out
 
     def align_batch_arrays(self, b1: ReadBatch, b2: ReadBatch) -> dict:
         """Merged paired result dict in concatenated-genome coordinates."""
         return self._merge(
-            b1, b2, self._finish_all(self._dispatch_all(b1, b2)))
+            b1, b2, self._finish_all(b1, b2, self._dispatch_all(b1, b2)))
 
     def _merge(self, b1: ReadBatch, b2: ReadBatch, results: list[dict]) -> dict:
         n = b1.bases.shape[0]
@@ -391,7 +404,9 @@ class MultiIndexPairedAligner:
         yield from _pipelined_results(
             (((b1, b2), (b1, b2, self._dispatch_all(b1, b2)))
              for b1, b2 in batches),
-            lambda p: self._merge(p[0], p[1], self._finish_all(p[2])))
+            lambda p: self._merge(p[0], p[1],
+                                  self._finish_all(p[0], p[1], p[2])),
+            workers=1)   # per-group stats recording needs ordered finish
 
     def align_to_sam(self, b1: ReadBatch, b2: ReadBatch,
                      phred_offset: int = 33) -> list[sam.SamRecord]:

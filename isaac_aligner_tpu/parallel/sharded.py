@@ -53,8 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..align.pipeline import (AlignConfig, IndexArrays, align_batch,
                               build_bucket_table, choose_bucket_width,
-                              find_seed_hits, mask_tail_device,
-                              orient_output_device, pack_genome)
+                              find_seed_hits, mask_tail_device, pack_genome)
 from ..index.build import SeedIndex, TOO_MANY_POS
 from ..ops import search
 
@@ -435,10 +434,8 @@ def sharded_align_full(mesh: Mesh, sharded: ShardedIndexArrays, bases, quals,
         res = align_batch(local, mb, mq, cfg, tm,
                           find_fn=_gathered_find(local),
                           score_fn=score_fn, clip_fn=clip_fn)
-        rev = res["aligned"] & res["reverse"].astype(bool)
-        seq_out, qual_out = orient_output_device(b, q, ln, rev)
-        res["seq_out"], res["qual_out"], res["orient_rev"] = \
-            seq_out, qual_out, rev
+        # output orientation happens host-side (the host holds the reads;
+        # fetching seq/qual back over the link was the e2e wall)
         return _split_scalars(res)
 
     gs_args = tuple(genome_shards) if genome_shards is not None else ()
@@ -660,11 +657,7 @@ def sharded_align_paired_full(mesh: Mesh, sharded: ShardedIndexArrays,
                     hit = res["rescued" + sfx]
                     for k, v in sa.items():
                         res[k + sfx] = jnp.where(hit, v, res[k + sfx])
-        for sfx, (bb, qq, ln) in (("_1", (b1, q1, l1v)), ("_2", (b2, q2, l2v))):
-            rev = res["aligned" + sfx] & res["reverse" + sfx].astype(bool)
-            s, q = orient_output_device(bb, qq, ln, rev)
-            res["seq_out" + sfx], res["qual_out" + sfx] = s, q
-            res["orient_rev" + sfx] = rev
+        # output orientation happens host-side (see sharded_align_full)
         return _split_scalars(res)
 
     gs_args = tuple(genome_shards) if genome_shards is not None else ()

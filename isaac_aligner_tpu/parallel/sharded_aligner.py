@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..align import clippers
-from ..align.pipeline import pack_device_result
+from ..align.pipeline import compact_cand_result, pack_device_result
 from ..aligner import Aligner, PairedAligner, _pad_to_seed
 from ..io.fastq import ReadBatch
 from ..utils import tracing
@@ -77,6 +77,7 @@ class ShardedAligner(Aligner):
         def step(sh, b, q, tm, ln, gs_arg):
             res = sharded_align_full(mesh, sh, b, q, fcfg, tm, ln,
                                      genome_shards=gs_arg)
+            res = compact_cand_result(res)
             return pack_device_result(res), res
 
         al._step = jax.jit(step)
@@ -146,6 +147,8 @@ class ShardedPairedAligner(PairedAligner):
                                             rescue=rescue,
                                             genome_shards=gs_arg,
                                             window=window, rescue_tls=rtls)
+            for sfx in ("_1", "_2"):
+                res = compact_cand_result(res, sfx)
             return pack_device_result(res), res
 
         self._step = jax.jit(step)

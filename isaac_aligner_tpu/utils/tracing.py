@@ -100,9 +100,18 @@ def trace_batch(names: list[str], res: dict, suffix: str = "") -> None:
         cs, cv = res.get(k("cand_start")), res.get(k("cand_valid"))
         if cs is not None and cv is not None:
             cm = res.get(k("cand_mismatches"))
-            cands = [
-                f"(start={int(cs[i, j])}"
-                + (f", mm={int(cm[i, j])}" if cm is not None else "") + ")"
-                for j in range(cs.shape[1]) if bool(cv[i, j])]
-            lines.append(f"  candidates[{len(cands)}] = {' '.join(cands)}")
+            ci = i
+            comp = res.get(k("cand_rows"))
+            if comp is not None:
+                # compacted candidate block: find this row's slot
+                hits = [j for j, r in enumerate(comp) if int(r) == i]
+                ci = hits[0] if hits else None
+            if ci is not None:
+                cands = [
+                    f"(start={int(cs[ci, j])}"
+                    + (f", mm={int(cm[ci, j])}" if cm is not None else "")
+                    + ")"
+                    for j in range(cs.shape[1]) if bool(cv[ci, j])]
+                lines.append(
+                    f"  candidates[{len(cands)}] = {' '.join(cands)}")
         log("\n".join(lines), force=True)

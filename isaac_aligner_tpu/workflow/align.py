@@ -748,6 +748,7 @@ class AlignWorkflow:
                  "read": read, **agg}
                 for (lane, tile, sample, read), agg in sorted(per_tile.items())]
         stats["align_seconds"] = round(time.time() - t0, 2)
+        t_host.update(getattr(aligner, "timings", {}))
         stats["stage_seconds"] = {k: round(v, 2) for k, v in t_host.items()}
         stats["mapq_hist"] = [int(x) for x in stats["mapq_hist"]]
         for k in ("total_reads", "aligned", "perfect", "proper_pairs"):

@@ -203,7 +203,7 @@ def test_sharded_driver_matches_single_device(ref):
     r1 = one.align_batch_arrays(batch)
     r8 = many.align_batch_arrays(batch)
     for k in ("aligned", "start", "reverse", "mapq", "edit_distance",
-              "mismatches", "seq_out", "qual_out", "orient_rev"):
+              "mismatches"):
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
                                       err_msg=f"field {k}")
     assert r1.get("cigar") == r8.get("cigar")
@@ -251,7 +251,7 @@ def test_sharded_paired_driver_matches_single_device(ref):
     for k in ("aligned_1", "aligned_2", "start_1", "start_2", "reverse_1",
               "reverse_2", "proper_pair", "template_length", "template_score",
               "frag_score_1", "frag_score_2", "edit_distance_1",
-              "edit_distance_2", "seq_out_1", "seq_out_2"):
+              "edit_distance_2"):
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
                                       err_msg=f"field {k}")
     assert r1.get("cigar_1") == r8.get("cigar_1")
@@ -339,7 +339,7 @@ def test_genome_sharded_driver_matches_single_device(ref):
     r1 = one.align_batch_arrays(batch)
     r8 = many.align_batch_arrays(batch)
     for k in ("aligned", "start", "reverse", "mapq", "edit_distance",
-              "mismatches", "seq_out"):
+              "mismatches"):
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r8[k]),
                                       err_msg=f"field {k}")
     assert r1.get("cigar") == r8.get("cigar")
