@@ -419,42 +419,7 @@ def main() -> None:
 
     em.run("pe_device", 240, sec_pe_device)
 
-    # -- section 5: shard_map overhead bound (1-device mesh) -----------------
-    def sec_spmd_overhead():
-        """SE throughput through the SPMD entry on a 1-device mesh: the
-        plain/SPMD ratio bounds the shard_map + collective overhead the
-        multi-chip path pays per chip (VERDICT r3 weak #5 asked for any
-        measured SPMD cost statement; real scaling needs hardware this
-        environment lacks)."""
-        from isaac_aligner_tpu.parallel.sharded import (
-            make_mesh, place_sharded, shard_index, sharded_align_full)
-
-        mesh = make_mesh(1, data=1, shard=1)
-        sharded = place_sharded(mesh, shard_index(index, 1))
-
-        @jax.jit
-        def sp_step(sh, bases, q, tm, ln):
-            res = sharded_align_full(mesh, sh, bases, q, cfg, tm, ln)
-            return tree_sum(res)
-
-        tm = jnp.zeros(BATCH, jnp.int32)
-        ln = jnp.full(BATCH, READ_LEN, jnp.int32)
-        inputs = []
-        for i in range(4):
-            r, qq = make_reads(seq_codes, np.random.default_rng(300 + i),
-                               BATCH)
-            inputs.append((sharded, jnp.asarray(r), jnp.asarray(qq), tm, ln))
-        dt = throughput_time(sp_step, inputs)
-        rps = 4 * BATCH / dt
-        det["spmd_1dev_reads_per_sec"] = round(rps, 1)
-        if em.doc["value"]:
-            det["spmd_overhead_vs_plain"] = round(em.doc["value"] / rps, 3)
-        _log(f"spmd 1-dev: {rps:.0f} reads/s "
-             f"({det.get('spmd_overhead_vs_plain')}x plain)")
-
-    em.run("spmd_overhead", 200, sec_spmd_overhead)
-
-    # -- section 6: banded SW GCUPS (chained slope) --------------------------
+    # -- section 5: banded SW GCUPS (chained slope) --------------------------
     def sec_gcups():
         from isaac_aligner_tpu.ops import sw
         n_pairs = 16_384
@@ -492,6 +457,41 @@ def main() -> None:
         _log(f"banded SW: {gcups:.1f} GCUPS")
 
     em.run("sw_gcups", 150, sec_gcups)
+
+    # -- section 6: shard_map overhead bound (1-device mesh) -----------------
+    def sec_spmd_overhead():
+        """SE throughput through the SPMD entry on a 1-device mesh: the
+        plain/SPMD ratio bounds the shard_map + collective overhead the
+        multi-chip path pays per chip (VERDICT r3 weak #5 asked for any
+        measured SPMD cost statement; real scaling needs hardware this
+        environment lacks)."""
+        from isaac_aligner_tpu.parallel.sharded import (
+            make_mesh, place_sharded, shard_index, sharded_align_full)
+
+        mesh = make_mesh(1, data=1, shard=1)
+        sharded = place_sharded(mesh, shard_index(index, 1))
+
+        @jax.jit
+        def sp_step(sh, bases, q, tm, ln):
+            res = sharded_align_full(mesh, sh, bases, q, cfg, tm, ln)
+            return tree_sum(res)
+
+        tm = jnp.zeros(BATCH, jnp.int32)
+        ln = jnp.full(BATCH, READ_LEN, jnp.int32)
+        inputs = []
+        for i in range(4):
+            r, qq = make_reads(seq_codes, np.random.default_rng(300 + i),
+                               BATCH)
+            inputs.append((sharded, jnp.asarray(r), jnp.asarray(qq), tm, ln))
+        dt = throughput_time(sp_step, inputs)
+        rps = 4 * BATCH / dt
+        det["spmd_1dev_reads_per_sec"] = round(rps, 1)
+        if em.doc["value"]:
+            det["spmd_overhead_vs_plain"] = round(em.doc["value"] / rps, 3)
+        _log(f"spmd 1-dev: {rps:.0f} reads/s "
+             f"({det.get('spmd_overhead_vs_plain')}x plain)")
+
+    em.run("spmd_overhead", 200, sec_spmd_overhead)
 
     tmp.cleanup()
     em.emit()

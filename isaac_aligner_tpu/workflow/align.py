@@ -522,8 +522,10 @@ class AlignWorkflow:
     def _align_config(self, read_len: int, index: SeedIndex) -> AlignConfig:
         o = self.opts
         seed_len = max(o.seed_len, index.seed_len)
-        if seed_len > 32 and index.seed_len != 32:
-            raise ValueError("64-mer seeds need a 32-mer index")
+        if seed_len > 32 and index.seed_len not in (32, 64):
+            raise ValueError(
+                "64-mer seeds need a 32-mer index (extension-verify mode) "
+                "or a true 64-mer LongKmerType index")
         if o.seeds == "auto":
             offsets = default_seed_offsets(read_len, seed_len)
         else:

@@ -134,6 +134,33 @@ def test_64mer_repeat_semantics(repeat_genome):
         assert p in present
 
 
+def test_64mer_index_through_workflow(tmp_path, repeat_genome):
+    """The CLI/workflow surface consumes a saved true 64-mer index:
+    sort-reference -s 64 then align end to end."""
+    from isaac_aligner_tpu.io.bam import read_bam
+    from isaac_aligner_tpu.workflow.align import (AlignWorkflow,
+                                                  WorkflowOptions)
+
+    genome, pair_starts = repeat_genome
+    idx = build_index(genome, seed_len=64, repeat_threshold=4)
+    idx.save(tmp_path / "idx64w")
+    probes = list(pair_starts.values())[:8]
+    with open(tmp_path / "r.fq", "w") as f:
+        for i, p in enumerate(probes):
+            s = dna.decode(genome.codes[p : p + 64])
+            f.write(f"@w{i}\n{s}\n+\n{'I' * 64}\n")
+    out = tmp_path / "w64out"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "idx64w"), output_dir=str(out),
+        fastq1=str(tmp_path / "r.fq"), batch_size=8, seed_len=64,
+        realign_gaps="no", base_quality_cutoff=0)).run()
+    _, _, recs = read_bam(out / "sorted.bam")
+    by = {r.qname: r for r in recs}
+    for i, p in enumerate(probes):
+        assert by[f"w{i}"].pos == p + 1
+        assert by[f"w{i}"].mapq > 0
+
+
 def test_64mer_sharded_matches_single_device(repeat_genome):
     """Index-sharded SPMD over the true 64-mer index (4-plane search per
     shard + all-gather) matches the single-device result, and the
