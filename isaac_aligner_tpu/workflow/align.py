@@ -242,11 +242,11 @@ class _DistributionBinStore:
     SPANS = 4096
 
     def __init__(self, bins_dir, contig_offsets, genome_bp: int,
-                 n_bins: int, sample_cap: int):
+                 n_bins: int, sample_cap: int, ram_cache_records: int = 0):
         from ..build.storage import BinnedFragmentStore
         self._mk = lambda boundaries: BinnedFragmentStore(
             bins_dir, contig_offsets, genome_bp, n_bins,
-            boundaries=boundaries)
+            boundaries=boundaries, ram_cache_records=ram_cache_records)
         self.offsets = contig_offsets
         self.genome_bp = genome_bp
         self.n_bins = max(1, n_bins)
@@ -300,6 +300,12 @@ class _DistributionBinStore:
         if inner.boundaries is not None:
             doc["boundaries"] = [int(x) for x in inner.boundaries]
         (inner.dir / "boundaries.json").write_text(json.dumps(doc))
+
+    def cached_bin(self, name: str):
+        return self._inner.cached_bin(name) if self._inner else None
+
+    def cached_chunks(self, name: str):
+        return self._inner.cached_chunks(name) if self._inner else None
 
     @property
     def records(self) -> int:
@@ -589,7 +595,11 @@ class AlignWorkflow:
         store = _DistributionBinStore(
             bins_dir, genome.contig_offsets, genome.total_length, n_bins,
             sample_cap=max(records_per_bin,
-                           4 * o.batch_size * (2 if paired else 1)))
+                           4 * o.batch_size * (2 if paired else 1)),
+            ram_cache_records=records_per_bin)
+        # the Build phase reuses the RAM chunk cache when it runs in this
+        # process (resume-from-disk falls back to the files)
+        self._bin_cache = store
 
         stats = {"total_reads": 0, "aligned": 0, "perfect": 0,
                  "proper_pairs": 0, "mapq_hist": np.zeros(61, np.int64)}
@@ -1161,10 +1171,35 @@ class AlignWorkflow:
                 f"--keep-unaligned {keep_unal!r}: want discard|front|back")
         bin_filter = self._bin_regex_filter(genome)
 
+        # RAM chunk cache from an in-process align phase (disk fallback
+        # covers resume; build/storage.py BinnedFragmentStore cache)
+        cache = getattr(self, "_bin_cache", None)
+        from ..build.records import concat as _rconcat
+
+        def load_aligned(d):
+            if cache is not None:
+                fb = cache.cached_bin(d.name)
+                if fb is not None:
+                    return fb
+            return BinnedFragmentStore.load_bin(d)
+
         def unal_jobs():
-            if keep_unal != "discard" and unal.is_dir():
-                for fb in BinnedFragmentStore.iter_chunk_groups(unal, cap):
-                    yield False, fb
+            if keep_unal == "discard" or not unal.is_dir():
+                return
+            chunks = cache.cached_chunks("unaligned") if cache else None
+            if chunks is not None:
+                group, rows = [], 0
+                for fb in chunks:
+                    if group and rows + len(fb) > cap:
+                        yield False, _rconcat(group)
+                        group, rows = [], 0
+                    group.append(fb)
+                    rows += len(fb)
+                if group:
+                    yield False, _rconcat(group)
+                return
+            for fb in BinnedFragmentStore.iter_chunk_groups(unal, cap):
+                yield False, fb
 
         def jobs():
             # --keep-unaligned front: unaligned clusters lead the BAM
@@ -1174,7 +1209,7 @@ class AlignWorkflow:
             for d in bin_dirs:
                 if bin_filter is not None and not bin_filter(d):
                     continue
-                yield True, BinnedFragmentStore.load_bin(d)
+                yield True, load_aligned(d)
             if keep_unal == "back":
                 yield from unal_jobs()
 
@@ -1206,6 +1241,9 @@ class AlignWorkflow:
         for w in writers.values():
             w.close()
 
+        # the RAM chunk cache is single-use (batches may be mutated
+        # downstream; a rewound align phase rebuilds it)
+        self._bin_cache = None
         self._stats["build"] = {"records": n_records, "duplicates": dup,
                                 "realigned": realigned,
                                 "bins": max(1, len(bin_dirs)),
