@@ -1186,21 +1186,6 @@ def mask_tail_device(bases, quals, tail_masked):
             jnp.where(m, jnp.uint8(0), quals))
 
 
-def orient_output_device(bases, quals, lengths, rev):
-    """Output orientation of seq/qual on device (reverse-complement the
-    first `length` columns of rows aligned in reverse) — the host numpy
-    version (build/storage._orient_output) was a top e2e cost."""
-    b, l = bases.shape
-    ar = jnp.arange(l, dtype=jnp.int32)[None, :]
-    ridx = jnp.where(rev[:, None],
-                     jnp.maximum(lengths.astype(jnp.int32)[:, None] - 1 - ar,
-                                 0), ar)
-    seq = jnp.take_along_axis(bases, ridx, axis=1)
-    q = jnp.take_along_axis(quals, ridx, axis=1)
-    comp = jnp.where(seq < dna.NUM_BASES, 3 - seq, seq).astype(jnp.uint8)
-    return jnp.where(rev[:, None], comp, seq), q
-
-
 # ---------------------------------------------------------------------------
 # Packed result transfer
 # ---------------------------------------------------------------------------
@@ -1244,18 +1229,6 @@ def compact_cand_result(res: dict, suffix: str = "", cap_div: int = 8,
     res["cand_dropped" + suffix] = jnp.maximum(
         jnp.sum(need.astype(jnp.int32)) - bc, 0)
     return res
-
-
-#: result keys excluded from the packed device->host fetch: the host
-#: re-derives output-oriented SEQ/QUAL from the reads it already holds
-#: (storage._oriented_from_result falls back) — fetching them cost
-#: ~200 B/read over the link for data the host parsed in the first place
-FETCH_EXCLUDE_SUFFIXES = ("seq_out", "qual_out", "orient_rev")
-
-
-def strip_fetch_excluded(res: dict) -> dict:
-    return {k: v for k, v in res.items()
-            if not any(k.startswith(p) for p in FETCH_EXCLUDE_SUFFIXES)}
 
 
 def pack_device_result(res: dict):

@@ -86,14 +86,30 @@ def mapping_quality(best_log_prob, others_prob_sum, rog_correction):
 
     NOTE: raw exp() here underflows float32 for log probs below ~-87
     (high-mismatch placements) and rog underflows for reads past ~60bp
-    on small genomes; the device paths use the *_scaled variants below.
-    This raw form stays for host f64 callers.
+    on small genomes; the device paths use the *_scaled variants below
+    and HOST callers must use mapping_quality_f64 — jnp silently
+    downcasts float64 to float32 with x64 disabled.
     """
     neighborhood = rog_correction + others_prob_sum
     p_best = jnp.exp(best_log_prob)
     frac = neighborhood / (neighborhood + p_best)
     # frac in (0,1]; guard the log for frac==0 (cannot happen with rog>0)
     return -10.0 * jnp.log10(jnp.maximum(frac, 1e-38))
+
+
+def mapping_quality_f64(best_log_prob, others_prob_sum, rog_correction):
+    """Host float64 mapping_quality (numpy end to end — the jnp form
+    would downcast f64 inputs to f32 under the default x64=off config,
+    turning small-rog / very-negative-lp rows into 0/0 NaNs)."""
+    nb = np.asarray(rog_correction, np.float64) \
+        + np.asarray(others_prob_sum, np.float64)
+    p_best = np.exp(np.asarray(best_log_prob, np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = nb / (nb + p_best)
+        out = -10.0 * np.log10(np.maximum(frac, 1e-300))
+    # nb == p_best == 0 (no mass at all) -> maximal confidence is wrong;
+    # callers gate on aligned, return 0 for definiteness
+    return np.where(np.isfinite(out), out, 0.0)
 
 
 # -- float32-safe scaled-exponential forms -----------------------------------

@@ -138,7 +138,11 @@ class Aligner:
     timings: dict = dataclasses.field(default_factory=dict)
 
     def _t(self, key: str, dt: float) -> None:
-        self.timings[key] = self.timings.get(key, 0.0) + dt
+        # called from _pipelined_results worker threads concurrently
+        import threading
+        lock = self.__dict__.setdefault("_t_lock", threading.Lock())
+        with lock:
+            self.timings[key] = self.timings.get(key, 0.0) + dt
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -385,7 +389,11 @@ class PairedAligner:
     timings: dict = dataclasses.field(default_factory=dict)
 
     def _t(self, key: str, dt: float) -> None:
-        self.timings[key] = self.timings.get(key, 0.0) + dt
+        # called from _pipelined_results worker threads concurrently
+        import threading
+        lock = self.__dict__.setdefault("_t_lock", threading.Lock())
+        with lock:
+            self.timings[key] = self.timings.get(key, 0.0) + dt
 
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
@@ -543,6 +551,16 @@ class PairedAligner:
         self.finder_stats["anomalous_pairs"] = \
             self.finder_stats.get("anomalous_pairs", 0) \
             + int((both & ~res["proper_pair"]).sum())
+        n_skip = int(res.get("rescue_skipped_count", 0))
+        if n_skip:
+            if not self.finder_stats.get("rescue_skipped"):
+                tracing.log(
+                    f"shadow rescue DISABLED: TLS window "
+                    f"{self._rescue_window()} exceeds max_rescue_window "
+                    f"{self.max_rescue_window}; orphaned mates stay "
+                    f"unaligned", force=True)
+            self.finder_stats["rescue_skipped"] = \
+                self.finder_stats.get("rescue_skipped", 0) + n_skip
         tracing.trace_batch(b1.names, res, "_1")
         tracing.trace_batch(b2.names, res, "_2")
 
@@ -605,18 +623,12 @@ class PairedAligner:
             disjoined = np.zeros(n_rows, bool)
         if window > self.max_rescue_window:
             # NOT silent: an over-wide TLS window disables rescue for the
-            # whole batch — log once and count the skipped shadows so the
-            # degradation shows up in MatchFinderStats
-            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum()
-                         + disjoined.sum())
-            if n_skip:
-                if not self.finder_stats.get("rescue_skipped"):
-                    tracing.log(
-                        f"shadow rescue DISABLED: TLS window {window} exceeds "
-                        f"max_rescue_window {self.max_rescue_window}; "
-                        f"orphaned mates stay unaligned", force=True)
-                self.finder_stats["rescue_skipped"] = \
-                    self.finder_stats.get("rescue_skipped", 0) + n_skip
+            # whole batch — count the stranded shadows into the result so
+            # the ORDERED stats site (_record_stats) logs + tallies them
+            # (this method runs concurrently on finish workers)
+            res["rescue_skipped_count"] = int(
+                res["shadow_1"].sum() + res["shadow_2"].sum()
+                + disjoined.sum())
             return rescued[1], rescued[2]
         read_lengths = (b1.read_len, b2.read_len)
         for shadow_end, orphan_end in ((1, 2), (2, 1)):

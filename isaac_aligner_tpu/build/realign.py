@@ -401,6 +401,13 @@ def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None,
     n = len(fb)
     if n == 0:
         return 0
+    if max_gaps > _SLOTS:
+        # the choice evaluator carries _SLOTS static gap slots; clamping
+        # (with a visible log) beats an IndexError mid-Build
+        from ..utils import tracing
+        tracing.log(f"--realigned-gaps-per-fragment {max_gaps} clamped to "
+                    f"{_SLOTS} (static choice-slot capacity)", force=True)
+        max_gaps = _SLOTS
     rows = np.arange(n) if scope_rows is None else np.asarray(scope_rows)
     sub_mask = np.zeros(n, bool)
     sub_mask[rows] = True

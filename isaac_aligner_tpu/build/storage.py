@@ -48,11 +48,11 @@ def _orient_output(bases: np.ndarray, quals: np.ndarray, lengths: np.ndarray,
 
 def _oriented_from_result(res: dict, sfx: str, batch, idx: np.ndarray,
                           lengths: np.ndarray, rev: np.ndarray):
-    """Output-oriented seq/qual columns.  The device computes them inside
-    the fused program (pipeline.orient_output_device, riding the packed
-    result as seq_out/qual_out); rows whose FINAL orientation differs
-    from the device-time one (rescued shadows) re-orient on host.  Falls
-    back to the host path for results without the device columns."""
+    """Output-oriented seq/qual columns.  Since round 4 the device does
+    NOT ship seq/qual back (fetch payload was the e2e wall): the host
+    path below orients from the reads it already holds.  The seq_out
+    branch remains for result dicts that carry device-oriented columns
+    (tests / external callers of the unpacked SPMD entry points)."""
     key = "seq_out" + sfx
     if key not in res:
         return _orient_output(batch.bases[idx], batch.quals[idx],
@@ -228,7 +228,14 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
         # quality clears the bar are reported (manual.md:421-424); both
         # ends of a failing template become unaligned records
         keep = np.maximum(mapq[1], mapq[2]) >= mapq_threshold
-        for e in (1, 2):
+        for e, batch in ((1, b1), (2, b2)):
+            # dropped reverse-aligned rows: re-emit FORWARD seq/qual so
+            # the cleared FLAG_REVERSE stays consistent with the bytes
+            fix = np.nonzero(end[e]["rev"] & ~keep)[0]
+            if fix.size:
+                w = end[e]["seq"].shape[1]
+                end[e]["seq"][fix] = batch.bases[idx][fix][:, :w]
+                end[e]["qual"][fix] = batch.quals[idx][fix][:, :w]
             end[e]["aligned"] = end[e]["aligned"] & keep
             end[e]["rev"] = end[e]["rev"] & keep
             end[e]["n_ops"] = np.where(keep, end[e]["n_ops"], 0) \

@@ -193,6 +193,12 @@ def build_index(
     """
     if seed_len not in (16, 32, 64):
         raise ValueError("seed_len must be 16, 32 or 64")
+    if annotate_neighbors and seed_len == 64:
+        raise ValueError(
+            "neighbor annotation supports 16/32-mer indexes (64-mer "
+            "seeds are specific enough that the reference's <=4-"
+            "mismatch neighbor pass is gated off for them too); pass "
+            "--dont-annotate")
     codes = genome.codes
     g = codes.shape[0]
     if g >= 2**31:
@@ -261,11 +267,6 @@ def build_index(
         collapsed_kmers=collapsed,
     )
     if annotate_neighbors:
-        if seed_len == 64:
-            raise ValueError(
-                "neighbor annotation supports 16/32-mer indexes (64-mer "
-                "seeds are specific enough that the reference's <=4-"
-                "mismatch neighbor pass is gated off for them too)")
         from .neighbors import annotate_index
         index.has_neighbors = annotate_index(index.key_hi, index.key_lo,
                                              k=seed_len).astype(np.uint8)
@@ -357,6 +358,10 @@ def build_index_streaming(
     """
     if seed_len not in (16, 32, 64):
         raise ValueError("seed_len must be 16, 32 or 64")
+    if annotate_neighbors and seed_len == 64:
+        raise ValueError(
+            "neighbor annotation supports 16/32-mer indexes (64-mer "
+            "mode: pass --dont-annotate)")
     codes = genome.codes
     g = codes.shape[0]
     if g >= 2**31:
@@ -461,10 +466,6 @@ def build_index_streaming(
     (out / "sorted-reference.json").write_text(json.dumps(meta, indent=2))
 
     index = SeedIndex.load(out, mmap=True)
-    if annotate_neighbors and seed_len == 64:
-        raise ValueError(
-            "neighbor annotation supports 16/32-mer indexes (64-mer "
-            "mode: pass --dont-annotate)")
     if annotate_neighbors:
         from ..utils import tracing
         from .neighbors import annotate_index_chunked

@@ -116,8 +116,14 @@ class MultiIndexAligner:
                         else:
                             for tk, tv in t.items():
                                 acc[i][tk] = acc[i].get(tk, 0) + tv
+                elif k == "anomalous_pairs":
+                    # counted on the MERGED template in _merge — a
+                    # per-group sum tallies one template per group
+                    continue
                 else:
                     merged[k] = merged.get(k, 0) + v
+        if getattr(self, "_anomalous", None) is not None:
+            merged["anomalous_pairs"] = self._anomalous
         return merged
 
     @property
@@ -172,8 +178,7 @@ class MultiIndexAligner:
         rog = quality.rest_of_genome_correction(self.total_genome_length,
                                                 batch.read_len)
         safe_lp = np.where(any_aligned, best_lp, 0.0)
-        mapq_f = np.asarray(quality.mapping_quality(
-            safe_lp, others_total, np.float64(rog)))
+        mapq_f = quality.mapping_quality_f64(safe_lp, others_total, rog)
         cap = self.cfg.mapq_cap
         merged_mapq = np.clip(np.floor(mapq_f), 0, cap).astype(np.int32)
 
@@ -260,8 +265,14 @@ class MultiIndexPairedAligner:
                         else:
                             for tk, tv in t.items():
                                 acc[i][tk] = acc[i].get(tk, 0) + tv
+                elif k == "anomalous_pairs":
+                    # counted on the MERGED template in _merge — a
+                    # per-group sum tallies one template per group
+                    continue
                 else:
                     merged[k] = merged.get(k, 0) + v
+        if getattr(self, "_anomalous", None) is not None:
+            merged["anomalous_pairs"] = self._anomalous
         return merged
 
     @property
@@ -381,10 +392,9 @@ class MultiIndexPairedAligner:
             aligned = out[f"aligned_{e}"].astype(bool)
             others_total = o.sum(0) + exp_lp.sum(0) \
                 - np.where(aligned, np.exp(best_lp), 0.0)
-            mq = np.asarray(quality.mapping_quality(
+            mq = quality.mapping_quality_f64(
                 np.where(aligned, best_lp, 0.0),
-                np.maximum(others_total, 0.0),
-                np.float64(rogs[e_idx])))
+                np.maximum(others_total, 0.0), rogs[e_idx])
             merged = np.clip(np.floor(mq), 0, cap).astype(np.int64)
             in_group = _pick_rows(results, f"frag_score_{e}", best_g)
             # in-group gate (dodgy / not well-anchored -> 0) wins
@@ -395,6 +405,11 @@ class MultiIndexPairedAligner:
         out["disjoined"] = (out["aligned_1"].astype(bool)
                             & out["aligned_2"].astype(bool)
                             & ~out["pair_resolved"].astype(bool))
+        # anomalous accounting happens on the MERGED template (per-group
+        # counts would tally one template once per group it aligns in)
+        both = out["aligned_1"].astype(bool) & out["aligned_2"].astype(bool)
+        self._anomalous = getattr(self, "_anomalous", 0) + int(
+            (both & ~out["proper_pair"].astype(bool)).sum())
         return out
 
     def align_results_many(self, batches):

@@ -28,7 +28,6 @@ from ..align import clippers
 from ..align.pipeline import compact_cand_result, pack_device_result
 from ..aligner import Aligner, PairedAligner, _pad_to_seed
 from ..io.fastq import ReadBatch
-from ..utils import tracing
 from .sharded import (GS_HALO, GenomeShards, ShardedIndexArrays, make_mesh,
                       place_genome_shards, place_sharded, shard_genome_planes,
                       shard_index, sharded_align_full,
@@ -185,15 +184,9 @@ class ShardedPairedAligner(PairedAligner):
         n = res["aligned_1"].shape[0]
         if not self._rescue_enabled():
             dis = res.get("disjoined")
-            n_skip = int(res["shadow_1"].sum() + res["shadow_2"].sum()
-                         + (dis.sum() if dis is not None else 0))
-            if n_skip:
-                if not self.finder_stats.get("rescue_skipped"):
-                    tracing.log(
-                        f"shadow rescue DISABLED: TLS window "
-                        f"{self._rescue_window()} exceeds max_rescue_window "
-                        f"{self.max_rescue_window}; orphaned mates stay "
-                        f"unaligned", force=True)
-                self.finder_stats["rescue_skipped"] = \
-                    self.finder_stats.get("rescue_skipped", 0) + n_skip
+            # count into the result — the ordered stats site
+            # (_record_stats) logs + tallies; this runs on finish workers
+            res["rescue_skipped_count"] = int(
+                res["shadow_1"].sum() + res["shadow_2"].sum()
+                + (dis.sum() if dis is not None else 0))
         return np.zeros(n, bool), np.zeros(n, bool)

@@ -47,15 +47,25 @@ def run(main, argv=None) -> int:
     """Execute a CLI main() mapping typed errors to exit codes + one
     clean stderr line (the reference's common::run catches, prints the
     exception type + what(), and exits non-zero instead of tracebacking).
-    Unexpected exceptions still traceback — those are bugs, not usage."""
+
+    Untyped ValueError/OSError map to exit 2 like IoException — they are
+    overwhelmingly bad inputs/flags in this codebase — but the full
+    traceback is preserved: printed when ISAAC_TPU_TRACEBACK=1 and
+    always mentioned so field failures stay diagnosable."""
+    import os
+    import traceback
     try:
         return int(main(argv) or 0)
     except IsaacError as e:
         print(f"{type(e).__name__}: {e}", file=sys.stderr)
         return e.exit_code
     except (ValueError, FileNotFoundError, OSError) as e:
-        # untyped host errors surface like IoException: one line, code 2
-        print(f"{type(e).__name__}: {e}", file=sys.stderr)
+        if os.environ.get("ISAAC_TPU_TRACEBACK"):
+            traceback.print_exc()
+        else:
+            print(f"{type(e).__name__}: {e}\n"
+                  f"(set ISAAC_TPU_TRACEBACK=1 for the full traceback)",
+                  file=sys.stderr)
         return 2
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)

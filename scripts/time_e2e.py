@@ -39,7 +39,15 @@ with open(td / "r1.fq", "w") as f:
                  for i in range(N_READS))
 fq2 = None
 if PAIRED:
+    # proper FR pairs: R1 forward at s, R2 = revcomp of the ~300bp
+    # fragment end — the SAME starts for both ends (bench.py semantics;
+    # unrelated starts would make every template disjoined and measure a
+    # pathological all-rescue workload)
     starts = rng.integers(0, GENOME_LEN - 500, N_READS)
+    r1 = genome.codes[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    with open(td / "r1.fq", "w") as f:
+        f.writelines(f"@r{i}\n{dna.decode(r1[i])}\n+\n{qs}\n"
+                     for i in range(N_READS))
     e2 = genome.codes[(starts + 300 - READ_LEN)[:, None]
                       + np.arange(READ_LEN)[None, :]]
     e2 = np.where(e2[:, ::-1] < 4, 3 - e2[:, ::-1],

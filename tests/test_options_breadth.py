@@ -136,3 +136,54 @@ def test_version_flag(capsys):
         cli_main(["--version"])
     assert e.value.code == 0
     assert "isaac_aligner_tpu" in capsys.readouterr().out
+
+
+def test_mapq_threshold_paired_seq_consistency(case, tmp_path):
+    """Dropped reverse-aligned templates must emit FORWARD seq with
+    FLAG_REVERSE clear (round-4 review finding)."""
+    from isaac_aligner_tpu import dna as _dna
+    td, seq = case
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    reads = []
+    for i in range(8):
+        p = 200 + i * 400
+        frag = seq[p : p + 300]
+        # heavy mutations keep MAPQ low but alignable
+        s1 = list(frag[:70])
+        for j in range(0, 70, 9):
+            s1[j] = "ACGT"[("ACGT".index(s1[j]) + 1) % 4]
+        reads.append(("".join(s1), rc(frag[-70:])))
+    with open(tmp_path / "p1.fq", "w") as f1, \
+         open(tmp_path / "p2.fq", "w") as f2:
+        for i, (a, b) in enumerate(reads):
+            f1.write(f"@m{i}\n{a}\n+\n{'I' * 70}\n")
+            f2.write(f"@m{i}\n{b}\n+\n{'I' * 70}\n")
+    out = tmp_path / "mqp"
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(td / "ref.fa"), output_dir=str(out),
+        fastq1=str(tmp_path / "p1.fq"), fastq2=str(tmp_path / "p2.fq"),
+        batch_size=8, realign_gaps="no", mapq_threshold=61))
+    wf.run()   # threshold 61 > cap drops EVERY template
+    _, _, recs = read_bam(out / "sorted.bam")
+    originals = {}
+    for i, (a, b) in enumerate(reads):
+        originals[(f"m{i}", True)] = a
+        originals[(f"m{i}", False)] = b
+    for r in recs:
+        assert r.flag & sam.FLAG_UNMAPPED
+        assert not (r.flag & sam.FLAG_REVERSE)
+        want = originals[(r.qname, bool(r.flag & sam.FLAG_READ1))]
+        assert r.seq == want, (r.qname, "seq must be the original forward read")
+
+
+def test_realigned_gaps_clamp(case, tmp_path):
+    """--realigned-gaps-per-fragment beyond the static slot capacity must
+    clamp (with a log), not crash the Build phase."""
+    td, _ = case
+    out = tmp_path / "clamp"
+    AlignWorkflow(WorkflowOptions(
+        reference=str(td / "ref.fa"), output_dir=str(out),
+        fastq1=str(td / "r1.fq"), batch_size=8,
+        realign_gaps="all", realigned_gaps_per_fragment=9)).run()
+    _, _, recs = read_bam(out / "sorted.bam")
+    assert recs
