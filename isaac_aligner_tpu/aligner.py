@@ -461,7 +461,7 @@ class PairedAligner:
         # copies stay for polish + rescue
         out = _paired_packed_jit(
             self.arrays, orig[0][0], orig[0][1], orig[1][0], orig[1][1],
-            self.cfg, self.tls,
+            self.cfg, self._batch_tls(b1),
             trims[0].astype(np.int32), trims[1].astype(np.int32),
             b1.lengths.astype(np.int32), b2.lengths.astype(np.int32))
         self._t("dispatch", _time.perf_counter() - t0)
@@ -564,24 +564,30 @@ class PairedAligner:
         tracing.trace_batch(b1.names, res, "_1")
         tracing.trace_batch(b2.names, res, "_2")
 
-    def _rescue_tls(self) -> TlsStatic:
+    def _batch_tls(self, b1) -> TlsStatic:
+        """The TLS model for one batch: a per-tile hint riding the batch
+        (--per-tile-tls attaches it in the workflow feed — deterministic,
+        unlike mutating self.tls mid-pipeline) or the global model."""
+        return getattr(b1, "tls_hint", None) or self.tls
+
+    def _rescue_tls(self, tls: TlsStatic | None = None) -> TlsStatic:
         """TLS used for the rescue window: --shadow-scan-range >= 0 clamps
         the scan to median +- range without touching the pairing model."""
+        t = tls or self.tls
         if self.shadow_scan_range < 0:
-            return self.tls
-        t = self.tls
+            return t
         return dataclasses.replace(
             t, mate_min=max(t.mate_min, t.median - self.shadow_scan_range),
             mate_max=min(t.mate_max, t.median + self.shadow_scan_range))
 
-    def _rescue_window(self) -> int:
+    def _rescue_window(self, tls: TlsStatic | None = None) -> int:
         from .align.pairs import quantize_rescue_window
-        t = self._rescue_tls()
+        t = self._rescue_tls(tls)
         w = t.mate_max - t.mate_min + 1
         return quantize_rescue_window(w, self.max_rescue_window)
 
     def _run_rescue_chunks(self, res, rows, orphan_end, shadow_batch,
-                           read_lengths, window):
+                           read_lengths, window, tls: TlsStatic):
         """Run the rescue kernel over `rows` in fixed-capacity chunks;
         returns concatenated per-row output arrays."""
         cap = self.rescue_capacity
@@ -595,7 +601,7 @@ class PairedAligner:
             sb = shadow_batch.bases[rr]
             sq = shadow_batch.quals[rr]
             packed, handle = _rescue_jit(
-                self.arrays, self.cfg, self._rescue_tls(), orphan_end - 1,
+                self.arrays, self.cfg, self._rescue_tls(tls), orphan_end - 1,
                 read_lengths, o_start, o_rev, sb, sq, window)
             out = unpack_device_result(result_spec(handle),
                                        jax.device_get(packed))
@@ -617,7 +623,8 @@ class PairedAligner:
         semialigned clip covers them)."""
         n_rows = res["aligned_1"].shape[0]
         rescued = {1: np.zeros(n_rows, bool), 2: np.zeros(n_rows, bool)}
-        window = self._rescue_window()
+        tls = self._batch_tls(b1)
+        window = self._rescue_window(tls)
         disjoined = res.get("disjoined")
         if disjoined is None:
             disjoined = np.zeros(n_rows, bool)
@@ -637,9 +644,10 @@ class PairedAligner:
                 continue
             shadow_batch = b1 if shadow_end == 1 else b2
             out = self._run_rescue_chunks(res, rows, orphan_end,
-                                          shadow_batch, read_lengths, window)
+                                          shadow_batch, read_lengths,
+                                          window, tls)
             hit = self._merge_rescue(res, rows, shadow_end, orphan_end,
-                                     out, read_lengths)
+                                     out, read_lengths, tls)
             rescued[shadow_end][hit] = True
 
         d_rows = np.nonzero(disjoined)[0]
@@ -651,7 +659,7 @@ class PairedAligner:
                 shadow_batch = b1 if shadow_end == 1 else b2
                 o = self._run_rescue_chunks(res, d_rows, orphan_end,
                                             shadow_batch, read_lengths,
-                                            window)
+                                            window, tls)
                 outs[orphan_end] = o
                 mm_o = res[f"mismatches_{orphan_end}"][d_rows].astype(np.float64)
                 lp_o = res[f"log_prob_{orphan_end}"][d_rows].astype(np.float64)
@@ -665,14 +673,15 @@ class PairedAligner:
                 o["found"] = o["found"] & sel_dir
                 shadow_end = 3 - orphan_end
                 hit = self._merge_rescue(res, d_rows, shadow_end, orphan_end,
-                                         o, read_lengths)
+                                         o, read_lengths, tls)
                 rescued[shadow_end][hit] = True
                 disjoined[hit] = False
             res["disjoined"] = disjoined
         return rescued[1], rescued[2]
 
     def _merge_rescue(self, res, rows, shadow_end, orphan_end, out,
-                      read_lengths) -> np.ndarray:
+                      read_lengths, tls: TlsStatic | None = None
+                      ) -> np.ndarray:
         found = out["found"]
         hit = rows[found]
         if hit.size == 0:
@@ -692,7 +701,7 @@ class PairedAligner:
         res["frag_score" + se][hit] = score
         res["template_score"][hit] = score
         # pair geometry
-        s = self.tls.to_stats()
+        s = (tls or self.tls).to_stats()
         p1 = res["start_1"][hit]; p2 = res["start_2"][hit]
         r1 = res["reverse_1"][hit]; r2 = res["reverse_2"][hit]
         model = tls_mod.alignment_model(p1, r1, p2, r2)

@@ -118,6 +118,7 @@ def _cmd_align(args) -> int:
         bam_header_tags=tuple(
             t.replace("\\t", "\t") for t in (args.bam_header_tag or ())),
         compression_level=args.bam_gzip_level,
+        per_tile_tls=bool(args.per_tile_tls),
         input_parallel_load=args.input_parallel_load,
         output_parallel_save=args.output_parallel_save,
         **({"qscore_bin_values": args.qscore_bin_values}
@@ -288,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
                          "tab (repeatable; manual.md:277-278)")
     al.add_argument("--bam-gzip-level", type=int, default=1,
                     help="BGZF compression level of the output BAM")
+    al.add_argument("--per-tile-tls", type=int, default=0, choices=(0, 1),
+                    help="recompute template-length statistics per tile "
+                         "(BCL inputs; one extra stream pass)")
     al.add_argument("--input-parallel-load", type=int, default=2,
                     help="input parse prefetch depth (reference IO "
                          "thread knob)")

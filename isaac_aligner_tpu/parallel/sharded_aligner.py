@@ -121,20 +121,21 @@ class ShardedPairedAligner(PairedAligner):
         return ShardedPairedAligner(**_base_kwargs(base), mesh=mesh,
                                     sharded=sharded, genome_shards=gs)
 
-    def _rescue_enabled(self) -> bool:
-        return self._rescue_window() <= self.max_rescue_window
+    def _rescue_enabled(self, tls=None) -> bool:
+        return self._rescue_window(tls) <= self.max_rescue_window
 
-    def _ensure_step(self):
+    def _ensure_step(self, tls=None):
         """(Re)build the jitted SPMD step only when the SHAPE-setting
         parameters change: the quantized rescue window and the rescue
         on/off switch.  The TLS fields themselves ride through as a
         traced pytree — a new learned model reuses the executable (the
         round-3 design re-jitted on every TLS change)."""
-        rescue = self._rescue_enabled()
-        window = self._rescue_window() if rescue else 0
+        rescue = self._rescue_enabled(tls)
+        window = self._rescue_window(tls) if rescue else 0
         key = (window, rescue)
-        if self._step is not None and self._step_key == key:
-            return self._step
+        steps = self.__dict__.setdefault("_steps", {})
+        if key in steps:
+            return steps[key]
         mesh, cfg = self.mesh, self.cfg
         if rescue and self.genome_shards is not None:
             # each shard's halo must cover the whole rescue span
@@ -152,11 +153,13 @@ class ShardedPairedAligner(PairedAligner):
 
         self._step = jax.jit(step)
         self._step_key = key
+        steps[key] = self._step
         return self._step
 
     def _dispatch(self, b1: ReadBatch, b2: ReadBatch):
         _check_rows(b1.bases.shape[0], self.mesh)
-        step = self._ensure_step()
+        btls = self._batch_tls(b1)
+        step = self._ensure_step(btls)
         masked = []
         orig = []
         trims = []
@@ -168,7 +171,7 @@ class ShardedPairedAligner(PairedAligner):
             masked.append(ReadBatch(b.names, bases, quals, b.lengths))
             orig.append(_pad_to_seed(b.bases, b.quals, self.cfg.seed_len))
             trims.append(t)
-        out = step(self.sharded, self.tls, self._rescue_tls(), orig[0][0],
+        out = step(self.sharded, btls, self._rescue_tls(btls), orig[0][0],
                    orig[0][1], orig[1][0], orig[1][1],
                    trims[0].astype(np.int32), trims[1].astype(np.int32),
                    b1.lengths.astype(np.int32), b2.lengths.astype(np.int32),
@@ -182,7 +185,7 @@ class ShardedPairedAligner(PairedAligner):
         max_rescue_window the device skipped rescue too: count the
         stranded shadows exactly like the host path."""
         n = res["aligned_1"].shape[0]
-        if not self._rescue_enabled():
+        if not self._rescue_enabled(self._batch_tls(b1)):
             dis = res.get("disjoined")
             # count into the result — the ordered stats site
             # (_record_stats) logs + tallies; this runs on finish workers

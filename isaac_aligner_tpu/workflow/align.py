@@ -191,6 +191,11 @@ class WorkflowOptions:
     # window of the ordered convert/serialize stages)
     input_parallel_load: int = 2
     output_parallel_save: int = 2
+    # reference --per-tile-tls (=0): recompute template-length statistics
+    # per tile instead of one run-global model (manual.md); BCL inputs
+    # only — the TLS phase makes one extra pass over the tiles and the
+    # per-batch model rides each batch as a hint (deterministic)
+    per_tile_tls: bool = False
 
     def qscore_table(self) -> "np.ndarray | None":
         """64-entry quality remap table from --qscore-bin-values."""
@@ -337,6 +342,10 @@ class AlignWorkflow:
         doc = {"state": self.state, "stats": self._stats}
         if self.tls is not None:
             doc["tls"] = dataclasses.asdict(self.tls)
+        by_tile = getattr(self, "tls_by_tile", None)
+        if by_tile:
+            doc["tls_by_tile"] = {f"{k[0]}:{k[1]}": v
+                                  for k, v in by_tile.items()}
         self.state_file.write_text(json.dumps(doc, indent=2))
 
     def load_state(self) -> None:
@@ -346,6 +355,9 @@ class AlignWorkflow:
             self._stats = doc.get("stats", {})
             if "tls" in doc:
                 self.tls = TlsStatic(**doc["tls"])
+            if "tls_by_tile" in doc:
+                self.tls_by_tile = {tuple(k.split(":")): v
+                                    for k, v in doc["tls_by_tile"].items()}
 
     def rewind(self, start_from: str) -> None:
         """Reference AlignWorkflow::rewind — drop back to an earlier state."""
@@ -524,6 +536,44 @@ class AlignWorkflow:
         self.tls = aligner.learn_tls(learn)
         self._apply_mate_drift()
         self._stats["tls"] = dataclasses.asdict(self.tls)
+        if o.per_tile_tls and o.run_folder:
+            self._learn_per_tile_tls(aligner)
+
+    @staticmethod
+    def _tile_key_of(name: str) -> tuple[str, str] | None:
+        """(lane, tile) from an Illumina read name, or None."""
+        parts = name.split(":")
+        return (parts[3], parts[4]) if len(parts) >= 5 else None
+
+    def _learn_per_tile_tls(self, aligner) -> None:
+        """--per-tile-tls: one extra pass over the (tile-ordered) BCL
+        stream learning a model per tile from its first tls_batches
+        batches (reference: MatchSelector::determineTemplateLength runs
+        per tile, MatchSelector.cpp:188-256).  Tiles whose model does not
+        stabilize fall back to the global model at align time."""
+        o = self.opts
+        by_tile: dict = {}
+        cur = None
+        collected: list = []
+
+        def finish(key, batches):
+            if key is None or not batches:
+                return
+            stats = aligner.learn_tls(batches)
+            by_tile[key] = dataclasses.asdict(aligner.tls)
+            del stats
+
+        for b1, b2, _bc in self._batch_stream():
+            key = self._tile_key_of(b1.names[0])
+            if key != cur:
+                finish(cur, collected)
+                cur, collected = key, []
+            if len(collected) < o.tls_batches:
+                collected.append((b1, b2))
+        finish(cur, collected)
+        self.tls_by_tile = by_tile
+        self._stats["tls_per_tile"] = {f"{k[0]}:{k[1]}": v
+                                       for k, v in by_tile.items()}
 
     def _align_config(self, read_len: int, index: SeedIndex) -> AlignConfig:
         o = self.opts
@@ -642,6 +692,8 @@ class AlignWorkflow:
         sidecar: deque = deque()
         t_host = {"parse": 0.0, "convert": 0.0}
 
+        tls_by_tile = getattr(self, "tls_by_tile", None)
+
         def feed():
             it = iter(stream)
             while True:
@@ -653,6 +705,11 @@ class AlignWorkflow:
                 b1, b2, bc = nxt
                 valid = [nm for nm in b1.names if not nm.startswith("__pad")]
                 sidecar.append((bc, valid))
+                if tls_by_tile and paired:
+                    key = self._tile_key_of(b1.names[0])
+                    doc = tls_by_tile.get(key)
+                    if doc is not None:
+                        b1.tls_hint = TlsStatic(**doc)
                 yield (b1, b2) if paired else b1
 
         def aux_for(bc_bases, valid_names):

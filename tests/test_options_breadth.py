@@ -187,3 +187,55 @@ def test_realigned_gaps_clamp(case, tmp_path):
         realign_gaps="all", realigned_gaps_per_fragment=9)).run()
     _, _, recs = read_bam(out / "sorted.bam")
     assert recs
+
+
+def test_per_tile_tls(tmp_path):
+    """--per-tile-tls learns a model per BCL tile; tiles with different
+    insert sizes get different windows and both align as proper pairs."""
+    from isaac_aligner_tpu import dna as _dna
+    from isaac_aligner_tpu.io import bcl
+
+    rng = np.random.default_rng(31)
+    seq_codes = rng.integers(0, 4, 30000).astype(np.uint8)
+    (tmp_path / "ref.fa").write_text(
+        ">cT\n" + "".join("ACGT"[i] for i in seq_codes) + "\n")
+    n_cycles = 60
+
+    def tile_segments(tlen_mean, n=64):
+        r1 = np.zeros((n, n_cycles), np.uint8)
+        r2 = np.zeros((n, n_cycles), np.uint8)
+        for i in range(n):
+            p = int(rng.integers(100, 29000))
+            t = tlen_mean + int(rng.integers(-10, 11))
+            r1[i] = seq_codes[p : p + n_cycles]
+            m = seq_codes[p + t - n_cycles : p + t]
+            r2[i] = np.where(m[::-1] < 4, 3 - m[::-1], m[::-1])
+        q = np.full((n, n_cycles), 35, np.uint8)
+        return [(r1, q), (r2, q)]
+
+    info = bcl.RunInfo(
+        instrument="M", run_number="1", flowcell="FC",
+        reads=[bcl.ReadSegment(number=1, num_cycles=n_cycles,
+                               is_indexed=False),
+               bcl.ReadSegment(number=2, num_cycles=n_cycles,
+                               is_indexed=False)],
+        lane_count=1)
+    # tile 1101: ~200bp inserts; tile 1102: ~400bp inserts
+    bcl.write_run_folder(tmp_path / "run", info, lane=1, tile=1101,
+                         segments=tile_segments(200))
+    bcl.write_run_folder(tmp_path / "run", info, lane=1, tile=1102,
+                         segments=tile_segments(400))
+
+    out = tmp_path / "ptt"
+    wf = AlignWorkflow(WorkflowOptions(
+        reference=str(tmp_path / "ref.fa"), output_dir=str(out),
+        run_folder=str(tmp_path / "run"), batch_size=32,
+        realign_gaps="no", per_tile_tls=True, tls_batches=2))
+    wf.run()
+    per_tile = wf._stats.get("tls_per_tile", {})
+    assert set(per_tile) == {"1:1101", "1:1102"}
+    assert per_tile["1:1101"]["max"] < per_tile["1:1102"]["min"], per_tile
+    _, _, recs = read_bam(out / "sorted.bam")
+    proper = [r for r in recs if r.flag & sam.FLAG_PROPER_PAIR]
+    # both tiles' pairs are proper under their OWN models
+    assert len(proper) >= 0.9 * len(recs), (len(proper), len(recs))
