@@ -50,10 +50,11 @@ VPU-COMPUTE-bound, not HBM-bound:
   (no double-rate int16 lanes on the VPU, unlike the reference's SSE2
   epi16 path which packs 8 lanes/xmm, BandedSmithWaterman.cpp).
 * Measured (bench.py sw_gcups section, chained-slope methodology):
-  ~67-73 GCUPS => ~0.8x of the issue bound.  The residual gap is
-  Mosaic scheduling of the cross-sublane rolls (every shift_down/up is
-  a real shuffle op) — already minimized by keeping the band on the
-  sublane axis and pairs on lanes.
+  67-82 GCUPS across runs (81.6 in the round-4 bench) => up to ~0.96x
+  of the issue bound.  The residual gap is Mosaic scheduling of the
+  cross-sublane rolls (every shift_down/up is a real shuffle op) —
+  already minimized by keeping the band on the sublane axis and pairs
+  on lanes.
 * Context: the reference's SSE2 kernel retires ~1 cell/cycle/core in
   the best case (~3 GCUPS on a 24-core node); one v5e chip at 70 GCUPS
   is ~23x a full reference node on this kernel.
