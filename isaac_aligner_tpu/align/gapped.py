@@ -9,7 +9,11 @@ ungapped one when its normalized SW score is better (reference
 FragmentBuilder update rule).  The reference's 7-mer-hash
 `makesSenseToGapAlign` pre-filter (GappedAligner.cpp:59-165) exists to
 save CPU; the TPU kernel is cheap enough to run on every triggered row,
-which is strictly more sensitive.
+which is strictly more sensitive.  With --avoid-smith-waterman the
+pre-filter IS applied (makes_sense_to_gap_align below, same 7-mer /
+8-hits / two-confirmed-offsets rule) — on the TPU pipeline its value is
+saving the HOST traceback/rescore work and device round-trips, not the
+DP itself.
 
 This stage runs as a host-orchestrated post-pass over the batch result
 dict (same pattern as shadow rescue): trigger rows are compacted, padded
@@ -171,11 +175,50 @@ def rescore_cigar(genome_codes, start, seq, quals, cigar,
     return lp, nmm, edit, norm
 
 
+#: makes_sense_to_gap_align constants (GappedAligner.hh:59,75)
+_HASH_K = 7
+_SUFFICIENT_HITS = 8
+
+
+def makes_sense_to_gap_align(q: np.ndarray, db: np.ndarray,
+                             k: int = _HASH_K,
+                             sufficient: int = _SUFFICIENT_HITS) -> bool:
+    """Reference GappedAligner::makesSenseToGapAlign (GappedAligner.cpp:
+    88-165): hash the query's k-mers to their (unique) offsets, walk the
+    database window's k-mers, and accumulate votes for each implied
+    query-vs-database shift.  SW can only improve the alignment when TWO
+    distinct shifts each collect `sufficient` k-mer votes — i.e. the
+    sequence pair shows evidence of a gap.  Vectorized numpy (sliding
+    windows + bincount) instead of the reference's per-base hash loop."""
+    if len(q) < k or len(db) < k:
+        return False
+    w = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    qwin = np.lib.stride_tricks.sliding_window_view(q, k)
+    dwin = np.lib.stride_tricks.sliding_window_view(db, k)
+    q_n = (qwin >= 4).any(axis=1)
+    d_n = (dwin >= 4).any(axis=1)
+    qk = (np.minimum(qwin, 3).astype(np.int64) * w).sum(axis=1)
+    dk = (dwin.astype(np.int64) * w).sum(axis=1)
+    # unique query offset per k-mer; repeats poison the entry (-2)
+    offsets = np.full(4 ** k, -1, np.int64)
+    for i in np.nonzero(~q_n)[0]:
+        key = qk[i]
+        offsets[key] = i if offsets[key] == -1 else -2
+    qoff = offsets[dk]
+    ok = (qoff >= 0) & ~d_n
+    if not ok.any():
+        return False
+    shifts = np.nonzero(ok)[0] - qoff[ok]      # db offset - query offset
+    counts = np.bincount(shifts - shifts.min())
+    return int((counts >= sufficient).sum()) >= 2
+
+
 def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
                   bases: np.ndarray, suffix: str = "",
                   trigger: int = MISMATCHES_CUTOFF,
                   quals: np.ndarray | None = None,
-                  block: int = 512, gs: GapScoring = BWA) -> None:
+                  block: int = 512, gs: GapScoring = BWA,
+                  avoid_sw: bool = False) -> None:
     """Re-align triggered rows with banded SW; mutate `res` in place.
 
     res must carry (with `suffix`): aligned, start, reverse, mismatches,
@@ -215,8 +258,12 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
             q = np.where(q < 4, 3 - q, q)
         else:
             q = bases[r]
-        queries.append(q.astype(np.int32))
-        dbs.append(db.astype(np.int32))
+        q = q.astype(np.int32)
+        db = db.astype(np.int32)
+        if avoid_sw and not makes_sense_to_gap_align(q, db):
+            continue  # --avoid-smith-waterman: no gap evidence
+        queries.append(q)
+        dbs.append(db)
         metas.append((int(r), win_start, left))
     if not metas:
         return

@@ -39,7 +39,7 @@ import numpy as np
 from .. import dna
 from ..ops import bitops
 from . import quality
-from .pipeline import AlignConfig, IndexArrays
+from .pipeline import AlignConfig, IndexArrays, scatter_hash
 from .tls import TEMPLATE_LENGTH_THRESHOLD, TemplateLengthStatistics
 
 
@@ -150,7 +150,18 @@ def resolve_pairs(cfg: AlignConfig, tls: TlsStatic, end1: dict, end2: dict,
     total_prob = jnp.sum(prob, axis=(1, 2))
     key = jnp.where(match, pair_sw.astype(jnp.float32) * jnp.float32(1e5) - pair_lp,
                     jnp.float32(jnp.inf)).reshape(b, c1 * c2)
-    best_flat = jnp.argmin(key, axis=1)
+    if cfg.scatter_repeats:
+        # --scatter-repeats (manual.md:503): exact-tie repeat pairs pick
+        # by per-(read, start1, start2) hash instead of lowest position
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        tie = jnp.isfinite(key) & (key <= kmin)
+        row = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+        h = scatter_hash(jnp.broadcast_to(row, match.shape),
+                         jnp.broadcast_to(p1, match.shape),
+                         jnp.broadcast_to(p2, match.shape)).reshape(b, -1)
+        best_flat = jnp.argmax(jnp.where(tie, h, -1), axis=1)
+    else:
+        best_flat = jnp.argmin(key, axis=1)
     i1 = best_flat // c2
     i2 = best_flat % c2
     resolved = jnp.any(match.reshape(b, -1), axis=1)

@@ -145,6 +145,19 @@ class AlignConfig:
     # reads can also be marked unaligned entirely ("Unaligned")
     dodgy_mapq: int = 0
     dodgy_unaligned: bool = False
+    # reference --ignore-neighbors (manual.md:403): when set, hits from
+    # neighbor-annotated k-mers count as clean anchors anyway (the
+    # default treats them as unanchoring, FragmentMetadata::isWellAnchored)
+    ignore_neighbors: bool = False
+    # reference --ignore-repeats (manual.md:405): when set, seeds whose
+    # exact k-mer is a suppressed repeat still enter the inexact
+    # (neighbor Hamming<=1) matching pass instead of being blocked
+    ignore_repeats: bool = False
+    # reference --scatter-repeats (manual.md:503): when set, exact
+    # score ties between repeat placements break on a per-(read, start)
+    # hash instead of always taking the lowest genome position, so
+    # repeat piles spread across the copies (deterministic per batch)
+    scatter_repeats: bool = False
     # on-device 3' quality trimming (reference trimLowQualityEnds,
     # Quality.cpp:72-120): 0 disables.  When set, the device program masks
     # low-quality tails itself (identical math to the host
@@ -360,6 +373,22 @@ def seed_table(read_len: int, cfg: AlignConfig) -> list[tuple[int, int]]:
     return seed_list
 
 
+def scatter_hash(row, pos, extra=None):
+    """Deterministic per-(read, placement) uint32 mix for
+    --scatter-repeats tie-breaking (manual.md:503).  int32 inputs;
+    splitmix-style multiply/xor-shift finisher so adjacent repeat copies
+    get uncorrelated ranks.  Returns int32 >= 0 (top bit cleared) so the
+    argmax sentinel -1 never collides."""
+    h = row.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = h ^ (pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    if extra is not None:
+        h = h ^ (extra.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> jnp.uint32(12))
+    return (h & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
 def _finder_stats_from_diag(diag: dict) -> dict:
     """MatchFinderStats analog (lib/statistics): per-batch seed outcome
     tallies — exact-miss / repeat-suppressed counts + pass-2 volumes."""
@@ -458,7 +487,7 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
     # anchoring confidence: a hit from a k-mer WITHOUT genomic neighbors
     # is a clean anchor (reference FragmentMetadata::isWellAnchored)
     hit_nb = arrays.has_neighbors[jnp.minimum(hit_idx, arrays.key_hi.shape[0] - 1)]
-    clean = hit_valid & (hit_nb == 0)
+    clean = hit_valid if cfg.ignore_neighbors else hit_valid & (hit_nb == 0)
 
     # candidates may overhang a contig edge by up to max_over bases; the
     # scorer masks out-of-contig positions and the host soft-clips them
@@ -539,7 +568,11 @@ def find_seed_hits(arrays: IndexArrays, cfg: AlignConfig, bases):
         p_begin, p_count = search.sorted_prefix_range(
             arrays.key_hi, arrays.key_lo, q_hi, arrays.n_real)
         scan = cfg.neighbor_scan_cap
-        eligible = (eff == 0) & ~too_many & ~seed_has_n & \
+        # --ignore-repeats: repeat-suppressed exact matches don't block
+        # the inexact pass (manual.md:405)
+        not_blocked = (jnp.ones_like(too_many) if cfg.ignore_repeats
+                       else ~too_many)
+        eligible = (eff == 0) & not_blocked & ~seed_has_n & \
             (p_count > 0) & \
             (p_count <= min(cfg.neighborhood_size_threshold, scan))
         r2 = jnp.arange(scan, dtype=jnp.int32)
@@ -1108,7 +1141,17 @@ def finalize_single_end(arrays: IndexArrays, cfg: AlignConfig, bases, quals,
     order_key = jnp.where(cand_valid,
                           mismatches.astype(jnp.float32) * jnp.float32(1e6) - log_prob,
                           jnp.float32(jnp.inf))
-    best = jnp.argmin(order_key, axis=1)                         # [B]
+    if cfg.scatter_repeats:
+        # exact-tie placements (identical repeat copies score bitwise
+        # equal) pick by hash instead of lowest genome position
+        kmin = jnp.min(order_key, axis=1, keepdims=True)
+        tie = cand_valid & (order_key <= kmin)
+        row = jnp.arange(order_key.shape[0], dtype=jnp.int32)[:, None]
+        h = scatter_hash(jnp.broadcast_to(row, cand_start.shape),
+                         cand_start, cand_orient)
+        best = jnp.argmax(jnp.where(tie, h, -1), axis=1)
+    else:
+        best = jnp.argmin(order_key, axis=1)                     # [B]
     take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
 
     aligned = jnp.any(cand_valid, axis=1)

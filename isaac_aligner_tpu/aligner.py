@@ -128,6 +128,9 @@ class Aligner:
     # reference --gapped-mismatches (=5): ungapped mismatch count that
     # triggers the banded-SW polish (GappedAligner mismatchesCutoff)
     gapped_mismatches: int = 5
+    # reference --avoid-smith-waterman (manual.md:272): apply the 7-mer
+    # two-confirmed-offsets pre-filter before SW polish
+    avoid_smith_waterman: bool = False
     # reference --semialigned-gap-limit (=100; 0 disables): long-indel
     # polish gap bound (SimpleIndelAligner semialignedGapLimit)
     semialigned_gap_limit: int = 100
@@ -202,7 +205,8 @@ class Aligner:
             from .align.indel import polish_simple_indels
             polish_gapped(self.index, self.cfg, res, bases, quals=quals,
                           gs=self.gap_scoring,
-                          trigger=self.gapped_mismatches)
+                          trigger=self.gapped_mismatches,
+                          avoid_sw=self.avoid_smith_waterman)
             polish_simple_indels(self.index, self.cfg, res, bases, quals=quals,
                                  gs=self.gap_scoring,
                                  trigger=max(6, self.gapped_mismatches + 1),
@@ -373,9 +377,11 @@ class PairedAligner:
     # reference --shadow-scan-range (=-1): -1 scans the full template
     # min..max window; >=0 scans median +- range (manual.md:524-527)
     shadow_scan_range: int = -1
-    # reference --gapped-mismatches / --semialigned-gap-limit (see Aligner)
+    # reference --gapped-mismatches / --semialigned-gap-limit /
+    # --avoid-smith-waterman (see Aligner)
     gapped_mismatches: int = 5
     semialigned_gap_limit: int = 100
+    avoid_smith_waterman: bool = False
     # clipping options (reference defaults: AlignOptions.cpp:109,119-120)
     base_quality_cutoff: int = 25
     clip_semialigned: bool = True
@@ -514,9 +520,11 @@ class PairedAligner:
         trig = self.gapped_mismatches
         itrig = max(6, trig + 1)
         polish_gapped(self.index, self.cfg, res, m1.bases, "_1",
-                      quals=m1.quals, gs=gs, trigger=trig)
+                      quals=m1.quals, gs=gs, trigger=trig,
+                      avoid_sw=self.avoid_smith_waterman)
         polish_gapped(self.index, self.cfg, res, m2.bases, "_2",
-                      quals=m2.quals, gs=gs, trigger=trig)
+                      quals=m2.quals, gs=gs, trigger=trig,
+                      avoid_sw=self.avoid_smith_waterman)
         polish_simple_indels(self.index, self.cfg, res, m1.bases, "_1",
                              quals=m1.quals, gs=gs, trigger=itrig,
                              max_gap=self.semialigned_gap_limit)

@@ -378,7 +378,8 @@ def _eval_choices(seq_rows, gpos, glen, gins, n_gaps, start, read_span,
 
 
 def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None,
-                  max_gaps: int = MAX_GAPS_AT_A_TIME) -> int:
+                  max_gaps: int = MAX_GAPS_AT_A_TIME,
+                  realign_dodgy: bool = True) -> int:
     """Gap-realign a FragmentBatch in place — fully columnar.
 
     Reference semantics (GapRealigner.cpp:494-1053) preserved exactly
@@ -413,6 +414,12 @@ def realign_batch(fb, genome: Genome, scope_rows: np.ndarray | None = None,
     sub_mask[rows] = True
     mapped = sub_mask & (~(fb.flag & sam_mod.FLAG_UNMAPPED).astype(bool)) \
         & (fb.ref_id >= 0) & (fb.n_cigar > 0)
+    if not realign_dodgy:
+        # reference --realign-dodgy=0 (manual.md:467): records without
+        # an alignment score (SM absent — untrackable repeat placements)
+        # are NOT realigned against gaps found in other reads; they
+        # still DONATE their gaps below
+        mapped = mapped & (fb.sm != R._ABSENT)
 
     # donor rows: any I/D op inside the cigar
     c = fb.cigar_ops.shape[1]

@@ -510,7 +510,7 @@ class BinnedFragmentStore:
     def __init__(self, bins_dir: str | Path, contig_offsets: np.ndarray,
                  genome_bp: int, n_bins: int,
                  boundaries: np.ndarray | None = None,
-                 ram_cache_records: int = 0):
+                 ram_cache_records: int = 0, pre_sort: bool = False):
         self.dir = Path(bins_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.offsets = contig_offsets
@@ -531,6 +531,10 @@ class BinnedFragmentStore:
         self._cache_cap = ram_cache_records
         self._cache: dict[str, list] | None = \
             {} if ram_cache_records > 0 else None
+        # reference --pre-sort-bins (manual.md:457): position-sort each
+        # chunk at write time so Build-phase bin sorts see nearly-sorted
+        # input (final output is identical either way)
+        self._pre_sort = pre_sort
 
     def add(self, fb: FragmentBatch) -> None:
         if len(fb) == 0:
@@ -542,6 +546,10 @@ class BinnedFragmentStore:
             rows = np.nonzero(bins == b)[0]
             sub = fb.take(rows)
             name = "unaligned" if b == self.n_bins else f"bin_{int(b):05d}"
+            if self._pre_sort and b != self.n_bins:
+                order = np.lexsort((sub.pos, sub.ref_id))
+                if not np.array_equal(order, np.arange(len(sub))):
+                    sub = sub.take(order)
             d = self.dir / name
             d.mkdir(exist_ok=True)
             sub.save(d / f"chunk_{self._chunk:06d}.cols")

@@ -121,6 +121,26 @@ def _cmd_align(args) -> int:
         per_tile_tls=bool(args.per_tile_tls),
         input_parallel_load=args.input_parallel_load,
         output_parallel_save=args.output_parallel_save,
+        ignore_neighbors=bool(args.ignore_neighbors),
+        ignore_repeats=bool(args.ignore_repeats),
+        scatter_repeats=bool(args.scatter_repeats),
+        avoid_smith_waterman=bool(args.avoid_smith_waterman),
+        realign_dodgy=bool(args.realign_dodgy),
+        realign_vigorously=bool(args.realign_vigorously),
+        cleanup_intermediary=bool(args.cleanup_intermediary),
+        memory_control=args.memory_control,
+        allow_empty_flowcells=bool(args.allow_empty_flowcells),
+        lane_number_max=args.lane_number_max,
+        bam_pu_format=args.bam_pu_format,
+        reference_name=args.reference_name,
+        description=args.description,
+        stats_image_format=args.stats_image_format,
+        expected_bgzf_ratio=args.expected_bgzf_ratio,
+        buffer_bins=bool(args.buffer_bins),
+        pre_sort_bins=bool(args.pre_sort_bins),
+        base_calls_format=args.base_calls_format,
+        clusters_at_a_time=args.clusters_at_a_time,
+        tiles_regex=args.tiles,
         **({"qscore_bin_values": args.qscore_bin_values}
            if args.qscore_bin_values else {}),
     )
@@ -130,6 +150,33 @@ def _cmd_align(args) -> int:
     print(f"workflow finished at state {wf.state}; output in "
           f"{args.output_directory}")
     return 0
+
+
+class _HelpDefaults(argparse.Action):
+    """reference --help-defaults (manual.md:394): tab-delimited
+    option\tdefault listing."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        for a in parser._actions:
+            if a.option_strings and not isinstance(
+                    a, (argparse._HelpAction, _HelpDefaults, _HelpMd)):
+                print(f"{a.option_strings[-1]}\t{a.default}")
+        parser.exit()
+
+
+class _HelpMd(argparse.Action):
+    """reference --help-md (manual.md:396): markdown help section."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(f"## {parser.prog} options\n")
+        for a in parser._actions:
+            if not a.option_strings:
+                continue
+            names = ", ".join(f"`{o}`" for o in a.option_strings)
+            default = "" if a.default in (None, argparse.SUPPRESS) \
+                else f" (default: `{a.default}`)"
+            print(f"- {names}{default} — {a.help or ''}")
+        parser.exit()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -298,6 +345,87 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--output-parallel-save", type=int, default=2,
                     help="in-flight window of the ordered convert/"
                          "serialize stages")
+    al.add_argument("--ignore-neighbors", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: hits from neighbor-annotated k-mers count "
+                         "as clean anchors anyway (manual.md:403)")
+    al.add_argument("--ignore-repeats", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: repeat-suppressed exact matches don't "
+                         "block inexact seed matching (manual.md:405)")
+    al.add_argument("--scatter-repeats", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: spread exact-score-tie repeat placements "
+                         "by per-read hash instead of piling them on "
+                         "the first copy (manual.md:503)")
+    al.add_argument("--avoid-smith-waterman", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: skip gapped realignment of sequences with "
+                         "no k-mer evidence of a gap (manual.md:272)")
+    al.add_argument("--realign-dodgy", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: also realign score-less (dodgy) reads "
+                         "against known gaps (manual.md:467)")
+    al.add_argument("--realign-vigorously", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: feed realignment results back into gap "
+                         "harvest and realign again (manual.md:477)")
+    al.add_argument("--cleanup-intermediary", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: erase Temp bin chunks once the Build phase "
+                         "consumed them (manual.md:329)")
+    al.add_argument("--memory-control", default="off",
+                    choices=("off", "warning", "strict"),
+                    help="behavior when the bin-budget audit trips: "
+                         "strict fails the run (manual.md:429)")
+    al.add_argument("--allow-empty-flowcells", type=int, default=0,
+                    choices=(0, 1),
+                    help="1: inputs with no reads produce a valid empty "
+                         "BAM instead of failing (manual.md:271)")
+    al.add_argument("--lane-number-max", type=int, default=8,
+                    help="highest lane scanned when --fastq1 names a "
+                         "base-calls directory of lane<N>_read<R>."
+                         "fastq[.gz] files (manual.md:419)")
+    al.add_argument("--bam-pu-format", default="%F:%L:%B",
+                    help="RG PU field template: %%F flowcell, %%L lane "
+                         "list, %%B barcode/sample (manual.md:281)")
+    al.add_argument("-n", "--reference-name", default="default",
+                    help="symbolic reference name recorded in the BAM "
+                         "header (manual.md:485)")
+    al.add_argument("--description", default="",
+                    help="freeform text stored in the @PG DS header tag "
+                         "(manual.md:366)")
+    al.add_argument("--stats-image-format", default="svg",
+                    choices=("svg", "gif", "none"),
+                    help="none skips report plots; gif is accepted for "
+                         "compatibility (plots are inline SVG; "
+                         "manual.md:545)")
+    al.add_argument("--expected-bgzf-ratio", type=float, default=1.0,
+                    help="assumed BAM compression ratio for Build-phase "
+                         "memory budgeting (manual.md:373)")
+    al.add_argument("--buffer-bins", type=int, default=1, choices=(0, 1),
+                    help="1: RAM write-through cache of bin chunks "
+                         "(manual.md:325); 0 streams through disk only")
+    al.add_argument("--pre-sort-bins", type=int, default=1,
+                    choices=(0, 1),
+                    help="1: position-sort each bin chunk at write time "
+                         "(manual.md:457)")
+    al.add_argument("--base-calls-format", default=None,
+                    choices=("fastq", "fastq-gz", "bam", "bcl", "bcl-gz",
+                             "bcl-bgzf"),
+                    help="declare the input format instead of trusting "
+                         "auto-detection (manual.md:298)")
+    al.add_argument("--clusters-at-a-time", type=int, default=0,
+                    help="force the batch size (0 = --batch-size / "
+                         "--memory-limit auto; manual.md:339)")
+    al.add_argument("--tiles", default=None,
+                    help="comma-separated regexes over 4-digit tile "
+                         "numbers selecting a flowcell subset "
+                         "(manual.md:564)")
+    al.add_argument("--help-defaults", action=_HelpDefaults, nargs=0,
+                    help="tab-delimited list of options and defaults")
+    al.add_argument("--help-md", action=_HelpMd, nargs=0,
+                    help="markdown-formatted help")
     al.add_argument("--start-from", default=None,
                     help="rewind to this state before running")
     al.add_argument("--stop-at", default="BamDone")

@@ -81,16 +81,29 @@ class SamRecord:
 
 def header_lines(contigs, sample: str = "sample", program: str = "isaac_aligner_tpu",
                  version: str = "0.1.0",
-                 extra_tags: tuple[str, ...] = ()) -> list[str]:
+                 extra_tags: tuple[str, ...] = (),
+                 pu: str | None = None, description: str = "",
+                 reference_name: str = "") -> list[str]:
     """@HD/@SQ/@RG/@PG header (reference: bam::serializeHeader,
     src/c++/include/bam/Bam.hh:94).  `extra_tags` carries literal
     additional header lines (reference --bam-header-tag; '\\t' in the
-    flag value is already expanded by the CLI)."""
+    flag value is already expanded by the CLI).  `pu` fills the RG PU
+    field (reference --bam-pu-format, manual.md:281), `description` the
+    @PG DS tag (--description, manual.md:366) and `reference_name` an
+    @CO REFERENCE line (--reference-name, manual.md:485)."""
     lines = ["@HD\tVN:1.6\tSO:coordinate"]
     for c in contigs:
         lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}\tM5:{c.md5}")
-    lines.append(f"@RG\tID:0\tSM:{sample}")
-    lines.append(f"@PG\tID:{program}\tPN:{program}\tVN:{version}")
+    rg = f"@RG\tID:0\tSM:{sample}"
+    if pu:
+        rg += f"\tPU:{pu}"
+    lines.append(rg)
+    pg = f"@PG\tID:{program}\tPN:{program}\tVN:{version}"
+    if description:
+        pg += f"\tDS:{description}"
+    lines.append(pg)
+    if reference_name and reference_name != "default":
+        lines.append(f"@CO\tREFERENCE:{reference_name}")
     lines.extend(extra_tags)
     return lines
 

@@ -196,6 +196,65 @@ class WorkflowOptions:
     # only — the TLS phase makes one extra pass over the tiles and the
     # per-batch model rides each batch as a hint (deterministic)
     per_tile_tls: bool = False
+    # reference --ignore-neighbors (=0, manual.md:403): hits from
+    # neighbor-annotated k-mers count as clean anchors anyway
+    ignore_neighbors: bool = False
+    # reference --ignore-repeats (=0, manual.md:405): repeat-suppressed
+    # exact matches don't block the inexact (neighbor) matching pass
+    ignore_repeats: bool = False
+    # reference --scatter-repeats (=0, manual.md:503): exact-score-tie
+    # repeat placements pick by per-read hash, not lowest position
+    scatter_repeats: bool = False
+    # reference --avoid-smith-waterman (=0, manual.md:272): apply the
+    # 7-mer two-confirmed-offsets pre-filter before the SW polish
+    avoid_smith_waterman: bool = False
+    # reference --realign-dodgy (=0, manual.md:467): also realign reads
+    # without an alignment score against gaps found in other reads
+    realign_dodgy: bool = False
+    # reference --realign-vigorously (=0, manual.md:477): feed the
+    # realignment result back into gap harvest and realign again
+    realign_vigorously: bool = False
+    # reference --cleanup-intermediary (=0, manual.md:329): erase Temp
+    # bin chunks once the Build phase consumed them (kills bin-level
+    # resume, like the reference)
+    cleanup_intermediary: bool = False
+    # reference --memory-control (=off, manual.md:429): off | warning |
+    # strict — what to do when the bin-budget audit trips
+    memory_control: str = "off"
+    # reference --allow-empty-flowcells (=0, manual.md:271)
+    allow_empty_flowcells: bool = False
+    # reference --lane-number-max (=8, manual.md:419): highest lane
+    # scanned when --fastq1 names a base-calls DIRECTORY of
+    # lane<N>_read<R>.fastq[.gz] files
+    lane_number_max: int = 8
+    # reference --bam-pu-format (=%F:%L:%B, manual.md:281): RG PU field
+    # template (%F flowcell id, %L lane list, %B barcode/sample)
+    bam_pu_format: str = "%F:%L:%B"
+    # reference --reference-name / --description (manual.md:485,366):
+    # BAM header metadata (@CO REFERENCE line / @PG DS tag)
+    reference_name: str = "default"
+    description: str = ""
+    # reference --stats-image-format (=gif, manual.md:545): svg | gif |
+    # none ('gif' accepted for compatibility; plots are inline SVG)
+    stats_image_format: str = "svg"
+    # reference --expected-bgzf-ratio (=1, manual.md:373): assumed BAM
+    # compression ratio for Build-phase memory budgeting
+    expected_bgzf_ratio: float = 1.0
+    # reference --buffer-bins (=1, manual.md:325): RAM write-through
+    # cache of bin chunks (disk stays authoritative for resume)
+    buffer_bins: bool = True
+    # reference --pre-sort-bins (=1, manual.md:457): position-sort each
+    # chunk at write time (near-sorted bins sort faster in Build)
+    pre_sort_bins: bool = True
+    # reference --base-calls-format (manual.md:298): force the input
+    # format instead of auto-detection
+    base_calls_format: str | None = None
+    # reference --clusters-at-a-time (=0, manual.md:339): force the
+    # FASTQ/BAM batch size (0 = --batch-size / --memory-limit auto)
+    clusters_at_a_time: int = 0
+    # reference --tiles (manual.md:564): comma-separated regexes over
+    # tile numbers selecting a subset of the flowcell
+    tiles_regex: str | None = None
 
     def qscore_table(self) -> "np.ndarray | None":
         """64-entry quality remap table from --qscore-bin-values."""
@@ -247,11 +306,13 @@ class _DistributionBinStore:
     SPANS = 4096
 
     def __init__(self, bins_dir, contig_offsets, genome_bp: int,
-                 n_bins: int, sample_cap: int, ram_cache_records: int = 0):
+                 n_bins: int, sample_cap: int, ram_cache_records: int = 0,
+                 pre_sort: bool = False):
         from ..build.storage import BinnedFragmentStore
         self._mk = lambda boundaries: BinnedFragmentStore(
             bins_dir, contig_offsets, genome_bp, n_bins,
-            boundaries=boundaries, ram_cache_records=ram_cache_records)
+            boundaries=boundaries, ram_cache_records=ram_cache_records,
+            pre_sort=pre_sort)
         self.offsets = contig_offsets
         self.genome_bp = genome_bp
         self.n_bins = max(1, n_bins)
@@ -458,6 +519,9 @@ class AlignWorkflow:
             return len(info.data_reads) >= 2
         if self.opts.bam_input:
             return self._load_all_reads()[1] is not None
+        if self.opts.fastq1 and Path(self.opts.fastq1).is_dir():
+            files = self._fastq_lane_files()
+            return bool(files) and files[0][1] is not None
         return bool(self.opts.fastq2)
 
     def _load_all_reads(self):
@@ -596,7 +660,10 @@ class AlignWorkflow:
             first_pass_seeds=o.first_pass_seeds,
             dodgy_mapq=0 if dodgy == "Unaligned" else int(dodgy),
             dodgy_unaligned=dodgy == "Unaligned",
-            neighborhood_size_threshold=o.neighborhood_size_threshold)
+            neighborhood_size_threshold=o.neighborhood_size_threshold,
+            ignore_neighbors=o.ignore_neighbors,
+            ignore_repeats=o.ignore_repeats,
+            scatter_repeats=o.scatter_repeats)
 
     def _phase_align(self) -> None:
         """Align all batches and stream columnar records to genomic bins.
@@ -620,7 +687,23 @@ class AlignWorkflow:
         stream = self._batch_stream()
         first = next(stream, None)
         if first is None:
-            raise ValueError("input contains no reads")
+            if not o.allow_empty_flowcells:
+                raise ValueError(
+                    "input contains no reads "
+                    "(--allow-empty-flowcells accepts this)")
+            # --allow-empty-flowcells (manual.md:271): finish the phase
+            # with zero records; the Build phase emits a valid empty BAM
+            bins_dir = self.temp / "bins"
+            store = _DistributionBinStore(
+                bins_dir, self._genome().contig_offsets,
+                self._genome().total_length, 1, sample_cap=1)
+            store.finalize()
+            self._bin_cache = store
+            self._stats["match_selector"] = {
+                "total_reads": 0, "aligned": 0, "perfect": 0,
+                "proper_pairs": 0, "mapq_hist": [0] * 61,
+                "align_seconds": 0.0}
+            return
         stream = itertools.chain([first], stream)
         read_len = first[0].read_len
         from ..align.gapped import GapScoring
@@ -629,7 +712,8 @@ class AlignWorkflow:
                        adapters=tuple(o.adapters),
                        gap_scoring=GapScoring.parse(o.gap_scoring),
                        gapped_mismatches=o.gapped_mismatches,
-                       semialigned_gap_limit=o.semialigned_gap_limit)
+                       semialigned_gap_limit=o.semialigned_gap_limit,
+                       avoid_smith_waterman=o.avoid_smith_waterman)
         cfg = self._align_config(read_len, index)
         genome = self._genome()
         indexes = self._load_indexes()
@@ -646,7 +730,8 @@ class AlignWorkflow:
             bins_dir, genome.contig_offsets, genome.total_length, n_bins,
             sample_cap=max(records_per_bin,
                            4 * o.batch_size * (2 if paired else 1)),
-            ram_cache_records=records_per_bin)
+            ram_cache_records=records_per_bin if o.buffer_bins else 0,
+            pre_sort=o.pre_sort_bins)
         # the Build phase reuses the RAM chunk cache when it runs in this
         # process (resume-from-disk falls back to the files)
         self._bin_cache = store
@@ -826,6 +911,51 @@ class AlignWorkflow:
         if getattr(aligner, "finder_stats", None):
             self._stats["match_finder"] = dict(aligner.finder_stats)
 
+    def _pu_field(self, sample_name: str) -> str:
+        """--bam-pu-format (manual.md:281): expand %F (flowcell id),
+        %L (lane list) and %B (barcode/sample) into the @RG PU field."""
+        o = self.opts
+        fc = "unknown"
+        if o.run_folder:
+            from ..io.bcl import parse_run_info
+            try:
+                fc = parse_run_info(Path(o.run_folder)).flowcell
+            except Exception:
+                pass
+        lanes = ",".join(str(x) for x in o.lanes) if o.lanes else "all"
+        return (o.bam_pu_format.replace("%F", fc).replace("%L", lanes)
+                .replace("%B", sample_name))
+
+    def _check_base_calls_format(self) -> None:
+        """--base-calls-format (manual.md:298): validate the declared
+        input format against the provided inputs instead of trusting
+        auto-detection."""
+        o = self.opts
+        fmt = o.base_calls_format
+        if not fmt:
+            return
+        from ..utils.errors import InvalidOptionError
+        allowed = ("fastq", "fastq-gz", "bam", "bcl", "bcl-gz", "bcl-bgzf")
+        if fmt not in allowed:
+            raise InvalidOptionError(
+                f"--base-calls-format {fmt!r}: expected one of {allowed}")
+        if fmt in ("bcl", "bcl-gz", "bcl-bgzf") and not o.run_folder:
+            raise InvalidOptionError(
+                f"--base-calls-format {fmt}: needs --run-folder input")
+        if fmt == "bam" and not o.bam_input:
+            raise InvalidOptionError(
+                "--base-calls-format bam: needs --bam input")
+        if fmt.startswith("fastq"):
+            if not o.fastq1:
+                raise InvalidOptionError(
+                    f"--base-calls-format {fmt}: needs --fastq1 input")
+            if not Path(o.fastq1).is_dir():
+                is_gz = open(o.fastq1, "rb").read(2) == b"\x1f\x8b"
+                if is_gz != (fmt == "fastq-gz"):
+                    raise InvalidOptionError(
+                        f"--base-calls-format {fmt}: {o.fastq1} is "
+                        f"{'gzipped' if is_gz else 'plain'} FASTQ")
+
     @staticmethod
     def _tile_agg(names, fb, mapped, per_tile: dict,
                   rg_names: tuple[str, ...], synth_tile=None) -> None:
@@ -936,6 +1066,41 @@ class AlignWorkflow:
             for tile in (list(o.tiles) if o.tiles
                          else discover_tiles(run, lane)):
                 out.append((lane, tile))
+        if o.tiles_regex:
+            # reference --tiles (manual.md:564): comma-separated regexes
+            # fullmatched against the 4-digit tile number
+            import re
+            pats = [re.compile(p) for p in o.tiles_regex.split(",") if p]
+            out = [(lane, tile) for lane, tile in out
+                   if any(p.fullmatch(f"{tile:04d}") for p in pats)]
+            if not out and not o.allow_empty_flowcells:
+                from ..utils.errors import InvalidOptionError
+                raise InvalidOptionError(
+                    f"--tiles {o.tiles_regex!r} matched no tiles")
+        return out
+
+    def _fastq_lane_files(self) -> "list[tuple[str, str | None]]":
+        """--fastq1 as a base-calls DIRECTORY: discover
+        lane<N>_read<R>.fastq[.gz] pairs for lanes 1..--lane-number-max
+        (reference FastqLayout.cpp:45-66 naming + --lane-number-max,
+        manual.md:419).  A plain file path returns itself."""
+        o = self.opts
+        p = Path(o.fastq1)
+        if not p.is_dir():
+            return [(o.fastq1, o.fastq2)]
+        out: list[tuple[str, str | None]] = []
+        want = list(o.lanes) if o.lanes else range(1, o.lane_number_max + 1)
+        for lane in want:
+            for ext in (".fastq", ".fastq.gz"):
+                r1 = p / f"lane{lane}_read1{ext}"
+                if r1.exists():
+                    r2 = p / f"lane{lane}_read2{ext}"
+                    out.append((str(r1), str(r2) if r2.exists() else None))
+                    break
+        if not out and not o.allow_empty_flowcells:
+            raise ValueError(
+                f"{p}: no lane<N>_read1.fastq[.gz] files for lanes "
+                f"1..{o.lane_number_max} (--allow-empty-flowcells accepts)")
         return out
 
     def _estimate_total_reads(self) -> int:
@@ -949,7 +1114,8 @@ class AlignWorkflow:
                        for lane, tile in self._bcl_tile_list())
         if o.fastq1 and not o.bam_input:
             from ..io.fastq import estimate_fastq_reads
-            return estimate_fastq_reads(o.fastq1)
+            return sum(estimate_fastq_reads(r1)
+                       for r1, _ in self._fastq_lane_files())
         return self._load_all_reads()[0].count
 
     def _batch_stream(self):
@@ -1010,9 +1176,10 @@ class AlignWorkflow:
             return
         if o.fastq1 and not o.bam_input:
             from ..io.fastq import iter_fastq_batches
-            yield from iter_fastq_batches(
-                o.fastq1, o.fastq2, o.batch_size,
-                barcode_path=o.barcode_fastq if o.sample_sheet else None)
+            for r1, r2 in self._fastq_lane_files():
+                yield from iter_fastq_batches(
+                    r1, r2, o.batch_size,
+                    barcode_path=o.barcode_fastq if o.sample_sheet else None)
             return
         for b1, b2 in self._read_batches():
             yield b1, b2, None
@@ -1032,6 +1199,12 @@ class AlignWorkflow:
         records_per_bin = o.records_per_bin
         if o.memory_limit:
             rec_bytes = 2 * read_len + 64 + 8 * 16 * 2 + 128
+            # --expected-bgzf-ratio (manual.md:373): the serialized-BAM
+            # output buffer scales with the assumed compression ratio;
+            # only the delta vs the default 1.0 adjusts the estimate
+            rec_bytes += int((o.expected_bgzf_ratio - 1.0)
+                             * (2 * read_len + 128))
+            rec_bytes = max(rec_bytes, 64)
             fit = int(o.memory_limit * 1e9 * 0.25 / rec_bytes)
             if fit < records_per_bin:
                 records_per_bin = max(fit, 10_000)
@@ -1060,7 +1233,8 @@ class AlignWorkflow:
                 self._stats["match_finder"],
                 self.stats_dir / "MatchFinderStats.xml")
         reports.write_html_report(self._stats,
-                                  self.stats_dir / "AlignmentReport.html")
+                                  self.stats_dir / "AlignmentReport.html",
+                                  image_format=self.opts.stats_image_format)
 
     def _bin_regex_filter(self, genome):
         """--bin-regex: None (all) or a predicate over aligned-bin dirs.
@@ -1148,9 +1322,22 @@ class AlignWorkflow:
                 scopes = [np.nonzero(fb.rg == v)[0]
                           for v in np.unique(fb.rg)]
             for rows in scopes:
-                realigned += realign_batch(
+                changed = realign_batch(
                     fb, genome, rows,
-                    max_gaps=self.opts.realigned_gaps_per_fragment)
+                    max_gaps=self.opts.realigned_gaps_per_fragment,
+                    realign_dodgy=self.opts.realign_dodgy)
+                realigned += changed
+                # --realign-vigorously: newly created gaps feed another
+                # harvest+realign round (strictly-better acceptance
+                # converges; 3 extra passes bound pathological bins)
+                extra = 0
+                while self.opts.realign_vigorously and changed and extra < 3:
+                    changed = realign_batch(
+                        fb, genome, rows,
+                        max_gaps=self.opts.realigned_gaps_per_fragment,
+                        realign_dodgy=self.opts.realign_dodgy)
+                    realigned += changed
+                    extra += 1
         return fb, realigned
 
     def _emit_fb(self, fb, writers: dict, contigs) -> None:
@@ -1172,10 +1359,14 @@ class AlignWorkflow:
                     d.mkdir(parents=True, exist_ok=True)
                     path = d / "sorted.bam"
                     sample_name = key
+                o = self.opts
                 w = BamWriter(path, contigs,
-                              compression_level=self.opts.compression_level,
+                              compression_level=o.compression_level,
                               sample=sample_name,
-                              extra_tags=tuple(self.opts.bam_header_tags))
+                              pu=self._pu_field(sample_name),
+                              description=o.description,
+                              reference_name=o.reference_name,
+                              extra_tags=tuple(o.bam_header_tags))
                 writers[key] = w
             return w
 
@@ -1291,6 +1482,12 @@ class AlignWorkflow:
             tracing.log(f"bin budget exceeded: largest bin {max_bin} "
                         f"records vs {cap} budgeted (coverage hotspot "
                         f"narrower than one histogram span)", force=True)
+            if self.opts.memory_control == "strict":
+                # reference --memory-control strict (manual.md:429)
+                from ..utils.errors import MemoryError_
+                raise MemoryError_(
+                    f"--memory-control strict: bin of {max_bin} records "
+                    f"exceeds twice the {cap}-record budget")
         if not writers and not self.opts.sample_sheet:
             # no records at all: still emit a valid empty BAM
             from ..build.records import FragmentBatch
@@ -1301,6 +1498,12 @@ class AlignWorkflow:
         # the RAM chunk cache is single-use (batches may be mutated
         # downstream; a rewound align phase rebuilds it)
         self._bin_cache = None
+        if self.opts.cleanup_intermediary:
+            # reference --cleanup-intermediary (manual.md:329): erase the
+            # consumed bin chunks; bin-level resume is gone (like the
+            # reference, --start-from Align still works)
+            import shutil
+            shutil.rmtree(self.temp / "bins", ignore_errors=True)
         self._stats["build"] = {"records": n_records, "duplicates": dup,
                                 "realigned": realigned,
                                 "bins": max(1, len(bin_dirs)),
@@ -1336,6 +1539,12 @@ class AlignWorkflow:
         oriented, result) + ~600 B of result columns ~ 5 KB; 3 batches
         are in flight (dispatch window + polish + convert)."""
         o = self.opts
+        if o.clusters_at_a_time:
+            # reference --clusters-at-a-time (manual.md:339): explicit
+            # batch size wins over any RAM-based auto selection
+            self.opts = dataclasses.replace(
+                o, batch_size=o.clusters_at_a_time)
+            return
         if not o.memory_limit:
             return
         per_row = 5_000 * 3
@@ -1348,6 +1557,7 @@ class AlignWorkflow:
 
     def run(self, start_from: str | None = None, stop_at: str = "BamDone",
             resume: bool = False) -> None:
+        self._check_base_calls_format()
         self._fit_batch_size()
         if resume:
             self.load_state()

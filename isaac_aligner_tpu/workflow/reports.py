@@ -149,8 +149,12 @@ def _mapq_svg(hist: list[int], width: int = 640, height: int = 200) -> str:
             f'{labels}</svg>')
 
 
-def write_html_report(stats: dict, path: str | Path) -> None:
-    """Self-contained HTML report (AlignmentReportGenerator analog)."""
+def write_html_report(stats: dict, path: str | Path,
+                      image_format: str = "svg") -> None:
+    """Self-contained HTML report (AlignmentReportGenerator analog).
+    image_format: svg | gif | none (reference --stats-image-format,
+    manual.md:545; 'none' skips plots, 'gif' is accepted for
+    compatibility and renders the same inline SVG)."""
     ms = stats.get("match_selector", {})
     build = stats.get("build", {})
     demux = stats.get("demultiplexing", {})
@@ -170,8 +174,10 @@ def write_html_report(stats: dict, path: str | Path) -> None:
         f"<p><b>{aligned}</b> of <b>{total}</b> reads aligned "
         f"({100.0 * aligned / total:.2f}%)</p>",
         "<h2>Match selector</h2>", table(ms),
-        "<h2>MAPQ distribution</h2>", _mapq_svg(ms.get("mapq_hist", [])),
     ]
+    if image_format != "none":
+        parts += ["<h2>MAPQ distribution</h2>",
+                  _mapq_svg(ms.get("mapq_hist", []))]
     if tls:
         parts += ["<h2>Template length statistics</h2>", table(tls)]
     if demux:
