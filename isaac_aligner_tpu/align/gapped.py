@@ -271,21 +271,21 @@ def polish_gapped(index: SeedIndex, cfg: AlignConfig, res: dict,
     if quals is None:
         quals = np.full_like(bases, 30)
 
-    # SMALL trigger sets run the (bit-identical) numpy DP on host: one
-    # device kernel round-trip costs ~200 ms of tunnel latency (round-4
-    # profile) while ~2 ms/row of host DP covers the typical handful of
-    # high-mismatch rows per batch; the Pallas kernel takes over when the
+    # SMALL trigger sets run the (bit-identical) vectorized numpy DP on
+    # host: one device kernel round-trip costs ~200 ms of tunnel latency
+    # (round-4 profile) while the batched host DP covers ~0.4 ms/row
+    # (banded_sw_numpy_batch; the per-row loop held the GIL ~5 ms/row and
+    # starved the 2-core pipeline); the Pallas kernel takes over when the
     # row count amortizes the trip
-    HOST_DP_MAX = 64
+    HOST_DP_MAX = 256
     for lo in range(0, len(metas), block):
         chunk = slice(lo, min(lo + block, len(metas)))
         n_chunk = chunk.stop - chunk.start
         if n_chunk <= HOST_DP_MAX:
-            pairs = [sw.banded_sw_numpy(queries[j], np.asarray(
-                dbs[j], np.int32), gs.sw_scores())
-                for j in range(chunk.start, chunk.stop)]
-            gfin = np.stack([p[0] for p in pairs])
-            tb = np.stack([p[1] for p in pairs])
+            gfin, tb = sw.banded_sw_numpy_batch(
+                np.stack(queries[chunk.start : chunk.stop]).astype(np.int32),
+                np.stack(dbs[chunk.start : chunk.stop]).astype(np.int32),
+                gs.sw_scores())
         else:
             # pad to the static block size: one compiled executable
             # regardless of how many rows triggered this batch

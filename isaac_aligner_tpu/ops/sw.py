@@ -330,6 +330,62 @@ def banded_sw_numpy(query: np.ndarray, db: np.ndarray,
     return g, pack_tb(tb)
 
 
+def banded_sw_numpy_batch(queries: np.ndarray, dbs: np.ndarray,
+                          scores=BWA_SCORES):
+    """Vectorized host DP over a batch of pairs: queries [N, L] int,
+    dbs [N, L+BAND-1] int -> (g [N, BAND], tb [N, ceil(L/TB_PACK), BAND]).
+
+    Bit-identical to `banded_sw_numpy` row by row (all elementwise f32
+    ops; no accumulation-order hazards), but loops only over L x BAND
+    with [N]-vector numpy ops — the per-row Python version costs ~5 ms
+    of GIL-held loop per pair, which starved the 2-core e2e pipeline
+    when the gapped polish ran on finish workers (round-5 profile)."""
+    match_s, mismatch_s, open_s, extend_s = (np.float32(s) for s in scores)
+    neg = np.float32(NEG)
+    n, l = queries.shape
+    g = np.zeros((n, BAND), np.float32)
+    e = np.full((n, BAND), neg, np.float32)
+    f = np.full((n, BAND), neg, np.float32)
+    tb = np.zeros((n, l, BAND), np.int32)
+    up_fill = np.full((n, 1), neg, np.float32)
+
+    def up(x):
+        return np.concatenate([x[:, 1:], up_fill], axis=1)
+
+    for i in range(l):
+        q_i = queries[:, i : i + 1]
+        w = np.where((q_i == dbs[:, i : i + BAND]) & (q_i < 4),
+                     match_s, mismatch_s)
+        m_prev = np.maximum(np.maximum(g, e), f)
+        tg = np.where(e > np.maximum(g, f), 1, np.where(f > g, 2, 0))
+        new_g = m_prev + w
+        fg, fe, ff = up(g) + open_s, up(e) + open_s, up(f) + extend_s
+        new_f = np.maximum(np.maximum(fg, fe), ff)
+        tf = np.where(fe > np.maximum(fg, ff), 1, np.where(ff > fg, 2, 0))
+        new_e = np.full((n, BAND), neg, np.float32)
+        te = np.zeros((n, BAND), np.int32)
+        for d in range(1, BAND):
+            fg2 = new_g[:, d - 1] + open_s
+            ff2 = new_f[:, d - 1] + open_s
+            fe2 = new_e[:, d - 1] + extend_s
+            new_e[:, d] = np.maximum(np.maximum(fg2, ff2), fe2)
+            te[:, d] = np.where(fe2 > np.maximum(fg2, ff2), 1,
+                                np.where(ff2 > fg2, 2, 0))
+        tb[:, i] = tg + te * 4 + tf * 16
+        g, e, f = new_g, new_e, new_f
+
+    # pack TB_PACK query rows per int32 word (pack_tb, batched)
+    groups = -(-l // TB_PACK)
+    pad = groups * TB_PACK - l
+    if pad:
+        tb = np.concatenate(
+            [tb, np.zeros((n, pad, BAND), np.int32)], axis=1)
+    tb = tb.reshape(n, groups, TB_PACK, BAND)
+    shifts = (6 * np.arange(TB_PACK, dtype=np.int32))[None, None, :, None]
+    packed = np.bitwise_or.reduce(tb << shifts, axis=2)
+    return g, packed
+
+
 def traceback(tb_packed: np.ndarray, exit_d: int, l: int | None = None):
     """Walk one PACKED traceback matrix from (L-1, exit_d) in state G.
 
