@@ -45,8 +45,8 @@ def _accumulate_finder_stats(acc: dict, res: dict) -> None:
         acc.setdefault("tally", []).append(tally)
 
 
-def _pipelined_results(dispatched, finish_fn, window: int = 3,
-                       workers: int = 3):
+def _pipelined_results(dispatched, finish_fn, window: int | None = None,
+                       workers: int | None = None):
     """Drive (key, pending) pairs through `finish_fn` on `workers`
     threads, `window` batches in flight, yielding (key, result) in order.
 
@@ -61,9 +61,14 @@ def _pipelined_results(dispatched, finish_fn, window: int = 3,
     finish_fn must therefore avoid ordered side effects — stats and
     tracing happen at the (ordered) yield site, see _record_stats."""
     import contextlib
+    import os
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    if workers is None:
+        workers = int(os.environ.get("ISAAC_TPU_FETCH_WORKERS", "3"))
+    if window is None:
+        window = int(os.environ.get("ISAAC_TPU_FETCH_WINDOW", "3"))
     ex = ThreadPoolExecutor(max_workers=max(1, workers),
                             thread_name_prefix="isaac-polish")
     done: deque = deque()
@@ -183,17 +188,21 @@ class Aligner:
         self._t("dispatch", _time.perf_counter() - t0)
         return out, bases, quals, trims, batch
 
+    def _fetch_result(self, packed, handle) -> dict[str, np.ndarray]:
+        """Device result -> host dict.  ONE packed buffer -> ONE link
+        round-trip per batch (the tunnel charges ~120 ms of latency per
+        fetch regardless of size).  jax.device_get, NOT np.asarray — the
+        remote-TPU tunnel's __array__ path is pathologically slow.
+        Multihost subclasses override (per-field local-shard fetch)."""
+        return unpack_device_result(result_spec(handle),
+                                    jax.device_get(packed))
+
     def _finish(self, pending, gapped: bool = True) -> dict[str, np.ndarray]:
         """Sync half: fetch device results, run host polish passes."""
         import time as _time
         (packed, handle), bases, quals, trims, batch = pending
-        # ONE packed buffer -> ONE link round-trip per batch (the tunnel
-        # charges ~120 ms latency per fetch regardless of size).
-        # jax.device_get, NOT np.asarray — the remote-TPU tunnel's
-        # __array__ path is pathologically slow
         t0 = _time.perf_counter()
-        res = unpack_device_result(result_spec(handle),
-                                   jax.device_get(packed))
+        res = self._fetch_result(packed, handle)
         t1 = _time.perf_counter()
         self._t("fetch", t1 - t0)
         total_trims = clippers.apply_quality_trim_masks(
@@ -495,14 +504,17 @@ class PairedAligner:
         for (b1, b2), res in self.align_results_many(batches):
             yield self._records_from_res(b1, b2, res, phred_offset)
 
+    def _fetch_result(self, packed, handle) -> dict[str, np.ndarray]:
+        """One packed-buffer fetch (see Aligner._fetch_result); the
+        unpacked views are writable, so rescue merging can mutate."""
+        return unpack_device_result(result_spec(handle),
+                                    jax.device_get(packed))
+
     def _finish(self, pending) -> dict[str, np.ndarray]:
         import time as _time
         (packed, handle), m1, m2, trims, (b1, b2) = pending
-        # one packed-buffer fetch (see Aligner._finish); the unpacked
-        # views are writable, so rescue merging can mutate
         t0 = _time.perf_counter()
-        res = unpack_device_result(result_spec(handle),
-                                   jax.device_get(packed))
+        res = self._fetch_result(packed, handle)
         t1 = _time.perf_counter()
         self._t("fetch", t1 - t0)
         total1 = clippers.apply_quality_trim_masks(

@@ -500,6 +500,28 @@ def _scatter_lib():
     return _SCATTER_LIB
 
 
+_BAMREC_LIB = None
+_BAMREC_TRIED = False
+
+
+def _bamrec_lib():
+    """Compile-on-first-use fused record-core assembler
+    (native/bamrec.cpp); None when the toolchain is unavailable."""
+    global _BAMREC_LIB, _BAMREC_TRIED
+    if not _BAMREC_TRIED:
+        import ctypes
+
+        from ..native.build import load_library
+        _BAMREC_LIB = load_library("bamrec")
+        if _BAMREC_LIB is not None:
+            p, i64, i32 = ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
+            _BAMREC_LIB.assemble_bam_core.argtypes = (
+                [p] * 14 + [i64, p, p, i64, p, p, i64, i64, i32])
+            _BAMREC_LIB.assemble_bam_core.restype = None
+        _BAMREC_TRIED = True
+    return _BAMREC_LIB
+
+
 def _ragged_scatter(out: np.ndarray, dest: np.ndarray, src: np.ndarray,
                     src_len: np.ndarray) -> None:
     """out[dest[i] : dest[i]+src_len[i]] = src[i, :src_len[i]] for all i."""
@@ -620,51 +642,83 @@ def to_bam_bytes(fb: FragmentBatch) -> tuple[bytes, np.ndarray, np.ndarray,
     total = int(rec.sum())
     out = np.zeros(total, np.uint8)
 
-    # ---- fixed header
+    # ---- fixed header + name + cigar + packed seq + qual: one fused
+    # native pass when the toolchain is present (native/bamrec.cpp —
+    # the numpy version below made ~10 full [N, L] passes and sat on the
+    # 2-core e2e critical path), numpy fallback otherwise
     pos0 = np.where(fb.ref_id >= 0, fb.pos, -1).astype(np.int64)
     span = ref_span(fb.cigar_ops, fb.n_cigar.astype(np.int64)).astype(np.int64)
     ref_end = pos0 + np.maximum(1, span)
     bins = np.where((fb.ref_id >= 0) & (pos0 >= 0),
                     reg2bin_vec(np.maximum(pos0, 0), ref_end), 4680)
-    hdr = np.zeros(n, _HDR_DT)
-    hdr["bs"] = body
-    hdr["ref"] = fb.ref_id
-    hdr["pos"] = pos0
-    hdr["lrn"] = name_l
-    hdr["mapq"] = fb.mapq
-    hdr["bin"] = bins.astype(np.uint16)
-    hdr["ncig"] = n_cig
-    hdr["flag"] = fb.flag
-    hdr["lseq"] = lengths
-    hdr["nref"] = fb.mate_ref_id
-    hdr["npos"] = np.where(fb.mate_ref_id >= 0, fb.mate_pos, -1)
-    hdr["tlen"] = fb.tlen
-    _fixed_scatter(out, u_start, hdr.view(np.uint8).reshape(n, 36))
+    lib = _bamrec_lib()
+    if lib is not None:
+        import ctypes
 
-    # ---- name (+ NUL terminator already zero-filled)
-    off = u_start + 36
-    _ragged_scatter(out, off, fb.name_bytes, fb.name_len.astype(np.int64))
-    off = off + name_l
+        def c(a):
+            return np.ascontiguousarray(a).ctypes.data_as(ctypes.c_void_p)
 
-    # ---- cigar
-    cig8 = np.ascontiguousarray(fb.cigar_ops.astype("<u4")).view(np.uint8)
-    cig8 = cig8.reshape(n, fb.cigar_ops.shape[1] * 4)
-    _ragged_scatter(out, off, cig8, 4 * n_cig)
-    off = off + 4 * n_cig
+        cig_u4 = np.ascontiguousarray(fb.cigar_ops.astype("<u4"))
+        name_b = np.ascontiguousarray(fb.name_bytes)
+        seq_c = np.ascontiguousarray(fb.seq)
+        qual_c = np.ascontiguousarray(fb.qual)
+        holds = (u_start, body.astype(np.int32), fb.ref_id.astype(np.int32),
+                 pos0.astype(np.int32), fb.mapq.astype(np.uint8),
+                 bins.astype(np.uint16), n_cig.astype(np.uint16),
+                 fb.flag.astype(np.uint16), lengths.astype(np.int32),
+                 fb.mate_ref_id.astype(np.int32),
+                 np.where(fb.mate_ref_id >= 0, fb.mate_pos, -1).astype(np.int32),
+                 fb.tlen.astype(np.int32), name_b,
+                 fb.name_len.astype(np.int32), cig_u4, seq_c, qual_c)
+        lib.assemble_bam_core(
+            out.ctypes.data_as(ctypes.c_void_p), c(holds[0]), c(holds[1]),
+            c(holds[2]), c(holds[3]), c(holds[4]), c(holds[5]), c(holds[6]),
+            c(holds[7]), c(holds[8]), c(holds[9]), c(holds[10]), c(holds[11]),
+            c(holds[12]), ctypes.c_int64(name_b.shape[1]), c(holds[13]),
+            c(holds[14]), ctypes.c_int64(cig_u4.shape[1]), c(holds[15]),
+            c(holds[16]), ctypes.c_int64(fb.seq.shape[1]), ctypes.c_int64(n),
+            ctypes.c_int32(2))
+        off = u_start + 36 + name_l + 4 * n_cig + seq_b + lengths
+    else:
+        hdr = np.zeros(n, _HDR_DT)
+        hdr["bs"] = body
+        hdr["ref"] = fb.ref_id
+        hdr["pos"] = pos0
+        hdr["lrn"] = name_l
+        hdr["mapq"] = fb.mapq
+        hdr["bin"] = bins.astype(np.uint16)
+        hdr["ncig"] = n_cig
+        hdr["flag"] = fb.flag
+        hdr["lseq"] = lengths
+        hdr["nref"] = fb.mate_ref_id
+        hdr["npos"] = np.where(fb.mate_ref_id >= 0, fb.mate_pos, -1)
+        hdr["tlen"] = fb.tlen
+        _fixed_scatter(out, u_start, hdr.view(np.uint8).reshape(n, 36))
 
-    # ---- seq nibbles
-    L = fb.seq.shape[1]
-    in_read = np.arange(L)[None, :] < lengths[:, None]
-    nib = np.where(in_read, _BAM_NIB[np.minimum(fb.seq, 4)], 0)
-    if L % 2:
-        nib = np.concatenate([nib, np.zeros((n, 1), np.uint8)], axis=1)
-    packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
-    _ragged_scatter(out, off, packed, seq_b)
-    off = off + seq_b
+        # ---- name (+ NUL terminator already zero-filled)
+        off = u_start + 36
+        _ragged_scatter(out, off, fb.name_bytes, fb.name_len.astype(np.int64))
+        off = off + name_l
 
-    # ---- qual
-    _ragged_scatter(out, off, np.minimum(fb.qual, 93), lengths)
-    off = off + lengths
+        # ---- cigar
+        cig8 = np.ascontiguousarray(fb.cigar_ops.astype("<u4")).view(np.uint8)
+        cig8 = cig8.reshape(n, fb.cigar_ops.shape[1] * 4)
+        _ragged_scatter(out, off, cig8, 4 * n_cig)
+        off = off + 4 * n_cig
+
+        # ---- seq nibbles
+        L = fb.seq.shape[1]
+        in_read = np.arange(L)[None, :] < lengths[:, None]
+        nib = np.where(in_read, _BAM_NIB[np.minimum(fb.seq, 4)], 0)
+        if L % 2:
+            nib = np.concatenate([nib, np.zeros((n, 1), np.uint8)], axis=1)
+        packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+        _ragged_scatter(out, off, packed, seq_b)
+        off = off + seq_b
+
+        # ---- qual
+        _ragged_scatter(out, off, np.minimum(fb.qual, 93), lengths)
+        off = off + lengths
 
     # ---- tags, sorted name order
     def put_int(tag: bytes, vals: np.ndarray, has: np.ndarray,

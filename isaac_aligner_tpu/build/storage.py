@@ -24,9 +24,12 @@ from .records import FragmentBatch
 _ABSENT = R._ABSENT
 
 
-def _name_matrix(names: list[str], idx: np.ndarray
+def _name_matrix(names, idx: np.ndarray
                  ) -> tuple[np.ndarray, np.ndarray]:
-    arr = np.array(names, dtype="S")[idx]
+    from ..io.fastq import LazyNames
+    if isinstance(names, LazyNames):
+        return names.matrix(idx)
+    arr = np.array(list(names), dtype="S")[idx]
     w = max(1, arr.dtype.itemsize)
     mat = arr.view(np.uint8).reshape(len(arr), w)
     lens = np.char.str_len(arr).astype(np.int32)
@@ -127,8 +130,9 @@ def from_single_result(genome, batch, res: dict, mapq_cap: int = 60,
     drops fragments below the MAPQ bar (reference --mapq-threshold,
     manual.md:421-424): they become unaligned records."""
     names = batch.names
-    valid = ~np.array([n.startswith("__pad") for n in names], bool)
-    idx = np.nonzero(valid)[0]
+    # padding rows are always trailing (pad_batch) — n_valid avoids a
+    # per-name startswith scan
+    idx = np.arange(batch.n_valid)
     n = idx.size
     lengths = batch.lengths[idx].astype(np.int32)
     aligned = np.asarray(res["aligned"])[idx].astype(bool)
@@ -175,8 +179,8 @@ def from_paired_result(genome, b1, b2, res: dict, mapq_cap: int = 60,
     """
     from ..align import tls as tls_mod
     names = b1.names
-    valid = ~np.array([nm.startswith("__pad") for nm in names], bool)
-    idx = np.nonzero(valid)[0]
+    # padding rows are always trailing (pad_batch)
+    idx = np.arange(b1.n_valid)
     n = idx.size
     offs = genome.contig_offsets
 
@@ -536,9 +540,13 @@ class BinnedFragmentStore:
         # input (final output is identical either way)
         self._pre_sort = pre_sort
 
-    def add(self, fb: FragmentBatch) -> None:
+    def add(self, fb: FragmentBatch, seq: int | None = None) -> None:
+        """Route one batch to bins.  `seq` pins the chunk file number
+        (multi-host: the GLOBAL batch index, so chunks from different
+        hosts interleave into single-process record order)."""
         if len(fb) == 0:
             return
+        chunk_no = self._chunk if seq is None else int(seq)
         bins = record_bin_ids(fb, self.offsets, self.bin_bp, self.n_bins,
                               self.boundaries)
         self.records += len(fb)
@@ -552,12 +560,12 @@ class BinnedFragmentStore:
                     sub = sub.take(order)
             d = self.dir / name
             d.mkdir(exist_ok=True)
-            sub.save(d / f"chunk_{self._chunk:06d}.cols")
+            sub.save(d / f"chunk_{chunk_no:06d}.cols")
             if self._cache is not None:
                 self._cache.setdefault(name, []).append(sub)
         if self._cache is not None and self.records > self._cache_cap:
             self._cache = None
-        self._chunk += 1
+        self._chunk = max(self._chunk + 1, chunk_no + 1)
 
     def cached_bin(self, name: str) -> "FragmentBatch | None":
         """The RAM copy of one bin (or None when uncached/dropped)."""

@@ -105,6 +105,9 @@ def _cmd_align(args) -> int:
         memory_limit=args.memory_limit,
         devices=args.devices,
         shard_genome=args.shard_genome,
+        dist_coordinator=args.dist_coordinator,
+        dist_processes=args.dist_processes,
+        dist_process_id=args.dist_process_id,
         keep_unaligned=args.keep_unaligned,
         mapq_threshold=args.mapq_threshold,
         gapped_mismatches=args.gapped_mismatches,
@@ -287,6 +290,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --devices: position-shard the packed "
                          "genome planes too (each device holds G/S + "
                          "halo bases; whole-genome >HBM regime)")
+    al.add_argument("--dist-coordinator", default=None,
+                    help="multi-host: jax.distributed coordinator "
+                         "address host:port (every host runs the same "
+                         "command; see --dist-processes)")
+    al.add_argument("--dist-processes", type=int, default=0,
+                    help="multi-host: number of host processes (>1 "
+                         "enables the global (data, shard) mesh; data "
+                         "stripes across hosts, process 0 writes the BAM)")
+    al.add_argument("--dist-process-id", type=int, default=-1,
+                    help="multi-host: this process's id (0-based)")
     al.add_argument("--memory-limit", type=float, default=0.0,
                     help="GB budget for the Build phase: genomic bins are "
                          "sized so one bin fits (reference --memory-limit)")

@@ -193,12 +193,6 @@ def build_index(
     """
     if seed_len not in (16, 32, 64):
         raise ValueError("seed_len must be 16, 32 or 64")
-    if annotate_neighbors and seed_len == 64:
-        raise ValueError(
-            "neighbor annotation supports 16/32-mer indexes (64-mer "
-            "seeds are specific enough that the reference's <=4-"
-            "mismatch neighbor pass is gated off for them too); pass "
-            "--dont-annotate")
     codes = genome.codes
     g = codes.shape[0]
     if g >= 2**31:
@@ -268,8 +262,9 @@ def build_index(
     )
     if annotate_neighbors:
         from .neighbors import annotate_index
-        index.has_neighbors = annotate_index(index.key_hi, index.key_lo,
-                                             k=seed_len).astype(np.uint8)
+        index.has_neighbors = annotate_index(
+            index.key_hi, index.key_lo, k=seed_len,
+            key_mids=tuple(index.key_mids)).astype(np.uint8)
     return index
 
 

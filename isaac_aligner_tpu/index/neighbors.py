@@ -155,20 +155,39 @@ def find_neighbors(kmers: np.ndarray, k: int = 32,
 
 def annotate_index(key_hi: np.ndarray, key_lo: np.ndarray, k: int,
                    error_count: int = DEFAULT_WIDTH,
-                   run_cap: int = 256) -> np.ndarray:
+                   run_cap: int = 256,
+                   key_mids: tuple = (),
+                   prefer_device: bool | None = None) -> np.ndarray:
     """Neighbor bits for SORTED (possibly duplicated) index key planes.
 
-    Reconstructs uint64 k-mers from the biased int32 planes, annotates
-    unique k-mers, and expands back to per-record bits.
-    """
+    Unbiases the int32 planes to uint32 words, deduplicates, annotates
+    unique k-mers (TPU when available — neighbors_tpu.find_neighbors_
+    device — else the vectorized host scan), and expands back to
+    per-record bits.  64-mer indexes pass their two middle planes via
+    `key_mids` (round-4 refused 64-mer annotation entirely)."""
     from .build import unbias_i32_to_u32
+    from .neighbors_tpu import annotate_unique_auto
 
-    hi = unbias_i32_to_u32(key_hi).astype(np.uint64)
-    lo = unbias_i32_to_u32(key_lo).astype(np.uint64)
-    # k=32 packs into 64 bits (hi:lo); k=16 lives entirely in hi
-    kmers = (hi << np.uint64(32)) | lo if k == 32 else hi
-    uniq, inverse = np.unique(kmers, return_inverse=True)
-    bits = find_neighbors(uniq, k=k, error_count=error_count, run_cap=run_cap)
+    if k == 64:
+        planes = (key_hi, key_mids[0], key_mids[1], key_lo)
+    elif k == 32:
+        planes = (key_hi, key_lo)
+    else:
+        planes = (key_hi,)
+    words = [unbias_i32_to_u32(np.asarray(p)) for p in planes]
+    n = words[0].shape[0]
+    if n == 0:
+        return np.zeros(0, bool)
+    # consecutive-dedup over the SORTED planes (lexicographic)
+    new = np.zeros(n, bool)
+    new[0] = True
+    for w in words:
+        new[1:] |= w[1:] != w[:-1]
+    inverse = np.cumsum(new) - 1
+    uniq = tuple(w[new] for w in words)
+    bits = annotate_unique_auto(uniq, k, error_count=error_count,
+                                run_cap=run_cap,
+                                prefer_device=prefer_device)
     return bits[inverse]
 
 
@@ -274,12 +293,18 @@ def annotate_index_chunked(key_hi, key_lo, k: int,
         bits = np.zeros(n_uniq, dtype=bool)
 
         if not big:
-            for order in block_permutations(error_count):
-                permuted = permute_blocks(uniq, order, k)
-                idx = np.argsort(permuted, kind="stable")
-                hit = _scan_sorted_runs(permuted[idx], prefix_shift,
-                                        suffix_mask, error_count, run_cap)
-                bits[idx[hit]] = True
+            # device path when a TPU is available (neighbors_tpu: all 70
+            # permutations in one jitted sort+windowed-scan program);
+            # falls back to the per-permutation host scan
+            from .neighbors_tpu import annotate_unique_auto
+            u = np.asarray(uniq)
+            if k == 32:
+                up = ((u >> np.uint64(32)).astype(np.uint32),
+                      (u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            else:
+                up = (u.astype(np.uint32),)
+            bits[:] = annotate_unique_auto(up, k, error_count=error_count,
+                                           run_cap=run_cap)
         else:
             n_parts = 1 << part_bits
             pshift = np.uint64(64 - part_bits) if k == 32 else \

@@ -20,11 +20,111 @@ import numpy as np
 from .. import dna
 
 
+class LazyNames:
+    """Columnar read names: ascii byte matrix [B, W] + lengths, with
+    lazy Python-string materialization.
+
+    The e2e hot path (FASTQ parse -> convert -> BAM name column) never
+    needs Python string objects — building 32k strs per batch plus the
+    downstream `startswith("__pad")` scans held the GIL long enough to
+    starve the 2-core pipeline (round-5 profile).  Rows at index >=
+    `pad_from` are synthetic "__pad{i}" padding rows (their matrix rows
+    hold the same ascii).  Supports list-compatible indexing/iteration
+    (materializes on demand) so fixture/SAM paths keep working.
+    """
+
+    __slots__ = ("mat", "lens", "pad_from", "_strs")
+
+    def __init__(self, mat: np.ndarray, lens: np.ndarray,
+                 pad_from: int | None = None):
+        self.mat = mat
+        self.lens = lens.astype(np.int32)
+        self.pad_from = mat.shape[0] if pad_from is None else int(pad_from)
+        self._strs: list[str] | None = None
+
+    @staticmethod
+    def from_list(names: list[str]) -> "LazyNames":
+        arr = np.array(names, dtype="S") if names else np.zeros(0, "S1")
+        w = max(1, arr.dtype.itemsize)
+        mat = arr.view(np.uint8).reshape(len(names), w)
+        lens = np.char.str_len(arr).astype(np.int32)
+        pad = len(names)
+        for i in range(len(names) - 1, -1, -1):
+            if names[i].startswith("__pad"):
+                pad = i
+            else:
+                break
+        ln = LazyNames(mat, lens, pad)
+        ln._strs = list(names)
+        return ln
+
+    def _materialize(self) -> list[str]:
+        if self._strs is None:
+            flat = self.mat.tobytes()
+            w = self.mat.shape[1]
+            lens = self.lens
+            self._strs = [flat[i * w : i * w + lens[i]].decode("ascii")
+                          for i in range(self.mat.shape[0])]
+        return self._strs
+
+    def __len__(self) -> int:
+        return int(self.mat.shape[0])
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step == 1:
+                out = LazyNames(self.mat[i], self.lens[i],
+                                min(max(self.pad_from - start, 0),
+                                    stop - start))
+                if self._strs is not None:
+                    out._strs = self._strs[i]
+                return out
+            return self._materialize()[i]
+        if self._strs is not None:
+            return self._strs[i]
+        row = bytes(self.mat[i, : self.lens[i]])
+        return row.decode("ascii")
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __add__(self, other: list[str]):
+        return self._materialize() + list(other)
+
+    def __eq__(self, other):
+        if isinstance(other, LazyNames):
+            other = other._materialize()
+        if isinstance(other, list):
+            return self._materialize() == other
+        return NotImplemented
+
+    def matrix(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(byte matrix, lengths) for the selected rows — no strings."""
+        return self.mat[idx], self.lens[idx]
+
+    def with_padding(self, to_count: int) -> "LazyNames":
+        """Append "__pad{i}" rows up to `to_count` (columnar pad_batch)."""
+        n = len(self)
+        pad = to_count - n
+        if pad <= 0:
+            return self
+        pnames = np.array([f"__pad{i}" for i in range(pad)], dtype="S")
+        pw = pnames.dtype.itemsize
+        w = max(self.mat.shape[1], pw)
+        mat = np.zeros((to_count, w), np.uint8)
+        mat[:n, : self.mat.shape[1]] = self.mat
+        mat[n:, :pw] = pnames.view(np.uint8).reshape(pad, pw)
+        lens = np.concatenate(
+            [self.lens, np.char.str_len(pnames).astype(np.int32)])
+        return LazyNames(mat, lens, min(self.pad_from, n))
+
+
 @dataclasses.dataclass
 class ReadBatch:
     """A rectangular batch of reads (one 'tile' in reference terms)."""
 
-    names: list[str]
+    names: "list[str] | LazyNames"
     bases: np.ndarray    # uint8 [B, L] codes 0..4
     quals: np.ndarray    # uint8 [B, L] phred (0 for padding)
     lengths: np.ndarray  # int32 [B] true read lengths
@@ -36,6 +136,16 @@ class ReadBatch:
     @property
     def read_len(self) -> int:
         return int(self.bases.shape[1])
+
+    @property
+    def n_valid(self) -> int:
+        """Rows before the first "__pad" padding row."""
+        if isinstance(self.names, LazyNames):
+            return self.names.pad_from
+        n = len(self.names)
+        while n > 0 and self.names[n - 1].startswith("__pad"):
+            n -= 1
+        return n
 
 
 def _open_maybe_gzip(path: str | Path) -> io.BufferedReader:
@@ -265,13 +375,22 @@ class _ColumnarFastqStream:
             rawq = arr[np.minimum(q_s[:, None] + col, arr.shape[0] - 1)]
             quals = np.where(in_read, rawq - self.phred_offset,
                              0).astype(np.uint8)
-        # names: header up to the first whitespace (cheap slice loop)
-        hs = (h_s + 1).tolist()
-        he = h_e.tolist()
-        names = [buf[a:b].decode("ascii") for a, b in zip(hs, he)]
-        if any(" " in nm or "\t" in nm for nm in names):
-            names = [nm.split()[0] if (" " in nm or "\t" in nm) else nm
-                     for nm in names]
+        # names: header up to the first whitespace — columnar (LazyNames;
+        # building 32k Python strings per batch held the GIL on the
+        # 2-core e2e critical path)
+        n_s = h_s + 1
+        n_len = (h_e - n_s).astype(np.int64)
+        w = max(1, int(n_len.max()) if n_rec else 1)
+        ncol = np.arange(w, dtype=np.int64)[None, :]
+        gather = np.minimum(n_s[:, None] + ncol, arr.shape[0] - 1)
+        mat = np.where(ncol < n_len[:, None], arr[gather], np.uint8(0))
+        ws = (mat == 32) | (mat == 9)
+        has_ws = ws.any(axis=1)
+        if has_ws.any():
+            first_ws = np.argmax(ws, axis=1)
+            n_len = np.where(has_ws, first_ws, n_len)
+            mat = np.where(ncol < n_len[:, None], mat, np.uint8(0))
+        names = LazyNames(mat, n_len.astype(np.int32))
         return names, bases, quals, lengths.astype(np.int32)
 
 
@@ -374,8 +493,11 @@ def pad_batch(batch: ReadBatch, to_count: int) -> ReadBatch:
     if b > to_count:
         raise ValueError("pad_batch cannot shrink")
     pad = to_count - b
+    names = (batch.names.with_padding(to_count)
+             if isinstance(batch.names, LazyNames)
+             else batch.names + [f"__pad{i}" for i in range(pad)])
     return ReadBatch(
-        names=batch.names + [f"__pad{i}" for i in range(pad)],
+        names=names,
         bases=np.concatenate([batch.bases, np.full((pad, batch.read_len), dna.N, np.uint8)]),
         quals=np.concatenate([batch.quals, np.zeros((pad, batch.read_len), np.uint8)]),
         lengths=np.concatenate([batch.lengths, np.zeros(pad, np.int32)]),

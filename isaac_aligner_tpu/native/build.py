@@ -15,6 +15,8 @@ _CACHE: dict[str, ctypes.CDLL | None] = {}
 
 _LINK_FLAGS = {
     "bgzf": ["-lz", "-lpthread"],
+    "bamrec": ["-lpthread"],
+    "fastq": ["-lpthread"],
 }
 
 

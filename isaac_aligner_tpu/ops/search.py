@@ -19,8 +19,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-I32_MAX = jnp.int32(2**31 - 1)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (multi-host must init before any backend use)
+I32_MAX = np.int32(2**31 - 1)
 
 
 def _lex_lt_n(words, q_words):

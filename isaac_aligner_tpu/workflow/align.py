@@ -255,6 +255,19 @@ class WorkflowOptions:
     # reference --tiles (manual.md:564): comma-separated regexes over
     # tile numbers selecting a subset of the flowcell
     tiles_regex: str | None = None
+    # -- multi-host SPMD (parallel/multihost.py; no reference analog —
+    # the reference is single-node, SURVEY §2.14/§5.8).  When
+    # dist_processes > 1 (or ISAAC_TPU_DIST_* env), jax.distributed
+    # wires the process group; the mesh spans all hosts' devices with
+    # `data` across hosts and `shard` within each host; every process
+    # runs the same workflow binary (process 0 writes the BAM)
+    dist_coordinator: str | None = None
+    dist_processes: int = 0
+    dist_process_id: int = -1
+    # force fixed equal-span bin boundaries (no distribution sampling);
+    # multi-host runs imply this — the flag lets a single-process run
+    # reproduce a multi-host run's binning byte-for-byte
+    uniform_bins: bool = False
 
     def qscore_table(self) -> "np.ndarray | None":
         """64-entry quality remap table from --qscore-bin-values."""
@@ -307,7 +320,7 @@ class _DistributionBinStore:
 
     def __init__(self, bins_dir, contig_offsets, genome_bp: int,
                  n_bins: int, sample_cap: int, ram_cache_records: int = 0,
-                 pre_sort: bool = False):
+                 pre_sort: bool = False, uniform: bool = False):
         from ..build.storage import BinnedFragmentStore
         self._mk = lambda boundaries: BinnedFragmentStore(
             bins_dir, contig_offsets, genome_bp, n_bins,
@@ -322,10 +335,15 @@ class _DistributionBinStore:
         self._buffer: list = []
         self._buffered = 0
         self._inner = None
+        if uniform:
+            # multi-host runs need IDENTICAL bin boundaries on every
+            # host (each host samples a different stripe): fixed
+            # equal-span cuts, no sampling
+            self._inner = self._mk(None)
 
-    def add(self, fb) -> None:
+    def add(self, fb, seq: int | None = None) -> None:
         if self._inner is not None:
-            self._inner.add(fb)
+            self._inner.add(fb, seq=seq)
             return
         placed = fb.ref_id >= 0
         if placed.any():
@@ -333,7 +351,7 @@ class _DistributionBinStore:
                     + fb.pos)[placed]
             np.add.at(self._hist,
                       np.minimum(gpos // self._span_bp, self.SPANS - 1), 1)
-        self._buffer.append(fb)
+        self._buffer.append((fb, seq))
         self._buffered += len(fb)
         if self._buffered >= self.sample_cap:
             self._freeze()
@@ -351,17 +369,20 @@ class _DistributionBinStore:
             boundaries = np.concatenate(
                 [[0], np.maximum.accumulate(cuts)]).astype(np.int64)
         self._inner = self._mk(boundaries)
-        for fb in self._buffer:
-            self._inner.add(fb)
+        for fb, seq in self._buffer:
+            self._inner.add(fb, seq=seq)
         self._buffer = []
 
-    def finalize(self) -> None:
+    def finalize(self, write_meta: bool = True) -> None:
         """Flush (small runs never hit the sample cap); persist the bin
         boundaries so the Build phase can describe each bin for
-        --bin-regex filtering."""
+        --bin-regex filtering.  `write_meta=False` for multi-host
+        non-zero processes (process 0 owns the shared metadata file)."""
         if self._inner is None:
             self._freeze()
         inner = self._inner
+        if not write_meta:
+            return
         doc = {"bin_bp": int(inner.bin_bp), "n_bins": int(inner.n_bins)}
         if inner.boundaries is not None:
             doc["boundaries"] = [int(x) for x in inner.boundaries]
@@ -400,6 +421,8 @@ class AlignWorkflow:
         return self.temp / "AlignerState.json"
 
     def save_state(self) -> None:
+        if self._dist[1] > 1 and self._dist[0] != 0:
+            return   # process 0 owns the shared state file
         doc = {"state": self.state, "stats": self._stats}
         if self.tls is not None:
             doc["tls"] = dataclasses.asdict(self.tls)
@@ -438,9 +461,37 @@ class AlignWorkflow:
                 self.tls, mate_min=self.tls.median - d,
                 mate_max=self.tls.median + d)
 
+    @property
+    def _dist(self) -> tuple[int, int]:
+        """(process_id, num_processes) — initializes jax.distributed on
+        first use when multi-host options/env are present."""
+        if getattr(self, "_dist_cached", None) is None:
+            import os
+            o = self.opts
+            if o.dist_processes > 1 or os.environ.get("ISAAC_TPU_DIST_NPROCS"):
+                from ..parallel.multihost import init_distributed
+                self._dist_cached = init_distributed(
+                    o.dist_coordinator, o.dist_processes or None,
+                    o.dist_process_id if o.dist_process_id >= 0 else None)
+            else:
+                self._dist_cached = (0, 1)
+        return self._dist_cached
+
+    def _mh_mesh(self):
+        """The global multi-host (data, shard) mesh (data across hosts,
+        shard within each host)."""
+        if getattr(self, "_mh_mesh_cached", None) is None:
+            from ..parallel.multihost import make_global_mesh
+            self._mh_mesh_cached = make_global_mesh(local_data=1)
+        return self._mh_mesh_cached
+
     def _mesh(self):
         """The (data, shard) device mesh when --devices requests SPMD
-        (cached); None in single-device mode."""
+        (cached); None in single-device mode.  Multi-host runs use
+        _mh_mesh instead (this stays None so the Build phase dedups on
+        host — process 0 builds alone)."""
+        if self._dist[1] > 1:
+            return None
         n = self.opts.devices
         if n in (0, 1):
             return None
@@ -681,8 +732,13 @@ class AlignWorkflow:
         from ..build import storage as fstore
         index = self._load_index()
         t0 = time.time()
+        pid, nproc = self._dist
+        mh = nproc > 1
         mesh = self._mesh()   # may round batch_size up to the data axis
         o = self.opts
+        if mh and o.per_tile_tls:
+            raise ValueError("--per-tile-tls does not combine with "
+                             "multi-host execution yet")
         paired = self._paired
         stream = self._batch_stream()
         first = next(stream, None)
@@ -724,14 +780,23 @@ class AlignWorkflow:
         self._stats["records_per_bin"] = records_per_bin
         n_bins = max(1, -(-n_records // records_per_bin))
         bins_dir = self.temp / "bins"
-        if bins_dir.exists():
+        if mh:
+            from ..parallel import multihost as mhmod
+            if pid == 0 and bins_dir.exists():
+                shutil.rmtree(bins_dir)
+            mhmod.barrier("bins_cleared")
+        elif bins_dir.exists():
             shutil.rmtree(bins_dir)
         store = _DistributionBinStore(
             bins_dir, genome.contig_offsets, genome.total_length, n_bins,
             sample_cap=max(records_per_bin,
                            4 * o.batch_size * (2 if paired else 1)),
-            ram_cache_records=records_per_bin if o.buffer_bins else 0,
-            pre_sort=o.pre_sort_bins)
+            # multi-host: every host must cut IDENTICAL bin boundaries
+            # (uniform equal spans), and the host-local RAM cache cannot
+            # serve process 0's Build (it sees only one stripe)
+            ram_cache_records=(0 if mh else
+                               records_per_bin if o.buffer_bins else 0),
+            pre_sort=o.pre_sort_bins, uniform=mh or o.uniform_bins)
         # the Build phase reuses the RAM chunk cache when it runs in this
         # process (resume-from-disk falls back to the files)
         self._bin_cache = store
@@ -742,7 +807,7 @@ class AlignWorkflow:
         demux_counts = np.zeros(len(rg_names) or 1, np.int64)
         batch_no = [0]   # synthesized tile counter for FASTQ/BAM inputs
 
-        def emit(fb, read_names: list[str]) -> None:
+        def emit(fb, read_names, n_valid: int, gidx: int) -> None:
             mapped = (fb.flag & sam.FLAG_UNMAPPED) == 0
             stats["total_reads"] += len(fb)
             stats["aligned"] += int(mapped.sum())
@@ -758,8 +823,9 @@ class AlignWorkflow:
                 np.add.at(demux_counts,
                           np.maximum(fb.rg[first], 0), 1)
             if o.run_folder:
-                rec_names = np.repeat(np.asarray(read_names, dtype="U"),
-                                      len(fb) // max(len(read_names), 1))
+                valid = list(read_names[:n_valid])
+                rec_names = np.repeat(np.asarray(valid, dtype="U"),
+                                      len(fb) // max(len(valid), 1))
                 self._tile_agg(rec_names, fb, mapped, per_tile, rg_names)
             else:
                 # FASTQ/BAM inputs: synthesize one tile per batch — the
@@ -767,9 +833,9 @@ class AlignWorkflow:
                 # for FASTQ and reports the same tile histograms
                 # (include/workflow/alignWorkflow/FastqDataSource.hh:41-118)
                 self._tile_agg(None, fb, mapped, per_tile, rg_names,
-                               synth_tile=("1", f"{batch_no[0]:04d}"))
+                               synth_tile=("1", f"{gidx:04d}"))
             batch_no[0] += 1
-            store.add(fb)
+            store.add(fb, seq=gidx)
 
         # the barcode/name sidecar rides a queue so the pipelined aligner
         # generator stays a plain (b1[, b2]) iterator
@@ -781,15 +847,33 @@ class AlignWorkflow:
 
         def feed():
             it = iter(stream)
+            gidx = -1
             while True:
                 t1 = time.perf_counter()
                 nxt = next(it, None)
                 t_host["parse"] += time.perf_counter() - t1
+                gidx += 1
                 if nxt is None:
+                    if mh and gidx % nproc and pid >= gidx % nproc:
+                        # ragged tail: every process must run the same
+                        # number of global SPMD steps — feed one all-pad
+                        # batch (contributes zero records)
+                        from ..io.fastq import LazyNames, pad_batch
+                        empty = pad_batch(ReadBatch(
+                            LazyNames(np.zeros((0, 1), np.uint8),
+                                      np.zeros(0, np.int32)),
+                            np.zeros((0, read_len), np.uint8),
+                            np.zeros((0, read_len), np.uint8),
+                            np.zeros(0, np.int32)), o.batch_size)
+                        sidecar.append((None, empty.names, 0, gidx))
+                        yield (empty, empty) if paired else empty
                     return
+                if mh and gidx % nproc != pid:
+                    continue   # another host's stripe
                 b1, b2, bc = nxt
-                valid = [nm for nm in b1.names if not nm.startswith("__pad")]
-                sidecar.append((bc, valid))
+                # keep names columnar/lazy — only the BCL per-tile paths
+                # materialize strings (aux_for); FASTQ needs the count
+                sidecar.append((bc, b1.names, b1.n_valid, gidx))
                 if tls_by_tile and paired:
                     key = self._tile_key_of(b1.names[0])
                     doc = tls_by_tile.get(key)
@@ -797,23 +881,40 @@ class AlignWorkflow:
                         b1.tls_hint = TlsStatic(**doc)
                 yield (b1, b2) if paired else b1
 
-        def aux_for(bc_bases, valid_names):
+        def aux_for(bc_bases, names, n_valid: int):
             zx = zy = None
             rg = bc = None
             if rg_names:
-                rg, bc = self._resolve_rg(bc_bases, len(valid_names))
+                rg, bc = self._resolve_rg(bc_bases, n_valid)
             if o.run_folder and not {"ZX", "ZY"} <= o.excluded_tags():
-                zx, zy = _coords_from_names(valid_names)
+                zx, zy = _coords_from_names(list(names[:n_valid]))
             if rg is None and zx is None:
                 return None
             from ..build.storage import AuxColumns
             return AuxColumns(rg=rg, rg_names=rg_names, bc=bc, zx=zx, zy=zy)
 
-        if mesh is not None and len(indexes) > 1:
+        if (mh or mesh is not None) and len(indexes) > 1:
             raise ValueError(
                 "--devices SPMD does not combine with contig-group "
                 "(multi-index) references yet; use a single-group index")
-        if mesh is not None:
+        if mh:
+            from ..parallel.multihost import (MultihostAligner,
+                                              MultihostPairedAligner)
+            mh_mesh = self._mh_mesh()
+            if paired:
+                aligner = MultihostPairedAligner.create_multihost(
+                    index, mesh=mh_mesh, read_len=read_len, cfg=cfg,
+                    genome_sharded=o.shard_genome,
+                    clip_overlapping=o.clip_overlapping,
+                    pessimistic_mapq=o.pessimistic_mapq,
+                    shadow_scan_range=o.shadow_scan_range, **clip_kw)
+                if self.tls is not None:
+                    aligner.tls = self.tls
+            else:
+                aligner = MultihostAligner.create_multihost(
+                    index, mesh=mh_mesh, read_len=read_len, cfg=cfg,
+                    genome_sharded=o.shard_genome, **clip_kw)
+        elif mesh is not None:
             from ..parallel.sharded_aligner import (ShardedAligner,
                                                     ShardedPairedAligner)
             if paired:
@@ -865,8 +966,8 @@ class AlignWorkflow:
 
         def convert_emit(inputs, res):
             t1 = time.perf_counter()
-            bc_bases, valid = sidecar.popleft()
-            aux = aux_for(bc_bases, valid)
+            bc_bases, names, n_valid, gidx = sidecar.popleft()
+            aux = aux_for(bc_bases, names, n_valid)
             if paired:
                 fb = fstore.from_paired_result(
                     genome, inputs[0], inputs[1], res,
@@ -877,7 +978,7 @@ class AlignWorkflow:
                 fb = fstore.from_single_result(
                     genome, inputs, res, mapq_cap=aligner.cfg.mapq_cap,
                     aux=aux, mapq_threshold=o.mapq_threshold)
-            emit(fb, valid)
+            emit(fb, names, n_valid, gidx)
             t_host["convert"] += time.perf_counter() - t1
 
         writer = OrderedStage(convert_emit,
@@ -889,14 +990,35 @@ class AlignWorkflow:
                 writer.submit(inputs, res)
         finally:
             writer.close()
-        store.finalize()
+        store.finalize(write_meta=(not mh or pid == 0))
+        if mh:
+            # global totals on every host; chunks all flushed before the
+            # barrier releases process 0 into the Build phase
+            from ..parallel.multihost import allsum_stats, barrier
+            merged = allsum_stats({k: stats[k] for k in (
+                "total_reads", "aligned", "perfect", "proper_pairs",
+                "mapq_hist")})
+            for k, v in merged.items():
+                stats[k] = v if k == "mapq_hist" else int(v)
+            demux_counts[:] = allsum_stats(
+                {"d": demux_counts})["d"]
+            fs = getattr(aligner, "finder_stats", None)
+            if fs:
+                ints = {k: v for k, v in fs.items() if isinstance(v, int)}
+                for k, v in allsum_stats(ints).items():
+                    fs[k] = int(v)
+                fs.pop("tally", None)   # per-host tally lists don't merge
+            barrier("align_done")
 
         if rg_names:
             counts = {nm: int(c) for nm, c in zip(rg_names, demux_counts) if c}
             self._stats["demultiplexing"] = counts
-            (self.stats_dir / "DemultiplexingStats.json").write_text(
-                json.dumps(counts, indent=2))
+            if not mh or pid == 0:
+                (self.stats_dir / "DemultiplexingStats.json").write_text(
+                    json.dumps(counts, indent=2))
         if per_tile:
+            # multi-host: per-tile rows cover this host's stripe only
+            # (global counters above are allsum-merged)
             stats["tiles"] = [
                 {"lane": lane, "tile": tile, "barcode": sample,
                  "read": read, **agg}
@@ -1129,9 +1251,7 @@ class AlignWorkflow:
                 if b is None:
                     continue
                 if not o.variable_read_length:
-                    pad = np.char.startswith(np.asarray(b.names, "U"),
-                                             "__pad")
-                    ln = b.lengths[~pad]
+                    ln = b.lengths[: b.n_valid]
                     if ln.size and int(ln.min()) != int(ln.max()):
                         raise ValueError(
                             f"variable read lengths ({int(ln.min())}.."
@@ -1526,6 +1646,13 @@ class AlignWorkflow:
         if self.state not in transitions:
             raise RuntimeError(f"cannot step from {self.state}")
         fn, next_state = transitions[self.state]
+        pid, nproc = self._dist
+        if nproc > 1 and pid != 0 and self.state in ("AlignDone",
+                                                     "ReportsDone"):
+            # multi-host: process 0 owns reports + the Build phase (it
+            # reads every host's bin chunks off the shared temp dir);
+            # other processes wait at the end-of-run barrier
+            fn = lambda: None
         with tracing.phase(f"workflow {self.state} -> {next_state}"):
             fn()
         self.state = next_state
@@ -1566,3 +1693,6 @@ class AlignWorkflow:
         while STATES.index(self.state) < STATES.index(stop_at):
             self.step()
             self.save_state()
+        if self._dist[1] > 1:
+            from ..parallel.multihost import barrier
+            barrier("workflow_done")
