@@ -28,6 +28,23 @@ class BarcodeSpec:
     sample: str
     project: str = "default"
     lane: int = 1
+    # per-barcode reference index/FASTA ("" = the run's -r reference;
+    # "unmapped" = do not align, emit unmapped records) — reference
+    # BarcodeMetadata reference-index routing
+    # (flowcell/BarcodeMetadata.hh:134-136)
+    reference: str = ""
+    # per-barcode adapter list, '+'-separated ("" = the run's --adapters)
+    # (BarcodeMetadata.hh:63-66)
+    adapter: str = ""
+
+    @property
+    def is_unmapped_reference(self) -> bool:
+        return self.reference.strip().lower() == "unmapped"
+
+    @property
+    def adapters(self) -> tuple[str, ...]:
+        a = self.adapter.strip()
+        return tuple(x for x in a.split("+") if x) if a else ()
 
     @property
     def components(self) -> tuple[str, ...]:
@@ -60,6 +77,12 @@ def parse_sample_sheet(path: str | Path) -> list[BarcodeSpec]:
                          if "project" in cols and row[cols["project"]] else "default"),
                 lane=(int(row[cols["lane"]]) if "lane" in cols and row[cols["lane"]]
                       else 1),
+                reference=(row[cols["reference"]].strip()
+                           if "reference" in cols and row[cols["reference"]]
+                           else ""),
+                adapter=(row[cols["adapter"]].strip()
+                         if "adapter" in cols and row[cols["adapter"]]
+                         else ""),
             ))
     if not rows:
         raise ValueError(f"{path}: no barcode rows")

@@ -638,6 +638,11 @@ class AlignWorkflow:
         learn = [(b1, b2) for b1, b2, _ in
                  itertools.islice(self._batch_stream(),
                                   self.opts.tls_batches)]
+        if not learn:
+            # empty input (e.g. a per-barcode sample with zero reads):
+            # the align phase handles emptiness; default model
+            self.tls = None
+            return
         o = self.opts
         from ..align.gapped import GapScoring
         read_len = learn[0][0].read_len
@@ -1267,7 +1272,14 @@ class AlignWorkflow:
         """Yield (b1, b2 | None, barcode_bases | None) padded batches.
         FASTQ inputs stream record by record, BCL run folders tile by
         tile (the reference's RAM-fit tile batching, SeedMemoryManager /
-        BclSeedSource); only BAM realignment input stays in RAM."""
+        BclSeedSource); only BAM realignment input stays in RAM.
+
+        A per-barcode sub-workflow injects its demultiplexed stream via
+        `_stream_factory` (workflow/per_barcode.py)."""
+        inj = getattr(self, "_stream_factory", None)
+        if inj is not None:
+            yield from inj()
+            return
         o = self.opts
         if o.run_folder:
             from ..io.bcl import load_tile, parse_run_info, tile_read_batches
@@ -1684,6 +1696,15 @@ class AlignWorkflow:
 
     def run(self, start_from: str | None = None, stop_at: str = "BamDone",
             resume: bool = False) -> None:
+        # a sample sheet with per-barcode reference/adapter columns runs
+        # one sub-workflow per sample (workflow/per_barcode.py)
+        if (self.opts.sample_sheet
+                and getattr(self, "_stream_factory", None) is None):
+            from .per_barcode import (PerBarcodeDriver,
+                                      sheet_has_per_barcode_columns)
+            if sheet_has_per_barcode_columns(self.opts.sample_sheet):
+                PerBarcodeDriver(self.opts).run()
+                return
         self._check_base_calls_format()
         self._fit_batch_size()
         if resume:
