@@ -152,15 +152,28 @@ class Aligner:
         with lock:
             self.timings[key] = self.timings.get(key, 0.0) + dt
 
+    def ensure_uploaded(self) -> None:
+        """Upload the index planes to HBM if not resident (group-major
+        multi-index swapping, parallel/multi_index.py)."""
+        if self.arrays is None:
+            self.arrays = prepare_index(self.index, upload_codes=False)
+
+    def release_device(self) -> None:
+        """Drop the HBM planes (the group-major loop frees one group
+        before uploading the next)."""
+        self.arrays = None
+
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
-               cfg: AlignConfig | None = None, **opts) -> "Aligner":
+               cfg: AlignConfig | None = None, defer_upload: bool = False,
+               **opts) -> "Aligner":
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
         al = Aligner(index=index, cfg=cfg,
-                     arrays=prepare_index(index, upload_codes=False),
+                     arrays=(None if defer_upload
+                             else prepare_index(index, upload_codes=False)),
                      **opts)
         # quality trim + semialigned clip run ON DEVICE inside the fused
         # program (the host numpy passes were the top e2e cost)
@@ -410,15 +423,21 @@ class PairedAligner:
         with lock:
             self.timings[key] = self.timings.get(key, 0.0) + dt
 
+    ensure_uploaded = Aligner.ensure_uploaded
+    release_device = Aligner.release_device
+
     @staticmethod
     def create(index: SeedIndex, read_len: int | None = None,
-               cfg: AlignConfig | None = None, **opts) -> "PairedAligner":
+               cfg: AlignConfig | None = None, defer_upload: bool = False,
+               **opts) -> "PairedAligner":
         if cfg is None:
             offsets = default_seed_offsets(read_len or index.seed_len, index.seed_len)
             cfg = AlignConfig(seed_len=index.seed_len, seed_offsets=offsets)
         cfg = _with_bucket_log2(cfg, index)
         al = PairedAligner(index=index,
-                           arrays=prepare_index(index, upload_codes=False),
+                           arrays=(None if defer_upload
+                                   else prepare_index(index,
+                                                      upload_codes=False)),
                            cfg=cfg,
                            **opts)
         # quality trim + semialigned clip run ON DEVICE inside the fused

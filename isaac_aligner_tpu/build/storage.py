@@ -13,6 +13,7 @@ in RAM at once.
 from __future__ import annotations
 
 import dataclasses
+import json
 from pathlib import Path
 
 import numpy as np
@@ -609,3 +610,104 @@ class BinnedFragmentStore:
             rows += len(fb)
         if group:
             yield R.concat(group)
+
+
+class DistributionBinStore:
+    """Match-distribution-driven genomic binning (reference
+    MatchDistribution.hh:43-107 + BinIndexMap.hh:44-96).
+
+    The reference sizes bins from the match distribution its seed pass
+    observed; the streaming workflow has no separate pass, so this store
+    BUFFERS the first `sample_cap` records (at most one bin budget),
+    accumulates a coarse position histogram, cuts bin boundaries at
+    equal sampled record mass, then flushes the buffer and streams the
+    rest.  Uniform coverage reproduces (near-)equal spans; skewed runs
+    (amplicons/exomes, 90% of reads in 1% of the genome) get equal
+    record mass per bin so the --memory-limit contract holds.  FASTQ/BCL
+    arrive in flowcell order (position-random), so the sample is
+    representative; a coordinate-sorted BAM input degrades to span cuts
+    no worse than round 2's behavior."""
+
+    SPANS = 4096
+
+    def __init__(self, bins_dir, contig_offsets, genome_bp: int,
+                 n_bins: int, sample_cap: int, ram_cache_records: int = 0,
+                 pre_sort: bool = False, uniform: bool = False):
+        from ..build.storage import BinnedFragmentStore
+        self._mk = lambda boundaries: BinnedFragmentStore(
+            bins_dir, contig_offsets, genome_bp, n_bins,
+            boundaries=boundaries, ram_cache_records=ram_cache_records,
+            pre_sort=pre_sort)
+        self.offsets = contig_offsets
+        self.genome_bp = genome_bp
+        self.n_bins = max(1, n_bins)
+        self.sample_cap = sample_cap
+        self._span_bp = max(1, -(-genome_bp // self.SPANS))
+        self._hist = np.zeros(self.SPANS, np.int64)
+        self._buffer: list = []
+        self._buffered = 0
+        self._inner = None
+        if uniform:
+            # multi-host runs need IDENTICAL bin boundaries on every
+            # host (each host samples a different stripe): fixed
+            # equal-span cuts, no sampling
+            self._inner = self._mk(None)
+
+    def add(self, fb, seq: int | None = None) -> None:
+        if self._inner is not None:
+            self._inner.add(fb, seq=seq)
+            return
+        placed = fb.ref_id >= 0
+        if placed.any():
+            gpos = (self.offsets[np.maximum(fb.ref_id, 0)]
+                    + fb.pos)[placed]
+            np.add.at(self._hist,
+                      np.minimum(gpos // self._span_bp, self.SPANS - 1), 1)
+        self._buffer.append((fb, seq))
+        self._buffered += len(fb)
+        if self._buffered >= self.sample_cap:
+            self._freeze()
+
+    def _freeze(self) -> None:
+        total = int(self._hist.sum())
+        if total == 0 or self.n_bins <= 1:
+            boundaries = None
+        else:
+            cum = np.cumsum(self._hist)
+            targets = np.arange(1, self.n_bins) * total / self.n_bins
+            spans = np.searchsorted(cum, np.ceil(targets), side="left") + 1
+            cuts = np.minimum(spans.astype(np.int64) * self._span_bp,
+                              self.genome_bp)
+            boundaries = np.concatenate(
+                [[0], np.maximum.accumulate(cuts)]).astype(np.int64)
+        self._inner = self._mk(boundaries)
+        for fb, seq in self._buffer:
+            self._inner.add(fb, seq=seq)
+        self._buffer = []
+
+    def finalize(self, write_meta: bool = True) -> None:
+        """Flush (small runs never hit the sample cap); persist the bin
+        boundaries so the Build phase can describe each bin for
+        --bin-regex filtering.  `write_meta=False` for multi-host
+        non-zero processes (process 0 owns the shared metadata file)."""
+        if self._inner is None:
+            self._freeze()
+        inner = self._inner
+        if not write_meta:
+            return
+        doc = {"bin_bp": int(inner.bin_bp), "n_bins": int(inner.n_bins)}
+        if inner.boundaries is not None:
+            doc["boundaries"] = [int(x) for x in inner.boundaries]
+        (inner.dir / "boundaries.json").write_text(json.dumps(doc))
+
+    def cached_bin(self, name: str):
+        return self._inner.cached_bin(name) if self._inner else None
+
+    def cached_chunks(self, name: str):
+        return self._inner.cached_chunks(name) if self._inner else None
+
+    @property
+    def records(self) -> int:
+        # the flushed buffer re-counts through the inner store
+        return self._inner.records if self._inner else self._buffered
+

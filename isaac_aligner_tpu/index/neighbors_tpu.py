@@ -170,7 +170,11 @@ def annotate_unique_auto(uniq_planes, k: int,
     n = uniq_planes[0].shape[0]
     use_dev = prefer_device
     if use_dev is None:
-        use_dev = error_count == DEFAULT_WIDTH and n <= DEVICE_MAX_RECORDS
+        # the windowed device scan costs O(window) fori steps — an
+        # "uncapped" run_cap (truncation-proof harnesses pass 2^30)
+        # belongs on the host run-scan path
+        use_dev = (error_count == DEFAULT_WIDTH
+                   and n <= DEVICE_MAX_RECORDS and run_cap <= 4096)
         if use_dev:
             try:
                 import jax
@@ -183,9 +187,11 @@ def annotate_unique_auto(uniq_planes, k: int,
                                          error_count=error_count,
                                          window=run_cap)
         except Exception as e:   # pragma: no cover - device-env specific
-            import warnings
-            warnings.warn(f"device neighbor annotation failed ({e!r}); "
-                          f"falling back to host")
+            # tracing.log, not warnings.warn: the default warning filter
+            # dedups per call site, silently hiding repeat fallbacks
+            from ..utils import tracing
+            tracing.log(f"device neighbor annotation failed ({e!r}); "
+                        f"falling back to host", force=True)
     from .neighbors import find_neighbors
     if k <= 32:
         hi = uniq_planes[0].astype(np.uint64)

@@ -84,18 +84,56 @@ def _pick_rows(results: list[dict], key: str, best_g: np.ndarray):
     return stacked[best_g, np.arange(n)]
 
 
+def _group_major_many(aligners, batches, run_one, record, merge):
+    """Group-major streaming: upload group g, run EVERY batch through it
+    (dispatch/fetch pipelined), release g, continue — one group of index
+    planes resident in HBM at a time (the >HBM whole-genome regime; the
+    reference instead streams mask FILES from disk per thread,
+    MatchFinder.cpp:190-316).
+
+    Batches are materialized once and replayed per group (RAM = the run's
+    read bytes; a beyond-RAM run would re-create the input stream per
+    group exactly like the per-barcode driver re-streams per sample).
+    Yields (batch, merged-results) in batch order."""
+    from ..aligner import _pipelined_results
+
+    batches = list(batches)
+    per_group: list[list] = []
+    for a in aligners:
+        a.ensure_uploaded()
+        outs: list = [None] * len(batches)
+        for i, res in _pipelined_results(
+                ((i, b) for i, b in enumerate(batches)),
+                lambda b, _a=a: run_one(_a, b)):
+            record(a, batches[i], res)
+            outs[i] = res
+        per_group.append(outs)
+        a.release_device()
+    for i, b in enumerate(batches):
+        yield b, merge(b, [g[i] for g in per_group])
+
+
 @dataclasses.dataclass
 class MultiIndexAligner:
-    """Single-end alignment across several contig-group indexes."""
+    """Single-end alignment across several contig-group indexes.
+
+    `group_major=True` is the beyond-HBM regime: groups upload ONE AT A
+    TIME — the run streams group-major (all batches through group g,
+    free g, upload g+1) and merges per batch at the end.  With all
+    groups resident (default), batches stream normally with per-group
+    dispatch overlap."""
 
     aligners: list[Aligner]
+    group_major: bool = False
 
     @staticmethod
-    def create(indexes: list[SeedIndex], read_len: int, **opts
-               ) -> "MultiIndexAligner":
+    def create(indexes: list[SeedIndex], read_len: int,
+               group_major: bool = False, **opts) -> "MultiIndexAligner":
         _check_disjoint(indexes)
         return MultiIndexAligner(
-            [Aligner.create(ix, read_len=read_len, **opts) for ix in indexes])
+            [Aligner.create(ix, read_len=read_len,
+                            defer_upload=group_major, **opts)
+             for ix in indexes], group_major=group_major)
 
     @property
     def cfg(self):
@@ -139,6 +177,8 @@ class MultiIndexAligner:
         """Launch every group's device program before fetching any — the
         per-group dispatch/fetch overlap the single-index path has
         (aligner.py align_results_many), applied across groups."""
+        for a in self.aligners:
+            a.ensure_uploaded()
         return [a._dispatch(batch) for a in self.aligners]
 
     def _finish_all(self, batch: ReadBatch, pendings: list) -> list[dict]:
@@ -205,6 +245,15 @@ class MultiIndexAligner:
         """(batch, merged result) pairs, pipelined: the main thread
         dispatches every group's program batch after batch while a worker
         thread fetches + merges completed ones (aligner._pipelined_results)."""
+        if self.group_major:
+            yield from _group_major_many(
+                self.aligners, batches,
+                lambda a, b: a._finish(a._dispatch(b)),
+                lambda a, b, r: a._record_stats(b, r),
+                lambda b, rs: self._merge(b, rs))
+            return
+        for a in self.aligners:
+            a.ensure_uploaded()
         from ..aligner import _pipelined_results
         yield from _pipelined_results(
             ((b, (b, self._dispatch_all(b))) for b in batches),
@@ -237,14 +286,18 @@ class MultiIndexPairedAligner:
 
     aligners: list  # list[PairedAligner]
 
+    group_major: bool = False
+
     @staticmethod
-    def create(indexes: list[SeedIndex], read_len: int, **opts
+    def create(indexes: list[SeedIndex], read_len: int,
+               group_major: bool = False, **opts
                ) -> "MultiIndexPairedAligner":
         from ..aligner import PairedAligner
         _check_disjoint(indexes)
         return MultiIndexPairedAligner(
-            [PairedAligner.create(ix, read_len=read_len, **opts)
-             for ix in indexes])
+            [PairedAligner.create(ix, read_len=read_len,
+                                  defer_upload=group_major, **opts)
+             for ix in indexes], group_major=group_major)
 
     @property
     def cfg(self):
@@ -289,7 +342,10 @@ class MultiIndexPairedAligner:
         library property, not a genome-region one) and share it."""
         biggest = max(self.aligners,
                       key=lambda a: a.index.genome.total_length)
+        biggest.ensure_uploaded()
         stats = biggest.learn_tls(batches)
+        if self.group_major:
+            biggest.release_device()
         self.tls = stats
         return stats
 
@@ -304,6 +360,8 @@ class MultiIndexPairedAligner:
 
     def _dispatch_all(self, b1: ReadBatch, b2: ReadBatch) -> list:
         """Launch every group's paired device program before fetching any."""
+        for a in self.aligners:
+            a.ensure_uploaded()
         return [a._dispatch(b1, b2) for a in self.aligners]
 
     def _finish_all(self, b1: ReadBatch, b2: ReadBatch,
@@ -415,6 +473,15 @@ class MultiIndexPairedAligner:
     def align_results_many(self, batches):
         """((b1, b2), merged result) pairs, pipelined across batches and
         groups (see MultiIndexAligner.align_results_many)."""
+        if self.group_major:
+            yield from _group_major_many(
+                self.aligners, batches,
+                lambda a, bb: a._finish(a._dispatch(bb[0], bb[1])),
+                lambda a, bb, r: a._record_stats(bb[0], bb[1], r),
+                lambda bb, rs: self._merge(bb[0], bb[1], rs))
+            return
+        for a in self.aligners:
+            a.ensure_uploaded()
         from ..aligner import _pipelined_results
         yield from _pipelined_results(
             (((b1, b2), (b1, b2, self._dispatch_all(b1, b2)))

@@ -39,20 +39,8 @@ STATES = ("Start", "TlsDone", "AlignDone", "ReportsDone", "BamDone")
 
 
 def _coords_from_names(names: list[str]):
-    """Cluster X/Y from Illumina read names
-    '<inst>:<run>:<fc>:<lane>:<tile>:<x>:<y>' -> int32 arrays (ZX/ZY
-    tags, reference FragmentAccessorBamAdapter.hh).  Returns (None, None)
-    when names don't carry coordinates."""
-    arr = np.asarray(names, dtype="U")
-    p1 = np.char.rpartition(arr, ":")
-    y, rest = p1[:, 2], p1[:, 0]
-    p2 = np.char.rpartition(rest, ":")
-    x = p2[:, 2]
-    try:
-        return (x.astype(np.int64).astype(np.int32),
-                y.astype(np.int64).astype(np.int32))
-    except ValueError:
-        return None, None
+    from .stats_agg import coords_from_names
+    return coords_from_names(names)
 
 
 def parse_tls_override(spec: str) -> TlsStatic:
@@ -300,104 +288,9 @@ class WorkflowOptions:
         return frozenset(tags)
 
 
-class _DistributionBinStore:
-    """Match-distribution-driven genomic binning (reference
-    MatchDistribution.hh:43-107 + BinIndexMap.hh:44-96).
-
-    The reference sizes bins from the match distribution its seed pass
-    observed; the streaming workflow has no separate pass, so this store
-    BUFFERS the first `sample_cap` records (at most one bin budget),
-    accumulates a coarse position histogram, cuts bin boundaries at
-    equal sampled record mass, then flushes the buffer and streams the
-    rest.  Uniform coverage reproduces (near-)equal spans; skewed runs
-    (amplicons/exomes, 90% of reads in 1% of the genome) get equal
-    record mass per bin so the --memory-limit contract holds.  FASTQ/BCL
-    arrive in flowcell order (position-random), so the sample is
-    representative; a coordinate-sorted BAM input degrades to span cuts
-    no worse than round 2's behavior."""
-
-    SPANS = 4096
-
-    def __init__(self, bins_dir, contig_offsets, genome_bp: int,
-                 n_bins: int, sample_cap: int, ram_cache_records: int = 0,
-                 pre_sort: bool = False, uniform: bool = False):
-        from ..build.storage import BinnedFragmentStore
-        self._mk = lambda boundaries: BinnedFragmentStore(
-            bins_dir, contig_offsets, genome_bp, n_bins,
-            boundaries=boundaries, ram_cache_records=ram_cache_records,
-            pre_sort=pre_sort)
-        self.offsets = contig_offsets
-        self.genome_bp = genome_bp
-        self.n_bins = max(1, n_bins)
-        self.sample_cap = sample_cap
-        self._span_bp = max(1, -(-genome_bp // self.SPANS))
-        self._hist = np.zeros(self.SPANS, np.int64)
-        self._buffer: list = []
-        self._buffered = 0
-        self._inner = None
-        if uniform:
-            # multi-host runs need IDENTICAL bin boundaries on every
-            # host (each host samples a different stripe): fixed
-            # equal-span cuts, no sampling
-            self._inner = self._mk(None)
-
-    def add(self, fb, seq: int | None = None) -> None:
-        if self._inner is not None:
-            self._inner.add(fb, seq=seq)
-            return
-        placed = fb.ref_id >= 0
-        if placed.any():
-            gpos = (self.offsets[np.maximum(fb.ref_id, 0)]
-                    + fb.pos)[placed]
-            np.add.at(self._hist,
-                      np.minimum(gpos // self._span_bp, self.SPANS - 1), 1)
-        self._buffer.append((fb, seq))
-        self._buffered += len(fb)
-        if self._buffered >= self.sample_cap:
-            self._freeze()
-
-    def _freeze(self) -> None:
-        total = int(self._hist.sum())
-        if total == 0 or self.n_bins <= 1:
-            boundaries = None
-        else:
-            cum = np.cumsum(self._hist)
-            targets = np.arange(1, self.n_bins) * total / self.n_bins
-            spans = np.searchsorted(cum, np.ceil(targets), side="left") + 1
-            cuts = np.minimum(spans.astype(np.int64) * self._span_bp,
-                              self.genome_bp)
-            boundaries = np.concatenate(
-                [[0], np.maximum.accumulate(cuts)]).astype(np.int64)
-        self._inner = self._mk(boundaries)
-        for fb, seq in self._buffer:
-            self._inner.add(fb, seq=seq)
-        self._buffer = []
-
-    def finalize(self, write_meta: bool = True) -> None:
-        """Flush (small runs never hit the sample cap); persist the bin
-        boundaries so the Build phase can describe each bin for
-        --bin-regex filtering.  `write_meta=False` for multi-host
-        non-zero processes (process 0 owns the shared metadata file)."""
-        if self._inner is None:
-            self._freeze()
-        inner = self._inner
-        if not write_meta:
-            return
-        doc = {"bin_bp": int(inner.bin_bp), "n_bins": int(inner.n_bins)}
-        if inner.boundaries is not None:
-            doc["boundaries"] = [int(x) for x in inner.boundaries]
-        (inner.dir / "boundaries.json").write_text(json.dumps(doc))
-
-    def cached_bin(self, name: str):
-        return self._inner.cached_bin(name) if self._inner else None
-
-    def cached_chunks(self, name: str):
-        return self._inner.cached_chunks(name) if self._inner else None
-
-    @property
-    def records(self) -> int:
-        # the flushed buffer re-counts through the inner store
-        return self._inner.records if self._inner else self._buffered
+# DistributionBinStore moved to build/storage.py (the output
+# subprocess constructs it without importing this jax-heavy module)
+from ..build.storage import DistributionBinStore as _DistributionBinStore  # noqa: E402
 
 
 class AlignWorkflow:
@@ -938,9 +831,23 @@ class AlignWorkflow:
         elif len(indexes) > 1:
             from ..parallel.multi_index import (MultiIndexAligner,
                                                 MultiIndexPairedAligner)
+            # beyond-HBM regime: when the summed group planes exceed the
+            # HBM budget, stream group-major (one group resident at a
+            # time, parallel/multi_index._group_major_many)
+            import os as _os
+            hbm_budget = float(_os.environ.get("ISAAC_TPU_HBM_GB", "12")) * 1e9
+            plane_bytes = sum(ix.num_records * 13 * 1.3 for ix in indexes)
+            gm = plane_bytes > hbm_budget
+            if gm:
+                from ..utils import tracing
+                tracing.log(
+                    f"multi-index: {plane_bytes/1e9:.1f} GB of index "
+                    f"planes > {hbm_budget/1e9:.0f} GB HBM budget — "
+                    f"group-major swapping (one group resident at a "
+                    f"time)", force=True)
             if paired:
                 aligner = MultiIndexPairedAligner.create(
-                    indexes, read_len=read_len, cfg=cfg,
+                    indexes, read_len=read_len, cfg=cfg, group_major=gm,
                     clip_overlapping=o.clip_overlapping,
                     pessimistic_mapq=o.pessimistic_mapq,
                     shadow_scan_range=o.shadow_scan_range, **clip_kw)
@@ -948,7 +855,8 @@ class AlignWorkflow:
                     aligner.tls = self.tls
             else:
                 aligner = MultiIndexAligner.create(indexes, read_len=read_len,
-                                                   cfg=cfg, **clip_kw)
+                                                   cfg=cfg, group_major=gm,
+                                                   **clip_kw)
         elif paired:
             aligner = PairedAligner.create(
                 index, read_len=read_len, cfg=cfg,
@@ -986,16 +894,79 @@ class AlignWorkflow:
             emit(fb, names, n_valid, gidx)
             t_host["convert"] += time.perf_counter() - t1
 
-        writer = OrderedStage(convert_emit,
-                      window=max(1, o.output_parallel_save),
-                      name="isaac-convert")
-        try:
-            for inputs, res in aligner.align_results_many(
-                    prefetch_iter(feed(), depth=max(1, o.input_parallel_load))):
-                writer.submit(inputs, res)
-        finally:
-            writer.close()
-        store.finalize(write_meta=(not mh or pid == 0))
+        from . import output_proc as op
+        use_proc = op.enabled() and not mh
+        if use_proc:
+            # record conversion + binning move to a SECOND PROCESS: on
+            # the 2-core host the in-process convert thread and the
+            # device-link pump fight for the GIL/cores (output_proc.py)
+            setup = dict(
+                bins_dir=str(bins_dir),
+                contig_offsets=np.asarray(genome.contig_offsets),
+                genome_bp=genome.total_length, n_bins=n_bins,
+                sample_cap=store.sample_cap, pre_sort=o.pre_sort_bins,
+                uniform=bool(o.uniform_bins),
+                rg_names=rg_names, mapq_cap=aligner.cfg.mapq_cap,
+                pessimistic=o.pessimistic_mapq,
+                mapq_threshold=o.mapq_threshold, paired=paired,
+                run_folder=bool(o.run_folder),
+                want_bc="BC" not in o.excluded_tags(),
+                want_zxzy=not {"ZX", "ZY"} <= o.excluded_tags(),
+                barcode_mismatches=o.barcode_mismatches,
+                specs=self._demux_setup()[0],
+                spec_to_name=self._demux_setup()[1],
+                unknown=self._demux_setup()[2],
+            )
+            proc = op.OutputProcess(setup)
+            from ..io.fastq import LazyNames
+
+            def submit_proc(inputs, res):
+                t1 = time.perf_counter()
+                bc_bases, names, n_valid, gidx = sidecar.popleft()
+                if not isinstance(names, LazyNames):
+                    names = LazyNames.from_list(list(names))
+                b1 = inputs[0] if paired else inputs
+                b2 = inputs[1] if paired else None
+                res2 = {k: v for k, v in res.items()
+                        if not k.startswith("cand_")}
+                proc.submit((
+                    gidx, n_valid, names.mat, names.lens, bc_bases,
+                    (b1.bases, b1.quals, b1.lengths),
+                    (b2.bases, b2.quals, b2.lengths) if b2 is not None
+                    else None, res2))
+                t_host["convert"] += time.perf_counter() - t1
+
+            try:
+                for inputs, res in aligner.align_results_many(
+                        prefetch_iter(feed(),
+                                      depth=max(1, o.input_parallel_load))):
+                    submit_proc(inputs, res)
+            finally:
+                out = proc.close()
+            for k in ("total_reads", "aligned", "perfect", "proper_pairs"):
+                stats[k] += out["stats"][k]
+            stats["mapq_hist"] += np.asarray(out["stats"]["mapq_hist"],
+                                             np.int64)
+            demux_counts += np.asarray(out["demux_counts"], np.int64)
+            for k, v in out["per_tile"].items():
+                key = (k[0], k[1], k[2], int(k[3]))
+                agg = per_tile.setdefault(key, dict.fromkeys(v, 0))
+                for ck, cv in v.items():
+                    agg[ck] += cv
+            # the child owned the bin store; Build re-reads chunk files
+            self._bin_cache = None
+        else:
+            writer = OrderedStage(convert_emit,
+                          window=max(1, o.output_parallel_save),
+                          name="isaac-convert")
+            try:
+                for inputs, res in aligner.align_results_many(
+                        prefetch_iter(feed(),
+                                      depth=max(1, o.input_parallel_load))):
+                    writer.submit(inputs, res)
+            finally:
+                writer.close()
+            store.finalize(write_meta=(not mh or pid == 0))
         if mh:
             # global totals on every host; chunks all flushed before the
             # barrier releases process 0 into the Build phase
@@ -1086,55 +1057,9 @@ class AlignWorkflow:
     @staticmethod
     def _tile_agg(names, fb, mapped, per_tile: dict,
                   rg_names: tuple[str, ...], synth_tile=None) -> None:
-        """Per-(lane, tile, barcode/sample, read#) yield aggregation from
-        Illumina read names (vectorized prefix grouping; the reference's
-        tile x barcode x read histograms, MatchSelectorStatsXml.cpp /
-        TileBarcodeStats.hh).  `names` is one entry per RECORD.
-        `synth_tile=(lane, tile)` bypasses name parsing for inputs
-        without Illumina names (FASTQ/BAM): the whole batch lands in one
-        synthesized tile, mirroring FastqDataSource.hh:41-118."""
-        import numpy as np
-        if synth_tile is not None:
-            lane, tile = synth_tile
-            uniq = np.asarray([f"synth:0:0:{lane}:{tile}"], dtype="U")
-            inv = np.zeros(len(fb), np.int64)
-        else:
-            names = np.asarray(names, dtype="U")
-            pre = np.char.rpartition(
-                np.char.rpartition(names, ":")[:, 0], ":")[:, 0]
-            uniq, inv = np.unique(pre, return_inverse=True)
-        n_rg = max(len(rg_names), 1)
-        rg = (np.clip(fb.rg, 0, n_rg - 1) if rg_names
-              else np.zeros(len(fb), np.int64)).astype(np.int64)
-        read2 = ((fb.flag & sam.FLAG_READ2) != 0).astype(np.int64)
-        key = (inv.astype(np.int64) * n_rg + rg) * 2 + read2
-        nk = len(uniq) * n_rg * 2
-        L = fb.qual.shape[1]
-        in_read = np.arange(L)[None, :] < fb.length[:, None]
-        q30 = ((fb.qual >= 30) & in_read).sum(axis=1)
-        perfect = (mapped & (fb.nm == 0)).astype(np.float64)
-
-        w = lambda v: np.bincount(key, weights=np.asarray(v, np.float64),
-                                  minlength=nk)
-        tot = np.bincount(key, minlength=nk)
-        agg_cols = {"aligned": w(mapped), "perfect": w(perfect),
-                    "yield": w(fb.length), "yield_q30": w(q30),
-                    "mapq_sum": w(fb.mapq.astype(np.float64) * mapped)}
-        for flat in np.nonzero(tot)[0]:
-            ti, rest = divmod(int(flat), n_rg * 2)
-            ri, e = divmod(rest, 2)
-            parts = str(uniq[ti]).split(":")
-            if len(parts) < 5:
-                continue
-            sample = rg_names[ri] if rg_names else "all"
-            agg = per_tile.setdefault(
-                (parts[3], parts[4], sample, e + 1),
-                {"total": 0, "aligned": 0, "perfect": 0, "yield": 0,
-                 "yield_q30": 0, "mapq_sum": 0})
-            agg["total"] += int(tot[flat])
-            for cname, col in agg_cols.items():
-                agg[cname if cname != "aligned" else "aligned"] += \
-                    int(col[flat])
+        from .stats_agg import tile_agg
+        tile_agg(names, fb, mapped, per_tile, rg_names,
+                 synth_tile=synth_tile)
 
     def _sample_specs(self):
         from ..demultiplexing.samplesheet import parse_sample_sheet
@@ -1312,6 +1237,12 @@ class AlignWorkflow:
                 yield from iter_fastq_batches(
                     r1, r2, o.batch_size,
                     barcode_path=o.barcode_fastq if o.sample_sheet else None)
+            return
+        if o.bam_input:
+            # streaming BAM source: BGZF chunks + cross-chunk pair cache
+            # (BamDataSource.hh:41-155) — bounded RAM, like FASTQ/BCL
+            from ..io.bam_input import iter_bam_batches
+            yield from iter_bam_batches(o.bam_input, o.batch_size)
             return
         for b1, b2 in self._read_batches():
             yield b1, b2, None

@@ -182,7 +182,64 @@ def write_html_report(stats: dict, path: str | Path,
         parts += ["<h2>Template length statistics</h2>", table(tls)]
     if demux:
         parts += ["<h2>Demultiplexing</h2>", table(demux)]
+    tiles = ms.get("tiles")
+    if tiles and image_format != "none":
+        parts += ["<h2>Per-tile plots</h2>", _tile_grid_svg(tiles)]
     if build:
         parts += ["<h2>Build (sort/dedup/realign)</h2>", table(build)]
     parts.append("</body></html>")
     Path(path).write_text("".join(parts))
+
+
+def _tile_grid_svg(tiles: list[dict]) -> str:
+    """Per-tile mini-plot grid: %-aligned, %-Q30-yield and mean-MAPQ bars
+    per (lane, tile), all samples/reads combined.
+
+    Reference analog: AlignmentReportGenerator's per-tile gnuplot image
+    set (lib/reports/AlignmentReportGenerator.cpp:65-154) — one panel per
+    tile instead of one image file per tile."""
+    agg: dict[tuple[str, str], dict] = {}
+    for row in tiles:
+        key = (str(row.get("lane")), str(row.get("tile")))
+        a = agg.setdefault(key, {"total": 0, "aligned": 0, "yield": 0,
+                                 "yield_q30": 0, "mapq_sum": 0})
+        for k in a:
+            a[k] += int(row.get(k, 0))
+    if not agg:
+        return ""
+    pw, ph, gap = 84, 90, 10
+    per_row = max(1, 720 // (pw + gap))
+    panels = []
+    colors = ("#4878a8", "#6aa84f", "#b46ac8")
+    for i, (key, a) in enumerate(sorted(agg.items())):
+        x0 = (i % per_row) * (pw + gap)
+        y0 = (i // per_row) * (ph + 26)
+        frac_al = a["aligned"] / max(a["total"], 1)
+        frac_q30 = a["yield_q30"] / max(a["yield"], 1)
+        mapq = a["mapq_sum"] / max(a["aligned"], 1) / 60.0
+        bars = []
+        for j, (v, label) in enumerate(
+                ((frac_al, "aligned"), (frac_q30, "Q30"), (mapq, "MAPQ"))):
+            h = max(1.0, (ph - 14) * min(v, 1.0))
+            bx = x0 + 6 + j * 26
+            bars.append(
+                f'<rect x="{bx}" y="{y0 + ph - h:.1f}" width="20" '
+                f'height="{h:.1f}" fill="{colors[j]}">'
+                f'<title>lane {key[0]} tile {key[1]} {label}: '
+                f'{v * 100:.1f}{"%" if j < 2 else " (x60)"} '
+                f'({a["total"]} reads)</title></rect>')
+        panels.append(
+            f'<g>{"".join(bars)}'
+            f'<rect x="{x0}" y="{y0}" width="{pw}" height="{ph}" '
+            f'fill="none" stroke="#ccc"/>'
+            f'<text x="{x0 + 4}" y="{y0 + ph + 13}" font-size="9">'
+            f'L{key[0]} T{key[1]}</text></g>')
+    rows = -(-len(agg) // per_row)
+    width = per_row * (pw + gap)
+    height = rows * (ph + 26)
+    legend = ('<text x="0" y="-6" font-size="10">'
+              'blue=%aligned green=%Q30 purple=meanMAPQ/60</text>')
+    return (f'<svg width="{width}" height="{height + 20}" '
+            f'viewBox="0 -20 {width} {height + 20}" '
+            f'xmlns="http://www.w3.org/2000/svg">{legend}'
+            f'{"".join(panels)}</svg>')

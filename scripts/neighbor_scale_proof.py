@@ -13,6 +13,7 @@ Run: python scripts/neighbor_scale_proof.py [--small] — results are
 recorded in README.md.
 """
 
+import os
 import resource
 import sys
 import time
@@ -20,6 +21,20 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# remote-compile + executable cache: the device annotation program is a
+# single large jit; compiling it on the 2-core host takes ~10 min vs ~1
+# remotely (same re-exec bench.py uses)
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"):
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/isaac_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from isaac_aligner_tpu.index.build import build_index  # noqa: E402
 from isaac_aligner_tpu.index.neighbors import annotate_index_chunked  # noqa: E402

@@ -202,6 +202,8 @@ def test_device_matches_f64_oracle(fixture):
         f"MAPQ diverges beyond a floor flip: max {diff.max()}"
     assert flips <= max(2, int(0.005 * rows.size)), \
         f"{flips}/{rows.size} MAPQ floor flips (f32 error too large)"
+    print(f"\n[oracle] MAPQ floor-flip rate: {flips}/{rows.size} "
+          f"({100.0 * flips / rows.size:.3f}%)")
     # dodgy repeats forced to the dodgy score on both sides
     drows = np.nonzero(want["dodgy"] & want["aligned"])[0]
     if drows.size:

@@ -691,3 +691,6 @@ def test_device_paired_chain_matches_f64_oracle(fixture):
     assert gapped_rows >= 60, gapped_rows
     assert n_score_flips <= max(4, int(0.01 * n_scored)), \
         f"{n_score_flips}/{n_scored} score floor flips"
+    print(f"\n[oracle-paired] score floor-flip rate: "
+          f"{n_score_flips}/{n_scored} "
+          f"({100.0 * n_score_flips / max(n_scored, 1):.3f}%)")

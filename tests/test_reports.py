@@ -112,3 +112,25 @@ def test_workflow_emits_match_finder_stats(tmp_path):
     assert (out / "Stats" / "MatchFinderStats.xml").exists()
     root = ET.parse(out / "Stats" / "MatchFinderStats.xml").getroot()
     assert int(root.find("Tile").findtext("SeedsNoMatch")) > 0
+
+
+def test_per_tile_grid_in_html(tmp_path):
+    """Multi-tile runs get a per-tile mini-plot grid (reference: the
+    per-tile gnuplot image set, AlignmentReportGenerator.cpp:65-154)."""
+    from isaac_aligner_tpu.workflow import reports
+    tiles = []
+    for lane in ("1", "2"):
+        for tile in ("0001", "0002", "0003"):
+            tiles.append({"lane": lane, "tile": tile, "barcode": "s1",
+                          "read": 1, "total": 100, "aligned": 93,
+                          "perfect": 60, "yield": 10_000,
+                          "yield_q30": 9_000, "mapq_sum": 5_100})
+    f = tmp_path / "r.html"
+    reports.write_html_report(
+        {"match_selector": {"total_reads": 600, "aligned": 558,
+                            "mapq_hist": [0] * 59 + [1, 557],
+                            "tiles": tiles}}, f)
+    html = f.read_text()
+    assert "Per-tile plots" in html
+    assert html.count("L1 T") == 3 and html.count("L2 T") == 3
+    assert "tile 0002 aligned: 93.0%" in html
