@@ -40,6 +40,12 @@ from .neighbors import DEFAULT_WIDTH, block_permutations
 #: chunked host path (a 16 GB-HBM v5e holds ~6 int32 planes of this)
 DEVICE_MAX_RECORDS = 200_000_000
 
+#: single-sort size bound: lax.sort at >=48M rows kernel-faulted the v5e
+#: worker (measured round 5); larger inputs run the PARTITIONED program
+#: (split by the first prefix block's value — a prefix of the sort key,
+#: so equal-prefix runs never straddle parts)
+DEVICE_SORT_MAX = 28_000_000
+
 
 def _popcount32(x):
     import jax.numpy as jnp
@@ -62,6 +68,45 @@ def _geometry(k: int) -> tuple[int, int, int]:
     return n_words, block_bits, 8 // n_words if n_words <= 8 else 1
 
 
+def _partition_tables(planes, k: int, perms: np.ndarray, part_cap: int
+                      ) -> tuple[np.ndarray, int]:
+    """Host-side balanced partition plan for the >DEVICE_SORT_MAX regime.
+
+    For each permutation, every k-mer's sort key starts with block
+    perms[p][0]; grouping the 2^block_bits possible VALUES of that block
+    into parts therefore splits each permutation's sorted order into
+    contiguous, run-respecting ranges.  Greedy first-fit packs values
+    into parts of <= part_cap records; returns (part_tab [P_perms,
+    2^block_bits] int32, n_parts)."""
+    n_words, block_bits, bpw = _geometry(k)
+    nvals = 1 << block_bits
+    # per-block value histograms: counts[j, v] = #kmers with block j == v
+    counts = np.zeros((8, nvals), np.int64)
+    for j in range(8):
+        w = np.asarray(planes[j // bpw], np.uint32)
+        sh = np.uint32(32 - block_bits * (j % bpw + 1))
+        vals = (w >> sh) & np.uint32(nvals - 1)
+        counts[j] = np.bincount(vals, minlength=nvals)
+    if counts.max() > part_cap:
+        raise ValueError(
+            f"degenerate block-value skew: one value holds "
+            f"{counts.max()} records > part cap {part_cap}")
+    part_tab = np.zeros((perms.shape[0], nvals), np.int32)
+    n_parts = 1
+    for p, order in enumerate(perms):
+        c = counts[order[0]]
+        pid = 0
+        acc = 0
+        for v in range(nvals):
+            if acc + c[v] > part_cap and acc > 0:
+                pid += 1
+                acc = 0
+            part_tab[p, v] = pid
+            acc += int(c[v])
+        n_parts = max(n_parts, pid + 1)
+    return part_tab, n_parts
+
+
 def find_neighbors_device(planes, k: int,
                           error_count: int = DEFAULT_WIDTH,
                           window: int = 256) -> np.ndarray:
@@ -70,6 +115,8 @@ def find_neighbors_device(planes, k: int,
 
     One jitted program: fori over the C(2E, E) permutations, each doing
     permute -> lax.sort -> windowed suffix-Hamming scan, OR-ing marks.
+    Above DEVICE_SORT_MAX records the sort+scan runs per PARTITION
+    (first-prefix-block value groups — see _partition_tables).
     """
     import jax
     import jax.numpy as jnp
@@ -82,32 +129,34 @@ def find_neighbors_device(planes, k: int,
         return np.zeros(n, bool)
     perms = np.asarray(block_permutations(error_count), np.int32)  # [70, 8]
 
+    if n > DEVICE_SORT_MAX:
+        return _find_neighbors_device_partitioned(
+            planes, k, perms, error_count, window)
+
     words_np = np.stack([np.asarray(p, np.uint32).view(np.int32)
                          for p in planes])           # [n_words, n] int32
 
     @jax.jit
     def run(words, perm_tab):
-        # extract the 8 blocks once: blocks[j] = j-th block, MSB first
         mask = (1 << block_bits) - 1
 
-        def block(j):
-            w = words[j // bpw]
-            sh = 32 - block_bits * (j % bpw + 1)
-            return (jax.lax.shift_right_logical(w, jnp.int32(sh))
-                    & jnp.int32(mask))
-
-        blocks = jnp.stack([block(j) for j in range(8)])   # [8, n] int32
+        def block(j_dyn):
+            """Block j (traced index) of every k-mer, [n] int32."""
+            w = jax.lax.dynamic_index_in_dim(words, j_dyn // bpw, axis=0,
+                                             keepdims=False)
+            sh = 32 - block_bits * (j_dyn % bpw + 1)
+            return jax.lax.shift_right_logical(w, sh) & jnp.int32(mask)
 
         def one_perm(p, bits):
             order = perm_tab[p]                            # [8]
-            pb = jnp.take(blocks, order, axis=0)           # [8, n]
-            # repack into words (same layout)
+            # repack permuted blocks straight into words — no persistent
+            # [8, n] block stack (1.5 GB at chr21 scale)
             pw = []
             for w in range(n_words):
-                acc = jnp.zeros_like(pb[0])
+                acc = jnp.zeros((n,), jnp.int32)
                 for s in range(bpw):
                     acc = acc | jax.lax.shift_left(
-                        pb[w * bpw + s],
+                        block(order[w * bpw + s]),
                         jnp.int32(32 - block_bits * (s + 1)))
                 pw.append(acc)
             # sort by words lexicographically (biased for unsigned order)
@@ -119,9 +168,9 @@ def find_neighbors_device(planes, k: int,
 
             # prefix = first 4 blocks = leading half of the bit string
             if n_words == 1:
-                pref = jax.lax.shift_right_logical(sw[0] - bias, jnp.int32(16))
+                pref_w = [jax.lax.shift_right_logical(sw[0] - bias,
+                                                      jnp.int32(16))]
                 suf = [(sw[0] - bias) & jnp.int32(0xFFFF)]
-                pref_w = [pref]
             elif n_words == 2:
                 pref_w = [sw[0]]
                 suf = [sw[1] - bias]
@@ -129,25 +178,36 @@ def find_neighbors_device(planes, k: int,
                 pref_w = [sw[0], sw[1]]
                 suf = [sw[2] - bias, sw[3] - bias]
 
+            # shifted compares via PRE-PADDED dynamic slices (jnp.roll on
+            # ~46M-element planes kernel-faulted the TPU worker; a padded
+            # slice is also cheaper: one copy per step, no wraparound)
+            sentinel = jnp.int32(-1)
+            pref_p = [jnp.concatenate([w, jnp.full((window,), sentinel,
+                                                   jnp.int32)])
+                      for w in pref_w]
+            suf_p = [jnp.concatenate([w, jnp.zeros((window,), jnp.int32)])
+                     for w in suf]
             rows = jnp.arange(n, dtype=jnp.int32)
-            hit = jnp.zeros(n, bool)
+
+            def shifted(xp, d):
+                return jax.lax.dynamic_slice(xp, (d,), (n,))
 
             def scan_d(d, hit):
                 valid = rows < (n - d)
                 same = valid
-                for w in pref_w:
-                    same = same & (w == jnp.roll(w, -d))
+                for w, wp in zip(pref_w, pref_p):
+                    same = same & (w == shifted(wp, d))
                 mm = jnp.zeros(n, jnp.int32)
-                for w in suf:
-                    mm = mm + _base_mm32(w ^ jnp.roll(w, -d))
+                for w, wp in zip(suf, suf_p):
+                    mm = mm + _base_mm32(w ^ shifted(wp, d))
                 near = same & (mm <= error_count) & (mm > 0)
-                # cheap early-out: when no row in this window distance
-                # matched the prefix, longer distances inside the same
-                # run cannot either ... (monotone only per-run; keep full
-                # W for correctness)
-                return hit | near | jnp.roll(near, d)
+                # mark the partner row i+d: pad near at the FRONT, slice
+                nearp = jnp.concatenate([jnp.zeros((window,), bool), near])
+                partner = jax.lax.dynamic_slice(nearp, (window - d,), (n,))
+                return hit | near | partner
 
-            hit = jax.lax.fori_loop(1, window + 1, scan_d, hit)
+            hit = jax.lax.fori_loop(1, window + 1, scan_d,
+                                    jnp.zeros(n, bool))
             return bits.at[idx].max(hit)
 
         return jax.lax.fori_loop(0, perm_tab.shape[0], one_perm,
@@ -155,6 +215,115 @@ def find_neighbors_device(planes, k: int,
 
     return np.asarray(jax.device_get(run(jnp.asarray(words_np),
                                          jnp.asarray(perms))))
+
+
+def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
+                                       error_count: int,
+                                       window: int) -> np.ndarray:
+    """Partitioned device annotation for inputs beyond the single-sort
+    bound: per permutation, rows partition by their first-prefix-block
+    value group (part_tab), each part gathers into a PART_CAP-row block,
+    sorts, scans, and scatters its marks — exact, because a partition
+    boundary is always a prefix-run boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    n_words, block_bits, bpw = _geometry(k)
+    n = planes[0].shape[0]
+    part_cap = DEVICE_SORT_MAX // 2
+    part_tab_np, n_parts = _partition_tables(planes, k, perms, part_cap)
+
+    words_np = np.stack([np.asarray(p, np.uint32).view(np.int32)
+                         for p in planes])
+
+    @jax.jit
+    def run(words, perm_tab, part_tab):
+        mask = (1 << block_bits) - 1
+
+        def block(j_dyn):
+            w = jax.lax.dynamic_index_in_dim(words, j_dyn // bpw, axis=0,
+                                             keepdims=False)
+            sh = 32 - block_bits * (j_dyn % bpw + 1)
+            return jax.lax.shift_right_logical(w, sh) & jnp.int32(mask)
+
+        def one_perm(p, bits):
+            order = perm_tab[p]
+            pw = []
+            for w in range(n_words):
+                acc = jnp.zeros((n,), jnp.int32)
+                for s in range(bpw):
+                    acc = acc | jax.lax.shift_left(
+                        block(order[w * bpw + s]),
+                        jnp.int32(32 - block_bits * (s + 1)))
+                pw.append(acc)
+            pid = jnp.take(part_tab[p], block(order[0]))
+
+            bias = jnp.int32(-2**31)
+            cap = part_cap
+
+            def one_part(part, bits):
+                (rows,) = jnp.nonzero(pid == part, size=cap, fill_value=n)
+                ok = rows < n
+                safe = jnp.minimum(rows, n - 1)
+                # invalid rows carry the max key -> sort to the end
+                keys = [jnp.where(ok, jnp.take(w, safe) + bias,
+                                  jnp.int32(2**31 - 1)) for w in pw]
+                keys.append(jnp.take(jnp.arange(n, dtype=jnp.int32), safe))
+                sorted_ops = jax.lax.sort(tuple(keys), num_keys=n_words)
+                sw = list(sorted_ops[:n_words])
+                idx = sorted_ops[-1]
+                m = jnp.sum(ok.astype(jnp.int32))
+
+                if n_words == 1:
+                    pref_w = [jax.lax.shift_right_logical(sw[0] - bias,
+                                                          jnp.int32(16))]
+                    suf = [(sw[0] - bias) & jnp.int32(0xFFFF)]
+                elif n_words == 2:
+                    pref_w = [sw[0]]
+                    suf = [sw[1] - bias]
+                else:
+                    pref_w = [sw[0], sw[1]]
+                    suf = [sw[2] - bias, sw[3] - bias]
+
+                sentinel = jnp.int32(-1)
+                pref_p = [jnp.concatenate([w, jnp.full((window,), sentinel,
+                                                       jnp.int32)])
+                          for w in pref_w]
+                suf_p = [jnp.concatenate([w, jnp.zeros((window,),
+                                                       jnp.int32)])
+                         for w in suf]
+                rws = jnp.arange(cap, dtype=jnp.int32)
+
+                def scan_d(d, hit):
+                    valid = rws < (m - d)
+                    same = valid
+                    for w, wp in zip(pref_w, pref_p):
+                        same = same & (w == jax.lax.dynamic_slice(
+                            wp, (d,), (cap,)))
+                    mm = jnp.zeros(cap, jnp.int32)
+                    for w, wp in zip(suf, suf_p):
+                        mm = mm + _base_mm32(w ^ jax.lax.dynamic_slice(
+                            wp, (d,), (cap,)))
+                    near = same & (mm <= error_count) & (mm > 0)
+                    nearp = jnp.concatenate(
+                        [jnp.zeros((window,), bool), near])
+                    partner = jax.lax.dynamic_slice(nearp, (window - d,),
+                                                    (cap,))
+                    return hit | near | partner
+
+                hit = jax.lax.fori_loop(1, window + 1, scan_d,
+                                        jnp.zeros(cap, bool))
+                in_part = rws < m
+                return bits.at[jnp.minimum(idx, n - 1)].max(hit & in_part)
+
+            return jax.lax.fori_loop(0, n_parts, one_part, bits)
+
+        return jax.lax.fori_loop(0, perm_tab.shape[0], one_perm,
+                                 jnp.zeros(n, bool))
+
+    return np.asarray(jax.device_get(run(
+        jnp.asarray(words_np), jnp.asarray(perms),
+        jnp.asarray(part_tab_np))))
 
 
 def annotate_unique_auto(uniq_planes, k: int,

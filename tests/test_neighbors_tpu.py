@@ -90,3 +90,17 @@ def test_64mer_index_annotation_and_mapq_gating():
     by = {r.qname: r for r in recs}
     assert by["uniq"].mapq >= 40          # clean region: confident
     assert by["dup"].mapq == 0            # lone neighbor-flagged anchor
+
+
+def test_partitioned_device_matches_host(monkeypatch):
+    """Above DEVICE_SORT_MAX the device program partitions by
+    first-prefix-block value; forced-small bound must stay bit-exact."""
+    monkeypatch.setattr(nt, "DEVICE_SORT_MAX", 500)
+    rng = np.random.default_rng(53)
+    km = _plant_neighbors_u64(rng, 4000, 32, 250)
+    host = find_neighbors(km, k=32)
+    planes = ((km >> np.uint64(32)).astype(np.uint32),
+              (km & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    dev = nt.find_neighbors_device(planes, 32)
+    assert np.array_equal(host, dev)
+    assert host.sum() > 100

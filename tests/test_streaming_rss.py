@@ -108,23 +108,33 @@ def test_million_read_bam_stream_bounded_rss(tmp_path):
                + struct.pack("<i", 1)
                + struct.pack("<i", 3) + b"c1\x00" + struct.pack("<i", 10_000))
         f.write(member(hdr))
-        buf = bytearray()
-        seq_nib = rng.integers(0, 4, (64, L))
+        # vectorized record synthesis: fixed-width names -> one byte
+        # matrix per chunk (a per-record Python loop took minutes)
         nib_map = np.array([1, 2, 4, 8], np.uint8)
-        for i in range(n):
-            name = f"r{i}".encode() + b"\x00"
-            row = nib_map[seq_nib[i % 64]]
-            packed = (row[0::2] << 4) | row[1::2]
-            body = (struct.pack("<iiBBHHHiiii", -1, -1, len(name), 0,
-                                4680, 0, 4, L, -1, -1, 0)
-                    + name + packed.tobytes() + bytes([30] * L))
-            buf += struct.pack("<i", len(body)) + body
-            if len(buf) > 60_000:
-                f.write(member(bytes(buf[:60_000])))
-                del buf[:60_000]
-        if buf:
-            f.write(member(bytes(buf)))
-        f.write(member(b"")[:0] or b"")
+        name_w = 8                      # "r0000000" + NUL
+        fixed = struct.pack("<iiBBHHHiiii", -1, -1, name_w + 1, 0,
+                            4680, 0, 4, L, -1, -1, 0)
+        body_len = len(fixed) + name_w + 1 + L // 2 + L
+        chunk_n = 65_536
+        for lo in range(0, n, chunk_n):
+            hi_i = min(lo + chunk_n, n)
+            m = hi_i - lo
+            rec = np.zeros((m, 4 + body_len), np.uint8)
+            rec[:, :4] = np.frombuffer(struct.pack("<i", body_len),
+                                       np.uint8)
+            rec[:, 4 : 4 + len(fixed)] = np.frombuffer(fixed, np.uint8)
+            names = np.char.add("r", np.char.zfill(
+                np.arange(lo, hi_i).astype("U7"), 7)).astype("S8")
+            rec[:, 4 + len(fixed) : 4 + len(fixed) + name_w] = \
+                names.view(np.uint8).reshape(m, 8)
+            row = nib_map[rng.integers(0, 4, (m, L))]
+            packed = (row[:, 0::2] << 4) | row[:, 1::2]
+            so = 4 + len(fixed) + name_w + 1
+            rec[:, so : so + L // 2] = packed
+            rec[:, so + L // 2 :] = 30
+            flat = rec.reshape(-1).tobytes()
+            for b in range(0, len(flat), 60_000):
+                f.write(member(flat[b : b + 60_000]))
         f.write(bytes.fromhex(
             "1f8b08040000000000ff0600424302001b0003000000000000000000"))
 
