@@ -136,8 +136,14 @@ def find_neighbors_device(planes, k: int,
     words_np = np.stack([np.asarray(p, np.uint32).view(np.int32)
                          for p in planes])           # [n_words, n] int32
 
+    # ONE permutation per jit call, looped from the host with the words
+    # and the running bit vector DEVICE-RESIDENT between calls: the
+    # all-70-permutations fused program kernel-faulted the v5e worker at
+    # chr21 scale even though every component op passes individually —
+    # and the smaller program compiles far faster; 70 dispatches cost
+    # ~0.1 s of link latency each, noise against the sort time.
     @jax.jit
-    def run(words, perm_tab):
+    def one_perm(words, order, bits):
         mask = (1 << block_bits) - 1
 
         def block(j_dyn):
@@ -147,74 +153,74 @@ def find_neighbors_device(planes, k: int,
             sh = 32 - block_bits * (j_dyn % bpw + 1)
             return jax.lax.shift_right_logical(w, sh) & jnp.int32(mask)
 
-        def one_perm(p, bits):
-            order = perm_tab[p]                            # [8]
-            # repack permuted blocks straight into words — no persistent
-            # [8, n] block stack (1.5 GB at chr21 scale)
-            pw = []
-            for w in range(n_words):
-                acc = jnp.zeros((n,), jnp.int32)
-                for s in range(bpw):
-                    acc = acc | jax.lax.shift_left(
-                        block(order[w * bpw + s]),
-                        jnp.int32(32 - block_bits * (s + 1)))
-                pw.append(acc)
-            # sort by words lexicographically (biased for unsigned order)
-            bias = jnp.int32(-2**31)
-            keys = [w + bias for w in pw] + [jnp.arange(n, dtype=jnp.int32)]
-            sorted_ops = jax.lax.sort(tuple(keys), num_keys=n_words)
-            sw = [w for w in sorted_ops[:n_words]]
-            idx = sorted_ops[-1]
+        # repack permuted blocks straight into words — no persistent
+        # [8, n] block stack (1.5 GB at chr21 scale)
+        pw = []
+        for w in range(n_words):
+            acc = jnp.zeros((n,), jnp.int32)
+            for s in range(bpw):
+                acc = acc | jax.lax.shift_left(
+                    block(order[w * bpw + s]),
+                    jnp.int32(32 - block_bits * (s + 1)))
+            pw.append(acc)
+        # sort by words lexicographically (biased for unsigned order)
+        bias = jnp.int32(-2**31)
+        keys = [w + bias for w in pw] + [jnp.arange(n, dtype=jnp.int32)]
+        sorted_ops = jax.lax.sort(tuple(keys), num_keys=n_words)
+        sw = [w for w in sorted_ops[:n_words]]
+        idx = sorted_ops[-1]
 
-            # prefix = first 4 blocks = leading half of the bit string
-            if n_words == 1:
-                pref_w = [jax.lax.shift_right_logical(sw[0] - bias,
-                                                      jnp.int32(16))]
-                suf = [(sw[0] - bias) & jnp.int32(0xFFFF)]
-            elif n_words == 2:
-                pref_w = [sw[0]]
-                suf = [sw[1] - bias]
-            else:            # 4 words: prefix = words 0-1, suffix = 2-3
-                pref_w = [sw[0], sw[1]]
-                suf = [sw[2] - bias, sw[3] - bias]
+        # prefix = first 4 blocks = leading half of the bit string
+        if n_words == 1:
+            pref_w = [jax.lax.shift_right_logical(sw[0] - bias,
+                                                  jnp.int32(16))]
+            suf = [(sw[0] - bias) & jnp.int32(0xFFFF)]
+        elif n_words == 2:
+            pref_w = [sw[0]]
+            suf = [sw[1] - bias]
+        else:            # 4 words: prefix = words 0-1, suffix = 2-3
+            pref_w = [sw[0], sw[1]]
+            suf = [sw[2] - bias, sw[3] - bias]
 
-            # shifted compares via PRE-PADDED dynamic slices (jnp.roll on
-            # ~46M-element planes kernel-faulted the TPU worker; a padded
-            # slice is also cheaper: one copy per step, no wraparound)
-            sentinel = jnp.int32(-1)
-            pref_p = [jnp.concatenate([w, jnp.full((window,), sentinel,
-                                                   jnp.int32)])
-                      for w in pref_w]
-            suf_p = [jnp.concatenate([w, jnp.zeros((window,), jnp.int32)])
-                     for w in suf]
-            rows = jnp.arange(n, dtype=jnp.int32)
+        # shifted compares via PRE-PADDED dynamic slices (jnp.roll on
+        # ~46M-element planes kernel-faulted the TPU worker; a padded
+        # slice is also cheaper: one copy per step, no wraparound)
+        sentinel = jnp.int32(-1)
+        pref_p = [jnp.concatenate([w, jnp.full((window,), sentinel,
+                                               jnp.int32)])
+                  for w in pref_w]
+        suf_p = [jnp.concatenate([w, jnp.zeros((window,), jnp.int32)])
+                 for w in suf]
+        rows = jnp.arange(n, dtype=jnp.int32)
 
-            def shifted(xp, d):
-                return jax.lax.dynamic_slice(xp, (d,), (n,))
+        def shifted(xp, d):
+            return jax.lax.dynamic_slice(xp, (d,), (n,))
 
-            def scan_d(d, hit):
-                valid = rows < (n - d)
-                same = valid
-                for w, wp in zip(pref_w, pref_p):
-                    same = same & (w == shifted(wp, d))
-                mm = jnp.zeros(n, jnp.int32)
-                for w, wp in zip(suf, suf_p):
-                    mm = mm + _base_mm32(w ^ shifted(wp, d))
-                near = same & (mm <= error_count) & (mm > 0)
-                # mark the partner row i+d: pad near at the FRONT, slice
-                nearp = jnp.concatenate([jnp.zeros((window,), bool), near])
-                partner = jax.lax.dynamic_slice(nearp, (window - d,), (n,))
-                return hit | near | partner
+        def scan_d(d, hit):
+            valid = rows < (n - d)
+            same = valid
+            for w, wp in zip(pref_w, pref_p):
+                same = same & (w == shifted(wp, d))
+            mm = jnp.zeros(n, jnp.int32)
+            for w, wp in zip(suf, suf_p):
+                mm = mm + _base_mm32(w ^ shifted(wp, d))
+            near = same & (mm <= error_count) & (mm > 0)
+            # mark the partner row i+d: pad near at the FRONT, slice
+            nearp = jnp.concatenate([jnp.zeros((window,), bool), near])
+            partner = jax.lax.dynamic_slice(nearp, (window - d,), (n,))
+            return hit | near | partner
 
-            hit = jax.lax.fori_loop(1, window + 1, scan_d,
-                                    jnp.zeros(n, bool))
-            return bits.at[idx].max(hit)
+        hit = jax.lax.fori_loop(1, window + 1, scan_d,
+                                jnp.zeros(n, bool))
+        return bits.at[idx].max(hit)
 
-        return jax.lax.fori_loop(0, perm_tab.shape[0], one_perm,
-                                 jnp.zeros(n, bool))
-
-    return np.asarray(jax.device_get(run(jnp.asarray(words_np),
-                                         jnp.asarray(perms))))
+    import jax as _jax
+    words_dev = jnp.asarray(words_np)
+    perms_dev = jnp.asarray(perms)
+    bits = jnp.zeros(n, bool)
+    for p in range(perms.shape[0]):
+        bits = one_perm(words_dev, perms_dev[p], bits)
+    return np.asarray(jax.device_get(bits))
 
 
 def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
@@ -237,7 +243,9 @@ def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
                          for p in planes])
 
     @jax.jit
-    def run(words, perm_tab, part_tab):
+    def run_perm(words, order, ptab, bits):
+        """One permutation (host-looped like the plain path — the fused
+        all-permutations program kernel-faulted the worker)."""
         mask = (1 << block_bits) - 1
 
         def block(j_dyn):
@@ -246,8 +254,7 @@ def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
             sh = 32 - block_bits * (j_dyn % bpw + 1)
             return jax.lax.shift_right_logical(w, sh) & jnp.int32(mask)
 
-        def one_perm(p, bits):
-            order = perm_tab[p]
+        if True:
             pw = []
             for w in range(n_words):
                 acc = jnp.zeros((n,), jnp.int32)
@@ -256,7 +263,7 @@ def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
                         block(order[w * bpw + s]),
                         jnp.int32(32 - block_bits * (s + 1)))
                 pw.append(acc)
-            pid = jnp.take(part_tab[p], block(order[0]))
+            pid = jnp.take(ptab, block(order[0]))
 
             bias = jnp.int32(-2**31)
             cap = part_cap
@@ -318,12 +325,13 @@ def _find_neighbors_device_partitioned(planes, k: int, perms: np.ndarray,
 
             return jax.lax.fori_loop(0, n_parts, one_part, bits)
 
-        return jax.lax.fori_loop(0, perm_tab.shape[0], one_perm,
-                                 jnp.zeros(n, bool))
-
-    return np.asarray(jax.device_get(run(
-        jnp.asarray(words_np), jnp.asarray(perms),
-        jnp.asarray(part_tab_np))))
+    words_dev = jnp.asarray(words_np)
+    perms_dev = jnp.asarray(perms)
+    ptab_dev = jnp.asarray(part_tab_np)
+    bits = jnp.zeros(n, bool)
+    for p in range(perms.shape[0]):
+        bits = run_perm(words_dev, perms_dev[p], ptab_dev[p], bits)
+    return np.asarray(jax.device_get(bits))
 
 
 def annotate_unique_auto(uniq_planes, k: int,
