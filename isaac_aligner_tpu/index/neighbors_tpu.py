@@ -214,7 +214,6 @@ def find_neighbors_device(planes, k: int,
                                 jnp.zeros(n, bool))
         return bits.at[idx].max(hit)
 
-    import jax as _jax
     words_dev = jnp.asarray(words_np)
     perms_dev = jnp.asarray(perms)
     bits = jnp.zeros(n, bool)

@@ -109,6 +109,11 @@ def _group_major_many(aligners, batches, run_one, record, merge):
             outs[i] = res
         per_group.append(outs)
         a.release_device()
+        # force prompt device-buffer frees before the next group's
+        # upload (the tunneled runtime otherwise holds host staging
+        # until a later GC cycle — measured multi-GB per group)
+        import gc
+        gc.collect()
     for i, b in enumerate(batches):
         yield b, merge(b, [g[i] for g in per_group])
 

@@ -414,7 +414,11 @@ class AlignWorkflow:
             for part in str(self.opts.reference).split(","):
                 ref = Path(part)
                 if ref.is_dir() and is_grouped_reference(ref):
-                    indexes.extend(load_grouped_indexes(ref))
+                    # memory-map grouped planes: 8 GRCh38-scale groups
+                    # are ~37 GB — pages stream through the page cache
+                    # during per-group HBM upload instead of living in
+                    # RSS (group-major swapping loads one at a time)
+                    indexes.extend(load_grouped_indexes(ref, mmap=True))
                 elif ref.is_dir():
                     indexes.append(SeedIndex.load(ref))
                 else:
