@@ -394,7 +394,10 @@ class PairedAligner:
     arrays: IndexArrays
     cfg: AlignConfig
     tls: TlsStatic = dataclasses.field(default_factory=TlsStatic)
-    rescue_capacity: int = 512      # rows per rescue kernel call
+    # rows per rescue kernel call: sized so one call covers a
+    # typical batch's shadows (each call pays ~0.2 s of tunnel
+    # round-trip latency)
+    rescue_capacity: int = 2048
     max_rescue_window: int = 4096   # skip rescue when TLS window exceeds this
     # reference --shadow-scan-range (=-1): -1 scans the full template
     # min..max window; >=0 scans median +- range (manual.md:524-527)
@@ -625,12 +628,15 @@ class PairedAligner:
         w = t.mate_max - t.mate_min + 1
         return quantize_rescue_window(w, self.max_rescue_window)
 
-    def _run_rescue_chunks(self, res, rows, orphan_end, shadow_batch,
-                           read_lengths, window, tls: TlsStatic):
-        """Run the rescue kernel over `rows` in fixed-capacity chunks;
-        returns concatenated per-row output arrays."""
+    def _dispatch_rescue_chunks(self, res, rows, orphan_end, shadow_batch,
+                                read_lengths, window, tls: TlsStatic):
+        """Enqueue the rescue kernel over `rows` in fixed-capacity chunks;
+        returns [(chunk_size, packed, handle), ...] WITHOUT fetching —
+        callers dispatch every rescue site first and fetch afterwards, so
+        the ~0.2 s/call tunnel latency overlaps across the 2-4 sites a
+        paired batch needs (shadow x2 + disjoined x2)."""
         cap = self.rescue_capacity
-        outs = []
+        pend = []
         for lo in range(0, rows.size, cap):
             chunk = rows[lo : lo + cap]
             pad = cap - chunk.size
@@ -642,10 +648,24 @@ class PairedAligner:
             packed, handle = _rescue_jit(
                 self.arrays, self.cfg, self._rescue_tls(tls), orphan_end - 1,
                 read_lengths, o_start, o_rev, sb, sq, window)
+            pend.append((chunk.size, packed, handle))
+        return pend
+
+    @staticmethod
+    def _fetch_rescue_chunks(pend):
+        outs = []
+        for size, packed, handle in pend:
             out = unpack_device_result(result_spec(handle),
                                        jax.device_get(packed))
-            outs.append({k: v[: chunk.size] for k, v in out.items()})
+            outs.append({k: v[:size] for k, v in out.items()})
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def _run_rescue_chunks(self, res, rows, orphan_end, shadow_batch,
+                           read_lengths, window, tls: TlsStatic):
+        """Run the rescue kernel over `rows` in fixed-capacity chunks;
+        returns concatenated per-row output arrays."""
+        return self._fetch_rescue_chunks(self._dispatch_rescue_chunks(
+            res, rows, orphan_end, shadow_batch, read_lengths, window, tls))
 
     def _apply_rescue(self, res, b1: ReadBatch, b2: ReadBatch):
         """Shadow + disjoined-template rescue, merged back into the batch
@@ -677,28 +697,40 @@ class PairedAligner:
                 + disjoined.sum())
             return rescued[1], rescued[2]
         read_lengths = (b1.read_len, b2.read_len)
+        # dispatch EVERY rescue site's kernels before fetching any: the
+        # 2 shadow directions + 2 disjoined directions otherwise pay the
+        # ~0.2 s tunnel round-trip latency 4x per batch sequentially
+        # (round-5 bench: polish_s 8.0 of the 14.4 s paired e2e)
+        shadow_pend = {}
         for shadow_end, orphan_end in ((1, 2), (2, 1)):
             rows = np.nonzero(res[f"shadow_{shadow_end}"])[0]
             if rows.size == 0:
                 continue
             shadow_batch = b1 if shadow_end == 1 else b2
-            out = self._run_rescue_chunks(res, rows, orphan_end,
-                                          shadow_batch, read_lengths,
-                                          window, tls)
+            shadow_pend[shadow_end] = (rows, self._dispatch_rescue_chunks(
+                res, rows, orphan_end, shadow_batch, read_lengths,
+                window, tls))
+        d_rows = np.nonzero(disjoined)[0]
+        dis_pend = {}
+        if d_rows.size:
+            for orphan_end in (1, 2):
+                shadow_batch = b1 if (3 - orphan_end) == 1 else b2
+                dis_pend[orphan_end] = self._dispatch_rescue_chunks(
+                    res, d_rows, orphan_end, shadow_batch, read_lengths,
+                    window, tls)
+
+        for shadow_end, (rows, pend) in shadow_pend.items():
+            orphan_end = 3 - shadow_end
+            out = self._fetch_rescue_chunks(pend)
             hit = self._merge_rescue(res, rows, shadow_end, orphan_end,
                                      out, read_lengths, tls)
             rescued[shadow_end][hit] = True
 
-        d_rows = np.nonzero(disjoined)[0]
         if d_rows.size:
             outs = {}
             keys = {}
             for orphan_end in (1, 2):
-                shadow_end = 3 - orphan_end
-                shadow_batch = b1 if shadow_end == 1 else b2
-                o = self._run_rescue_chunks(res, d_rows, orphan_end,
-                                            shadow_batch, read_lengths,
-                                            window, tls)
+                o = self._fetch_rescue_chunks(dis_pend[orphan_end])
                 outs[orphan_end] = o
                 mm_o = res[f"mismatches_{orphan_end}"][d_rows].astype(np.float64)
                 lp_o = res[f"log_prob_{orphan_end}"][d_rows].astype(np.float64)

@@ -862,11 +862,30 @@ class AlignWorkflow:
                                                    cfg=cfg, group_major=gm,
                                                    **clip_kw)
         elif paired:
-            aligner = PairedAligner.create(
-                index, read_len=read_len, cfg=cfg,
-                clip_overlapping=o.clip_overlapping,
-                pessimistic_mapq=o.pessimistic_mapq,
-                shadow_scan_range=o.shadow_scan_range, **clip_kw)
+            import os as _os
+            if _os.environ.get("ISAAC_TPU_INLINE_RESCUE", "0") == "1":
+                # OPT-IN: single-device paired runs ride the SPMD
+                # program (in-program rescue).  Measured on the bench
+                # fixture this LOSES: the inline rescue scans the TLS
+                # window for EVERY row (~2x device time) while the host
+                # path rescues only the ~1% shadow rows — the per-call
+                # link latency it saves is the smaller cost.  Kept as an
+                # escape hatch for window-heavy libraries; byte-identical
+                # output either way (dryrun compares the workflow BAMs).
+                from ..parallel.sharded import make_mesh
+                from ..parallel.sharded_aligner import ShardedPairedAligner
+                aligner = ShardedPairedAligner.create_sharded(
+                    index, mesh=make_mesh(1, data=1, shard=1),
+                    read_len=read_len, cfg=cfg,
+                    clip_overlapping=o.clip_overlapping,
+                    pessimistic_mapq=o.pessimistic_mapq,
+                    shadow_scan_range=o.shadow_scan_range, **clip_kw)
+            else:
+                aligner = PairedAligner.create(
+                    index, read_len=read_len, cfg=cfg,
+                    clip_overlapping=o.clip_overlapping,
+                    pessimistic_mapq=o.pessimistic_mapq,
+                    shadow_scan_range=o.shadow_scan_range, **clip_kw)
             if self.tls is not None:
                 aligner.tls = self.tls
         else:
