@@ -28,7 +28,14 @@ import numpy as np
 
 
 def enabled() -> bool:
-    return os.environ.get("ISAAC_TPU_OUTPUT_PROC", "1") != "0"
+    if os.environ.get("ISAAC_TPU_OUTPUT_PROC", "1") == "0":
+        return False
+    # multiprocessing spawn re-imports __main__; a REPL / `python -c` /
+    # stdin main has no importable file, so the child would die in runpy
+    # — fall back to the in-process OrderedStage path there
+    import __main__
+    f = getattr(__main__, "__file__", None)
+    return bool(f) and os.path.exists(f)
 
 
 def _child_main(setup: dict, q, rq) -> None:
