@@ -864,14 +864,13 @@ class AlignWorkflow:
         elif paired:
             import os as _os
             if _os.environ.get("ISAAC_TPU_INLINE_RESCUE", "0") == "1":
-                # OPT-IN: single-device paired runs ride the SPMD
-                # program (in-program rescue).  Measured on the bench
-                # fixture this LOSES: the inline rescue scans the TLS
-                # window for EVERY row (~2x device time) while the host
-                # path rescues only the ~1% shadow rows — the per-call
-                # link latency it saves is the smaller cost.  Kept as an
-                # escape hatch for window-heavy libraries; byte-identical
-                # output either way (dryrun compares the workflow BAMs).
+                # OPT-IN (measured slower on this fixture even after
+                # the rescue compaction: the sharded paired program runs
+                # ~2x the plain one at 1 device — 23.5k vs 36.5k
+                # reads/s e2e): route single-device paired runs through
+                # the SPMD program with in-program compacted rescue.
+                # Byte-identical output either way (dryrun_multichip
+                # compares the workflow BAMs).
                 from ..parallel.sharded import make_mesh
                 from ..parallel.sharded_aligner import ShardedPairedAligner
                 aligner = ShardedPairedAligner.create_sharded(
